@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.corpus.Corpus
-import graft.query.Bm25
+import graft.query.{Bm25, Engine}
 import graft.sql.Oracle
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -26,6 +26,11 @@ object SparkEntry {
   val BoostedTerms: Seq[(String, Double)] =
     Seq("w:dup" -> 1.0, "s:7e3" -> 0.83, "w:window" -> 0.67,
       "s:89d" -> 0.5, "w:stream" -> 0.33, "w:merge" -> 0.17)
+
+  /** Pruning showcase: zero-df terms + rare + hot mix (T1/T2). */
+  val PruneTerms: Seq[(String, Double)] =
+    Seq("w:nosucha" -> 1.0, "w:dup" -> 1.0, "w:batch" -> 1.0,
+      "w:spark" -> 1.0, "w:nosuchb" -> 1.0, "s:75f" -> 1.0)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -57,6 +62,64 @@ object SparkEntry {
     "q_bm25_filtered" -> ((s, dir) =>
       Bm25.scoreTopK(s, Corpus.fromDocuments(s, dir), FlagshipTerms, 60,
         docFilter = Some(col("lang") === lit("en")))),
+
+    // ---- fast path: built index + block-max WAND engine -----------------
+    // same oracle SQL as the semantic queries => the index/WAND pipeline is
+    // DuckDB-checked end to end
+    "q_wand_topk" -> ((s, dir) =>
+      Engine.forDir(s, dir).searchByTerms(FlagshipTerms, rows = 60)),
+    "q_wand_boosted" -> ((s, dir) =>
+      Engine.forDir(s, dir).searchByTerms(BoostedTerms, rows = 60)),
+    // fq via per-segment RoaringBitmap cogroup
+    "q_wand_filtered" -> ((s, dir) =>
+      Engine.forDir(s, dir).searchByTerms(FlagshipTerms, rows = 60,
+        docPred = Some(col("lang") === lit("en")))),
+    // T1/T2 pruning active (budget=3 of 6) + candidates=100 < segment
+    // width so the WAND threshold actually prunes blocks
+    "q_wand_pruned" -> ((s, dir) =>
+      Engine.forDir(s, dir).searchByTerms(FlagshipTerms, rows = 60,
+        accuracy = 0.5, candidates = 100)),
+    // T1/T2 as a standalone relation
+    "q_prune" -> ((s, dir) => {
+      import s.implicits._
+      Engine.forDir(s, dir).prune(PruneTerms, 0.5)
+        .zipWithIndex
+        .map { case ((t, _, df), i) => (t, df, (i + 1).toLong) }
+        .toDF("term", "df", "kept_rank")
+    }),
+    // §2.11 MoreLikeThis: query = doc 42's own terms
+    "q_mlt" -> ((s, dir) =>
+      Engine.forDir(s, dir).searchById(Corpus.fromDocuments(s, dir), 42L, rows = 30)),
+    // A1 from the built index: global df = sum of per-segment dfs
+    "q_dictionary_idx" -> ((s, dir) =>
+      Engine.forDir(s, dir).index.segments
+        .groupBy(col("term"))
+        .agg(sum(col("df")).cast("long").as("df"))),
+    // lineage/stats: N and sum(dl) from the per-range manifest alone
+    "q_manifest_stats" -> ((s, dir) =>
+      Engine.forDir(s, dir).index.manifest
+        .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+          sum(col("sum_dl")).cast("long").as("sum_dl"))),
+    // T6: seeded deterministic sampling
+    "q_random_sample" -> ((s, dir) =>
+      Engine.forDir(s, dir).randomDocs("graft", 25)),
+    // P4: point lookup by id
+    "q_point_lookup" -> ((s, dir) =>
+      Corpus.fromDocuments(s, dir)
+        .where(col("doc_id") === lit(123L))
+        .select("doc_id", "repo", "path", "commit", "lang", "sha")),
+    // P5: suffix-match lookup
+    "q_point_suffix" -> ((s, dir) =>
+      Corpus.fromDocuments(s, dir)
+        .where(col("path").endsWith("7.txt"))
+        .select("doc_id", "path")),
+    // J1: XmlMerge-style broadcast hash join by id (corpus ⋈ embeddings)
+    "q_join_merge" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Corpus.fromDocuments(s, dir)
+        .join(broadcast(emb), col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("lang"), col("label"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -73,5 +136,25 @@ object SparkEntry {
     "q_bm25_topk" -> Oracle.bm25TopK(FlagshipTerms, 60),
     "q_bm25_boosted" -> Oracle.bm25TopK(BoostedTerms, 60),
     "q_bm25_filtered" -> Oracle.bm25TopK(FlagshipTerms, 60, Some("lang = 'en'")),
+    "q_wand_topk" -> Oracle.bm25TopK(FlagshipTerms, 60),
+    "q_wand_boosted" -> Oracle.bm25TopK(BoostedTerms, 60),
+    "q_wand_filtered" -> Oracle.bm25TopK(FlagshipTerms, 60, Some("lang = 'en'")),
+    "q_wand_pruned" -> Oracle.bm25TopKPruned(FlagshipTerms, 3, 60),
+    "q_prune" -> Oracle.pruneSql(PruneTerms, 3),
+    "q_mlt" -> Oracle.bm25Mlt(42L, 30),
+    "q_dictionary_idx" -> Oracle.withPrelude("SELECT term, df FROM dict"),
+    "q_manifest_stats" -> Oracle.withPrelude(
+      "SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dl"),
+    "q_random_sample" -> Oracle.withPrelude(
+      """SELECT doc_id, md5('graft:' || doc_id) AS rkey FROM corpus
+        |ORDER BY rkey ASC, doc_id ASC LIMIT 25""".stripMargin),
+    "q_point_lookup" -> Oracle.withPrelude(
+      """SELECT doc_id, repo, path, "commit", lang, sha256(content) AS sha
+        |FROM corpus WHERE doc_id = 123""".stripMargin),
+    "q_point_suffix" -> Oracle.withPrelude(
+      "SELECT doc_id, path FROM corpus WHERE path LIKE '%7.txt'"),
+    "q_join_merge" -> Oracle.withPrelude(
+      """SELECT c.doc_id, c.lang, e.label
+        |FROM corpus c JOIN embeddings e ON e.vec_id = c.doc_id""".stripMargin),
   )
 }

@@ -1,0 +1,192 @@
+package graft.index
+
+import java.io.ByteArrayOutputStream
+
+/** Delta-gap + varint (LEB128) posting-list codec with a 128-entry block
+  * structure carrying skip + upper-bound metadata for block-max WAND.
+  *
+  * The reference leaves posting compression to Lucene (delta+vint inside
+  * segment files — no plugin code); the north_rule makes it ours. Each
+  * posting carries (localId, tf, dl): dl (doc length) is inlined so the
+  * query path never joins a norms side-store — only the query terms' rows
+  * ever leave the segment scan (SURVEY.md §7.4/§7.5; trade-off: ~1 extra
+  * varint per posting vs Lucene's separate norms file, bought for a
+  * narrower query read at 100 TB).
+  *
+  * Layout (all varints):
+  *   numEntries, numBlocks
+  *   repeat numBlocks times:
+  *     firstLocalDelta   (from previous block's lastLocal; block 0: absolute)
+  *     lastLocalDelta    (lastLocal - firstLocal)
+  *     maxTf, minDl      (block score upper-bound inputs: tfNorm is
+  *                        monotone up in tf, down in dl, so
+  *                        tfNorm(maxTf, minDl) bounds every entry)
+  *     payloadLen (bytes)
+  *     payload: numEntriesInBlock, then per entry (deltaLocal, tf, dl);
+  *              the first entry's deltaLocal is from the block's firstLocal
+  *              (i.e. 0).
+  *
+  * Entries must be strictly increasing in localId.
+  */
+object Codec {
+  val BlockSize = 128
+
+  final case class Posting(local: Int, tf: Int, dl: Int)
+
+  def writeVarInt(out: ByteArrayOutputStream, v0: Int): Unit = {
+    var v = v0
+    require(v >= 0, s"varint must be non-negative, got $v")
+    while ((v & ~0x7f) != 0) { out.write((v & 0x7f) | 0x80); v >>>= 7 }
+    out.write(v)
+  }
+
+  final class Reader(val bytes: Array[Byte], var pos: Int = 0) {
+    def readVarInt(): Int = {
+      var v = 0; var shift = 0; var b = 0
+      do {
+        b = bytes(pos) & 0xff; pos += 1
+        v |= (b & 0x7f) << shift; shift += 7
+      } while ((b & 0x80) != 0)
+      v
+    }
+  }
+
+  /** Encode a strictly-ascending posting list. */
+  def encode(postings: Array[Posting]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(postings.length * 3 + 16)
+    val nBlocks = (postings.length + BlockSize - 1) / BlockSize
+    writeVarInt(out, postings.length)
+    writeVarInt(out, nBlocks)
+    var prevBlockLast = 0
+    var b = 0
+    while (b < nBlocks) {
+      val from = b * BlockSize
+      val until = math.min(from + BlockSize, postings.length)
+      val first = postings(from).local
+      val last = postings(until - 1).local
+      var maxTf = 0
+      var minDl = Int.MaxValue
+      val payload = new ByteArrayOutputStream((until - from) * 3 + 4)
+      writeVarInt(payload, until - from)
+      var prev = first
+      var i = from
+      while (i < until) {
+        val p = postings(i)
+        require(i == from || p.local > prev, "postings must be strictly ascending")
+        writeVarInt(payload, p.local - (if (i == from) first else prev))
+        writeVarInt(payload, p.tf)
+        writeVarInt(payload, p.dl)
+        if (p.tf > maxTf) maxTf = p.tf
+        if (p.dl < minDl) minDl = p.dl
+        prev = p.local
+        i += 1
+      }
+      writeVarInt(out, first - prevBlockLast)
+      writeVarInt(out, last - first)
+      writeVarInt(out, maxTf)
+      writeVarInt(out, minDl)
+      val pb = payload.toByteArray
+      writeVarInt(out, pb.length)
+      out.write(pb, 0, pb.length)
+      prevBlockLast = last
+      b += 1
+    }
+    out.toByteArray
+  }
+
+  /** Decode the full list (test/merge path; the query path uses [[Iter]]). */
+  def decodeAll(bytes: Array[Byte]): Array[Posting] = {
+    val it = new Iter(bytes)
+    val res = new Array[Posting](it.numEntries)
+    var k = 0
+    while (!it.exhausted) {
+      res(k) = Posting(it.curLocal, it.curTf, it.curDl)
+      k += 1
+      it.next()
+    }
+    assert(k == res.length, s"decoded $k of ${res.length}")
+    res
+  }
+
+  /** Block-skipping iterator: `advanceTo(target)` positions at the first
+    * posting with local >= target, decoding only the blocks it lands in
+    * (a skipped block costs one header read + a byte-range seek).
+    */
+  final class Iter(bytes: Array[Byte]) {
+    private val r = new Reader(bytes)
+    val numEntries: Int = r.readVarInt()
+    private val numBlocks: Int = r.readVarInt()
+    private var blockIdx = -1
+    private var prevLast = 0 // lastLocal of the block before the current one
+    private var bFirst = 0
+    private var bLast = 0
+    private var bMaxTf = 0
+    private var bMinDl = 0
+    private var payloadPending = false
+    private val locals = new Array[Int](BlockSize)
+    private val tfs = new Array[Int](BlockSize)
+    private val dls = new Array[Int](BlockSize)
+    private var blockCnt = 0
+    private var inBlock = 0
+    var exhausted: Boolean = numEntries == 0
+
+    def curLocal: Int = locals(inBlock)
+    def curTf: Int = tfs(inBlock)
+    def curDl: Int = dls(inBlock)
+    def blockLast: Int = bLast
+    def blockMaxTf: Int = bMaxTf
+    def blockMinDl: Int = bMinDl
+
+    /** Move to the next block header (skipping an undecoded payload). */
+    private def advanceBlock(): Boolean = {
+      if (payloadPending) { val len = r.readVarInt(); r.pos += len; payloadPending = false }
+      if (blockIdx + 1 >= numBlocks) { exhausted = true; false }
+      else {
+        if (blockIdx >= 0) prevLast = bLast
+        blockIdx += 1
+        bFirst = prevLast + r.readVarInt()
+        bLast = bFirst + r.readVarInt()
+        bMaxTf = r.readVarInt()
+        bMinDl = r.readVarInt()
+        payloadPending = true
+        true
+      }
+    }
+
+    private def decodePayload(): Unit = {
+      r.readVarInt() // payloadLen
+      blockCnt = r.readVarInt()
+      var prev = bFirst
+      var i = 0
+      while (i < blockCnt) {
+        val l = (if (i == 0) bFirst else prev) + r.readVarInt()
+        locals(i) = l; tfs(i) = r.readVarInt(); dls(i) = r.readVarInt()
+        prev = l
+        i += 1
+      }
+      inBlock = 0
+      payloadPending = false
+    }
+
+    if (!exhausted) { advanceBlock(); decodePayload() }
+
+    /** Position at the first posting with local >= target. */
+    def advanceTo(target: Int): Boolean = {
+      if (exhausted) return false
+      if (!payloadPending && curLocal >= target) return true
+      while (bLast < target) if (!advanceBlock()) return false
+      if (payloadPending) decodePayload()
+      while (locals(inBlock) < target) inBlock += 1 // safe: bLast >= target
+      true
+    }
+
+    /** Step to the next posting. */
+    def next(): Boolean = {
+      if (exhausted) return false
+      inBlock += 1
+      if (inBlock < blockCnt) true
+      else if (!advanceBlock()) false
+      else { decodePayload(); true }
+    }
+  }
+}

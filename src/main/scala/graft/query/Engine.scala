@@ -1,0 +1,188 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.roaringbitmap.RoaringBitmap
+import graft.index.{IndexBuild, IndexConfig, TermHash}
+import graft.corpus.Corpus
+
+/** Read-side view of a built index (segments + docmeta + manifest). Only
+  * manifest-committed ranges are visible — a crashed build's partial range
+  * directories are invisible until their manifest row lands (lineage gate).
+  */
+final class Index(val spark: SparkSession, val indexDir: String) {
+  import spark.implicits._
+
+  lazy val ranges: Seq[Long] =
+    IndexBuild.doneRanges(spark, indexDir).toSeq.sorted
+
+  lazy val manifest: DataFrame = {
+    require(ranges.nonEmpty, s"no committed ranges under $indexDir")
+    spark.read
+      .option("basePath", IndexBuild.manifestDir(indexDir))
+      .parquet(ranges.map(r => s"${IndexBuild.manifestDir(indexDir)}/range=$r"): _*)
+  }
+
+  lazy val cfg: IndexConfig = {
+    val (s, rs) = manifest.select("seg_shift", "range_segs_shift").as[(Int, Int)].head()
+    IndexConfig(segShift = s, rangeSegsShift = rs)
+  }
+
+  /** (N, avgdl): pure sums over per-range manifest rows — no global build
+    * pass exists anywhere (SURVEY.md O4; stats are associative).
+    */
+  lazy val stats: (Long, Double) = {
+    val (n, sdl) = manifest
+      .agg(sum("n_docs").cast("long"), sum("sum_dl").cast("long"))
+      .as[(Long, Long)].head()
+    (n, if (n == 0) 1.0 else sdl.toDouble / n.toDouble)
+  }
+
+  lazy val segments: DataFrame = spark.read
+    .option("basePath", IndexBuild.segmentsDir(indexDir))
+    .parquet(ranges.map(r => s"${IndexBuild.segmentsDir(indexDir)}/range=$r"): _*)
+
+  lazy val docmeta: DataFrame = spark.read
+    .option("basePath", IndexBuild.docmetaDir(indexDir))
+    .parquet(ranges.map(r => s"${IndexBuild.docmetaDir(indexDir)}/range=$r"): _*)
+
+  /** Global df per query term: term_id pushdown narrows the scan to the
+    * query's row groups; term string re-checked (hash-collision guard).
+    */
+  def dfOf(terms: Seq[String]): Map[String, Long] = {
+    val ids = terms.map(TermHash.hash)
+    segments
+      .where(col("term_id").isin(ids: _*) && col("term").isin(terms: _*))
+      .groupBy("term").agg(sum("df").cast("long").as("df"))
+      .as[(String, Long)].collect().toMap
+  }
+}
+
+/** Query facade — the reference's request-handler verbs re-expressed
+  * (SURVEY.md §2.11): searchByTerms / searchByContent / searchById /
+  * randomDocs, plus the df-ordered accuracy pruning (T1/T2) and the
+  * accuracy≥0.9 degenerate full-scan switch (O2).
+  */
+final class Engine(val index: Index) {
+  import index.spark
+  import spark.implicits._
+
+  /** T1/T2 pruning, mirrored 1:1 in the SQL oracle (Oracle.pruneSql):
+    *   sorted   = query terms by (df asc, term asc)   — rarest-first
+    *   nonzero  = sorted minus df==0 terms
+    *   base     = nonzero if |nonzero| >= 3 else first 3 of sorted
+    *   kept     = first max(3, floor(n·accuracy)) of base
+    * (reference: LireRequestHandler.java:697-740 — df-asc ordering, drop
+    * df==0 keeping >=3, budget = numHashes·accuracy clamped >=3)
+    */
+  def prune(terms: Seq[(String, Double)], accuracy: Double): Seq[(String, Double, Long)] = {
+    val dfs = index.dfOf(terms.map(_._1).distinct)
+    val withDf = terms.map { case (t, b) => (t, b, dfs.getOrElse(t, 0L)) }
+    val sorted = withDf.sortBy { case (t, _, df) => (df, t) }
+    val nonzero = sorted.filter(_._3 > 0)
+    val base = if (nonzero.size >= 3) nonzero else sorted.take(3)
+    val budget = math.max(3, math.floor(terms.size * accuracy).toInt)
+    base.take(budget)
+  }
+
+  /** Primary programmatic API (reference `hashes` verb, SURVEY.md §3.2).
+    * Returns (rank, doc_id, score_q), k=`rows`.
+    */
+  def searchByTerms(
+      terms: Seq[(String, Double)],
+      rows: Int = 60,
+      accuracy: Double = 1.0,
+      candidates: Int = 10000,
+      docPred: Option[Column] = None): DataFrame = {
+    val kept =
+      if (accuracy >= 0.9) { // degenerate plan: no pruning, exhaustive DAAT
+        val dfs = index.dfOf(terms.map(_._1).distinct)
+        terms.map { case (t, b) => (t, b, dfs.getOrElse(t, 0L)) }.filter(_._3 > 0)
+      } else prune(terms, accuracy)
+    if (kept.isEmpty) return Wand.topK(spark, spark.emptyDataset[Scored], rows)
+    val (n, avgdl) = index.stats
+    val weights: Map[String, Double] = kept.groupBy(_._1).map { case (t, g) =>
+      // duplicate query terms sum their boosts (OR-clause semantics)
+      t -> g.map(x => x._2 * Bm25.idf(x._3.toDouble, n.toDouble)).sum
+    }
+    val ids = weights.keys.map(TermHash.hash).toSeq
+    val names = weights.keys.toSeq
+    val hits = index.segments
+      .where(col("term_id").isin(ids: _*) && col("term").isin(names: _*))
+      .select("seg_id", "term", "df", "max_tf", "min_dl", "postings")
+      .as[SegHit]
+    val cfg = index.cfg
+    val wB = spark.sparkContext.broadcast(weights)
+    val scored: org.apache.spark.sql.Dataset[Scored] = docPred match {
+      case None =>
+        hits.groupByKey(_.seg_id).flatMapGroups { (seg, it) =>
+          Wand.scoreSegment(seg, it, wB.value, avgdl, candidates, cfg, null, accuracy < 0.9)
+        }
+      case Some(pred) =>
+        // fq filter: per-segment allowed-bitmap cogrouped with the hits —
+        // the bitmap never leaves its segment task (SURVEY.md P2)
+        val allowedBySeg = index.docmeta.where(pred)
+          .select(col("doc_id")).as[Long]
+          .groupByKey(d => cfg.segOf(d))
+        hits.groupByKey(_.seg_id).cogroup(allowedBySeg) { (seg, hitIt, docIt) =>
+          val bm = new RoaringBitmap()
+          docIt.foreach(d => bm.add(cfg.localOf(d)))
+          if (bm.isEmpty) Iterator.empty
+          else Wand.scoreSegment(seg, hitIt, wB.value, avgdl, candidates, cfg, bm, accuracy < 0.9)
+        }
+    }
+    Wand.topK(spark, scored, rows)
+  }
+
+  /** Free-content search: tokenize the query content with the SAME
+    * analyzer as indexing (index/query symmetry, SURVEY.md §3.3), distinct
+    * terms, boost 1 (Boolean-OR semantics: query tf ignored, as in the
+    * reference's OR-of-TermQuerys).
+    */
+  def searchByContent(content: String, rows: Int = 60, accuracy: Double = 1.0,
+                      candidates: Int = 10000): DataFrame = {
+    val terms = graft.analyze.Tokenizer.termsScala(content).distinct.toSeq.map(_ -> 1.0)
+    searchByTerms(terms, rows, accuracy, candidates)
+  }
+
+  /** More-like-this by doc id (reference `id` verb, §3.1): fetch the doc's
+    * content from the corpus table (point lookup), query by its terms.
+    */
+  def searchById(corpus: DataFrame, docId: Long, rows: Int = 60,
+                 accuracy: Double = 1.0, candidates: Int = 10000): DataFrame = {
+    val content = corpus.where(col("doc_id") === docId)
+      .select(col("content")).as[String].head()
+    searchByContent(content, rows, accuracy, candidates)
+  }
+
+  /** Deterministic "random" sample (reference T6 made seeded): order by
+    * md5(seed || doc_id) — reproducible in SQL, unlike rand().
+    */
+  def randomDocs(seed: String, rows: Int): DataFrame =
+    index.docmeta
+      .select(col("doc_id"), md5(concat(lit(seed), lit(":"), col("doc_id"))).as("rkey"))
+      .orderBy(col("rkey").asc, col("doc_id").asc)
+      .limit(rows)
+}
+
+object Engine {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Engine]()
+
+  def indexRoot: String =
+    sys.env.getOrElse("GRAFT_INDEX_DIR",
+      new java.io.File("target/graft-index").getAbsolutePath)
+
+  /** Build-once-per-JVM engine over the documents-derived corpus of an
+    * sf dir. Small segments (2^7 docs) so even the 500-doc corpora
+    * exercise multi-segment traversal + merge.
+    */
+  def forDir(spark: SparkSession, sfDir: String): Engine =
+    cache.computeIfAbsent(sfDir, { _ =>
+      val key = sfDir.replaceAll("[^a-zA-Z0-9.]+", "_")
+      val dir = s"$indexRoot/v1-$key" // bump on index-format changes
+      val cfg = IndexConfig(segShift = 7, rangeSegsShift = 2)
+      val corpus = Corpus.fromDocuments(spark, sfDir)
+      IndexBuild.build(spark, corpus, dir, cfg) // resumes/no-ops if committed
+      new Engine(new Index(spark, dir))
+    })
+}

@@ -1,0 +1,255 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.roaringbitmap.RoaringBitmap
+import graft.index.{Codec, IndexConfig, TermHash}
+
+/** One segment-local posting-list hit for a query term. */
+final case class SegHit(seg_id: Long, term: String, df: Int,
+                        max_tf: Int, min_dl: Int, postings: Array[Byte])
+
+/** A scored doc (raw double kept; ordering/output always quantized). */
+final case class Scored(docId: Long, score: Double) {
+  def scoreQ: Long = math.round(score * Bm25.Quant)
+}
+
+/** Bounded top-k heap ordered by (score_q DESC, docId ASC) — the one
+  * genuinely custom aggregate (SURVEY.md §2.9/U4; reference analog: the
+  * TreeSet capped at `rows`, LireRequestHandler.java:631-668, tie rule
+  * CachingSimpleResult.java:12-24). Worst entry at the root; quantized
+  * comparison keeps eviction deterministic across summation orders.
+  */
+final class BoundedTopK(val k: Int) extends Serializable {
+  var size: Int = 0
+  var docIds: Array[Long] = new Array[Long](math.min(k, 1024))
+  var scores: Array[Double] = new Array[Double](math.min(k, 1024))
+
+  @inline private def q(s: Double): Long = math.round(s * Bm25.Quant)
+  /** is entry (d1,s1) worse than (d2,s2)? */
+  @inline private def worse(d1: Long, s1: Double, d2: Long, s2: Double): Boolean = {
+    val q1 = q(s1); val q2 = q(s2)
+    q1 < q2 || (q1 == q2 && d1 > d2)
+  }
+  def full: Boolean = size >= k
+  def worstScore: Double = scores(0)
+
+  private def grow(): Unit = {
+    val n = math.min(k, math.max(docIds.length * 2, 16))
+    docIds = java.util.Arrays.copyOf(docIds, n)
+    scores = java.util.Arrays.copyOf(scores, n)
+  }
+  private def swap(i: Int, j: Int): Unit = {
+    val d = docIds(i); docIds(i) = docIds(j); docIds(j) = d
+    val s = scores(i); scores(i) = scores(j); scores(j) = s
+  }
+  private def siftUp(i0: Int): Unit = {
+    var i = i0
+    while (i > 0) {
+      val p = (i - 1) >> 1
+      if (worse(docIds(i), scores(i), docIds(p), scores(p))) { swap(i, p); i = p }
+      else return
+    }
+  }
+  private def siftDown(i0: Int): Unit = {
+    var i = i0
+    while (true) {
+      val l = 2 * i + 1; val r = l + 1
+      var w = i
+      if (l < size && worse(docIds(l), scores(l), docIds(w), scores(w))) w = l
+      if (r < size && worse(docIds(r), scores(r), docIds(w), scores(w))) w = r
+      if (w == i) return
+      swap(i, w); i = w
+    }
+  }
+  def offer(docId: Long, score: Double): Unit = {
+    if (size < k) {
+      if (size == docIds.length) grow()
+      docIds(size) = docId; scores(size) = score; size += 1
+      siftUp(size - 1)
+    } else if (worse(docIds(0), scores(0), docId, score)) {
+      docIds(0) = docId; scores(0) = score
+      siftDown(0)
+    }
+  }
+  def merge(o: BoundedTopK): BoundedTopK = {
+    var i = 0
+    while (i < o.size) { offer(o.docIds(i), o.scores(i)); i += 1 }
+    this
+  }
+  /** best-first: (score_q desc, docId asc). */
+  def sortedBestFirst: Array[Scored] = {
+    val out = Array.tabulate(size)(i => Scored(docIds(i), scores(i)))
+    out.sortBy(s => (-s.scoreQ, s.docId))
+  }
+}
+
+/** Typed bounded-heap top-k Aggregator — Spark runs it as partial
+  * aggregation per partition + merge (the treeAggregate shape of the
+  * north_rule) via ObjectHashAggregate.
+  */
+final class TopKAgg(k: Int)(implicit outEnc: Encoder[Seq[Scored]])
+    extends Aggregator[Scored, BoundedTopK, Seq[Scored]] {
+  def zero: BoundedTopK = new BoundedTopK(k)
+  def reduce(b: BoundedTopK, a: Scored): BoundedTopK = { b.offer(a.docId, a.score); b }
+  def merge(b1: BoundedTopK, b2: BoundedTopK): BoundedTopK = b1.merge(b2)
+  def finish(r: BoundedTopK): Seq[Scored] = r.sortedBestFirst.toSeq
+  def bufferEncoder: Encoder[BoundedTopK] = Encoders.kryo[BoundedTopK]
+  def outputEncoder: Encoder[Seq[Scored]] = outEnc
+}
+
+/** Block-max WAND top-k over segment files (SURVEY.md §7.5).
+  *
+  * Per segment (the parallel unit): document-at-a-time traversal of the
+  * query terms' posting lists with two pruning levels —
+  *   - pivot selection on list-level upper bounds (weight ·
+  *     tfNorm(max_tf, min_dl)): docs that cannot beat the current
+  *     threshold are never visited;
+  *   - block-level refinement on the pivot's block metadata before
+  *     scoring.
+  * Both bounds are valid because tfNorm is monotone increasing in tf and
+  * decreasing in dl. Skipping uses the quantized-tie rule, so results stay
+  * EXACTLY rank-identical to exhaustive scoring (tested property-wise).
+  *
+  * The reference's phase-1/phase-2 split (approximate top-10⁴ then exact
+  * re-rank, LireRequestHandler.java:554-668) maps to: WAND keeps a
+  * per-segment bounded heap of size `candidates` of EXACT scores, the
+  * global TopKAgg merge takes `rows`.
+  */
+object Wand {
+
+  /** weight = boost · idf (global stats folded in by the Engine). */
+  final case class QueryList(iter: Codec.Iter, weight: Double, listUB: Double,
+                             var cur: Int)
+
+  def tfNormUB(maxTf: Int, minDl: Int, avgdl: Double): Double =
+    Bm25.tfNorm(maxTf.toDouble, minDl.toDouble, avgdl)
+
+  /** Score one segment. `allowed`: local-id bitmap (fq filter) or null.
+    * `useWand=false` = exhaustive DAAT (the accuracy≥0.9 degenerate plan,
+    * SURVEY.md O2).
+    */
+  def scoreSegment(
+      segId: Long,
+      hits: Iterator[SegHit],
+      weights: Map[String, Double],
+      avgdl: Double,
+      candidates: Int,
+      cfg: IndexConfig,
+      allowed: RoaringBitmap,
+      useWand: Boolean): Iterator[Scored] = {
+    val lists = hits.flatMap { h =>
+      weights.get(h.term).map { w =>
+        val it = new Codec.Iter(h.postings)
+        QueryList(it, w, w * tfNormUB(h.max_tf, h.min_dl, avgdl), if (it.exhausted) -1 else it.curLocal)
+      }
+    }.filter(_.cur >= 0).toArray
+    if (lists.isEmpty) return Iterator.empty
+    val heap = new BoundedTopK(candidates)
+
+    var nLists = lists.length
+    // insertion sort of the live prefix [0, nLists) by cur
+    def sortLists(): Unit = {
+      var i = 1
+      while (i < nLists) {
+        val x = lists(i)
+        var j = i - 1
+        while (j >= 0 && lists(j).cur > x.cur) { lists(j + 1) = lists(j); j -= 1 }
+        lists(j + 1) = x
+        i += 1
+      }
+    }
+    def dropExhausted(): Unit = {
+      var i = 0
+      var m = 0
+      while (i < nLists) {
+        if (lists(i).cur >= 0) { lists(m) = lists(i); m += 1 }
+        i += 1
+      }
+      nLists = m
+    }
+
+    sortLists()
+    var done = false
+    while (!done && nLists > 0) {
+      // threshold: only active once heap is full
+      val threshold = if (heap.full) heap.worstScore else Double.NegativeInfinity
+      if (!useWand || !heap.full) {
+        // exhaustive DAAT on the smallest current doc
+        val pivotDoc = lists(0).cur
+        var score = 0.0
+        var i = 0
+        while (i < nLists && lists(i).cur == pivotDoc) {
+          val l = lists(i)
+          score += l.weight * Bm25.tfNorm(l.iter.curTf.toDouble, l.iter.curDl.toDouble, avgdl)
+          l.cur = if (l.iter.next()) l.iter.curLocal else -1
+          i += 1
+        }
+        if (allowed == null || allowed.contains(pivotDoc))
+          heap.offer(cfg.globalOf(segId, pivotDoc), score)
+        dropExhausted(); sortLists()
+      } else {
+        // WAND pivot selection on list-level UBs
+        var acc = 0.0
+        var p = -1
+        var i = 0
+        while (i < nLists && p == -1) {
+          acc += lists(i).listUB
+          if (acc > threshold) p = i
+          i += 1
+        }
+        if (p == -1) done = true // nothing can beat threshold
+        else {
+          val pivotDoc = lists(p).cur
+          if (lists(0).cur == pivotDoc) {
+            // block-max refinement over lists parked at pivotDoc
+            var bub = 0.0
+            var j = 0
+            while (j < nLists && lists(j).cur == pivotDoc) {
+              val l = lists(j)
+              bub += l.weight * tfNormUB(l.iter.blockMaxTf, l.iter.blockMinDl, avgdl)
+              j += 1
+            }
+            if (bub <= threshold) {
+              // cannot beat: move every list past pivotDoc
+              var m = 0
+              while (m < j) {
+                val l = lists(m)
+                l.cur = if (l.iter.next()) l.iter.curLocal else -1
+                m += 1
+              }
+            } else {
+              var score = 0.0
+              var m = 0
+              while (m < j) {
+                val l = lists(m)
+                score += l.weight * Bm25.tfNorm(l.iter.curTf.toDouble, l.iter.curDl.toDouble, avgdl)
+                l.cur = if (l.iter.next()) l.iter.curLocal else -1
+                m += 1
+              }
+              if (allowed == null || allowed.contains(pivotDoc))
+                heap.offer(cfg.globalOf(segId, pivotDoc), score)
+            }
+            dropExhausted(); sortLists()
+          } else {
+            // advance the lowest list up to the pivot
+            val l = lists(0)
+            l.cur = if (l.iter.advanceTo(pivotDoc)) l.iter.curLocal else -1
+            dropExhausted(); sortLists()
+          }
+        }
+      }
+    }
+    heap.sortedBestFirst.iterator
+  }
+
+  /** Global bounded-heap merge: Dataset[Scored] -> (rank, doc_id, score_q). */
+  def topK(spark: SparkSession, scored: Dataset[Scored], k: Int): DataFrame = {
+    import spark.implicits._
+    val agg = new TopKAgg(k)
+    scored.select(agg.toColumn)
+      .flatMap(_.zipWithIndex.map { case (s, i) => ((i + 1).toLong, s.docId, s.scoreQ) })
+      .toDF("rank", "doc_id", "score_q")
+  }
+}

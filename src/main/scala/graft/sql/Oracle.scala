@@ -3,9 +3,10 @@ package graft.sql
 /** DuckDB oracle SQL builder.
   *
   * Mirrors the corpus derivation ([[graft.corpus.Corpus.fromDocuments]]),
-  * the tokenizer ([[graft.analyze.Tokenizer]]) and the BM25 closed form
-  * ([[graft.query.Bm25]]) in ANSI-ish SQL that DuckDB runs directly on the
-  * same parquet tables. Keeping all three in one repo-local definition is
+  * the tokenizer ([[graft.analyze.Tokenizer]]), the BM25 closed form
+  * ([[graft.query.Bm25]]) and the T1/T2 pruning rule
+  * ([[graft.query.Engine.prune]]) in SQL that DuckDB runs directly on the
+  * same parquet tables. Keeping every definition in one repo-local place is
   * the rank-identity contract (SURVEY.md §5.2-3).
   *
   * Cross-engine gotchas encoded here:
@@ -42,22 +43,54 @@ object Oracle {
 
   def withPrelude(body: String): String = s"WITH $prelude\n$body"
 
-  /** VALUES table for a weighted term list. */
+  /** VALUES list for a weighted term list. */
   def termValues(terms: Seq[(String, Double)]): String =
     terms.map { case (t, b) => s"('$t', $b::DOUBLE)" }.mkString(", ")
 
-  /** BM25 scored CTE over `post` restricted to `q(term, boost)`.
-    * Emits CTEs q, scored, ranked. `docPred`: extra SQL predicate over
-    * corpus columns (e.g. lang = 'py'), applied as a semi-join like the
-    * reference's fq filter-query intersection (LireRequestHandler.java:555).
+  /** q(term, boost) from literal values. */
+  def qFromValues(terms: Seq[(String, Double)]): String =
+    s"q(term, boost) AS (SELECT * FROM (VALUES ${termValues(terms)}) v(term, boost))"
+
+  /** q(term, boost) = the distinct terms of one document, boost 1
+    * (more-like-this / search-by-content semantics: query tf ignored,
+    * Boolean-OR of TermQuerys — LireRequestHandler.java:706-713).
     */
-  def bm25Ctes(terms: Seq[(String, Double)], docPred: Option[String] = None): String = {
+  def qFromDoc(docId: Long): String =
+    s"q(term, boost) AS (SELECT DISTINCT term, 1.0::DOUBLE AS boost FROM post WHERE doc_id = $docId)"
+
+  /** CTE chain implementing Engine.prune (T1/T2): df-asc (term-asc tie)
+    * ordering, df=0 dropped keeping >=3, first `budget` kept.
+    * Ends with base(term, boost, df, kept_rank).
+    */
+  def pruneCtes(terms: Seq[(String, Double)]): String =
+    s"""qt(term, boost) AS (SELECT * FROM (VALUES ${termValues(terms)}) v(term, boost)),
+       |wdf AS (
+       |  SELECT qt.term, qt.boost, coalesce(f.df, 0)::BIGINT AS df
+       |  FROM qt LEFT JOIN dict f ON f.term = qt.term),
+       |sorted AS (
+       |  SELECT *, row_number() OVER (ORDER BY df ASC, term ASC) AS rn,
+       |         count(CASE WHEN df > 0 THEN 1 END) OVER () AS nz
+       |  FROM wdf),
+       |base AS (
+       |  SELECT term, boost, df, row_number() OVER (ORDER BY rn) AS kept_rank
+       |  FROM sorted WHERE (nz >= 3 AND df > 0) OR (nz < 3 AND rn <= 3))""".stripMargin
+
+  /** Standalone pruning query: (term, df, kept_rank). */
+  def pruneSql(terms: Seq[(String, Double)], budget: Int): String =
+    withPrelude(
+      s"""     , ${pruneCtes(terms)}
+         |SELECT term, df, kept_rank FROM base WHERE kept_rank <= $budget ORDER BY kept_rank""".stripMargin)
+
+  /** BM25 scored+ranked CTEs given an existing q(term, boost) CTE.
+    * `docPred`: extra predicate over corpus columns (the reference's fq
+    * filter-query intersection, LireRequestHandler.java:555).
+    */
+  def bm25Body(docPred: Option[String] = None): String = {
     val filterJoin = docPred match {
       case Some(p) => s"\n  AND p.doc_id IN (SELECT doc_id FROM corpus WHERE $p)"
       case None => ""
     }
-    s"""q(term, boost) AS (SELECT * FROM (VALUES ${termValues(terms)}) v(term, boost)),
-       |scored AS (
+    s"""scored AS (
        |  SELECT p.doc_id,
        |         sum(q.boost * ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
        |             * p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS score
@@ -76,9 +109,28 @@ object Oracle {
        |  FROM scored)""".stripMargin
   }
 
-  /** Full top-k query. */
+  private def topKSelect(k: Int): String =
+    s"SELECT rank, doc_id, score_q FROM ranked WHERE rank <= $k ORDER BY rank"
+
+  /** Full top-k query from literal terms. */
   def bm25TopK(terms: Seq[(String, Double)], k: Int, docPred: Option[String] = None): String =
     withPrelude(
-      s"""     , ${bm25Ctes(terms, docPred)}
-         |SELECT rank, doc_id, score_q FROM ranked WHERE rank <= $k ORDER BY rank""".stripMargin)
+      s"""     , ${qFromValues(terms)},
+         |${bm25Body(docPred)}
+         |${topKSelect(k)}""".stripMargin)
+
+  /** Top-k where the query terms first pass the pruning rule. */
+  def bm25TopKPruned(terms: Seq[(String, Double)], budget: Int, k: Int): String =
+    withPrelude(
+      s"""     , ${pruneCtes(terms)},
+         |q AS (SELECT term, boost FROM base WHERE kept_rank <= $budget),
+         |${bm25Body(None)}
+         |${topKSelect(k)}""".stripMargin)
+
+  /** More-like-this: query = distinct terms of `docId`, boost 1. */
+  def bm25Mlt(docId: Long, k: Int): String =
+    withPrelude(
+      s"""     , ${qFromDoc(docId)},
+         |${bm25Body(None)}
+         |${topKSelect(k)}""".stripMargin)
 }

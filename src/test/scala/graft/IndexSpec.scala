@@ -1,0 +1,148 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.corpus.Corpus
+import graft.index.{Codec, IndexBuild, IndexConfig}
+import graft.query.{Bm25, BruteScorer, Engine, Index}
+
+class IndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft-$tag").toString
+
+  lazy val corpus = Corpus.fromDocuments(spark, sfTiny).cache()
+  lazy val docs: Seq[(Long, String)] =
+    corpus.select($"doc_id", $"content").as[(Long, String)].collect().toSeq
+  lazy val cfg = IndexConfig(segShift = 6, rangeSegsShift = 2) // 64-doc segments, 4/range
+  lazy val indexDir: String = {
+    val d = tmpDir("idx")
+    IndexBuild.build(spark, corpus, d, cfg)
+    d
+  }
+  lazy val engine = new Engine(new Index(spark, indexDir))
+
+  private def checkQuery(terms: Seq[(String, Double)], k: Int): Unit = {
+    val got = engine.searchByTerms(terms, rows = k)
+      .as[(Long, Long, Long)].collect().toSeq
+    val exp = BruteScorer.topK(docs, terms, k)
+    assert(got.size == exp.size, s"rows: got ${got.size} exp ${exp.size}")
+    got.zip(exp).zipWithIndex.foreach { case (((rank, id, sq), e), i) =>
+      assert(rank == i + 1)
+      assert(id == e.docId, s"rank ${i + 1}: got doc $id exp ${e.docId}")
+      assert(sq == e.scoreQ, s"rank ${i + 1} score_q: got $sq exp ${e.scoreQ}")
+    }
+  }
+
+  test("segment postings decode back to the exact postings table") {
+    val post = Bm25.postings(corpus)
+      .select($"term", $"doc_id", $"tf".cast("int")).as[(String, Long, Int)]
+      .collect().groupBy(_._1).view
+      .mapValues(_.map(p => (p._2, p._3)).sortBy(_._1).toSeq).toMap
+    val idx = new Index(spark, indexDir)
+    val decoded = idx.segments
+      .select($"seg_id", $"term", $"postings").as[(Long, String, Array[Byte])]
+      .collect()
+      .flatMap { case (seg, term, bytes) =>
+        Codec.decodeAll(bytes).map(p => (term, cfg.globalOf(seg, p.local), p.tf))
+      }
+      .groupBy(_._1).view
+      .mapValues(_.map(p => (p._2, p._3)).sortBy(_._1).toSeq).toMap
+    assert(decoded.keySet == post.keySet)
+    decoded.foreach { case (t, ps) => assert(ps == post(t), s"term $t") }
+  }
+
+  test("manifest stats equal corpus-derived stats") {
+    val idx = new Index(spark, indexDir)
+    val (n, avgdl) = idx.stats
+    val dls = docs.map(d => graft.analyze.Tokenizer.termsScala(d._2).length).filter(_ > 0)
+    assert(n == dls.size)
+    assert(math.abs(avgdl - dls.sum.toDouble / dls.size) < 1e-12)
+  }
+
+  test("WAND top-k rank-identical to brute scorer (flagship/boosted/rare/hot)") {
+    checkQuery(SparkEntry.FlagshipTerms, 60)
+    checkQuery(SparkEntry.BoostedTerms, 60)
+    checkQuery(Seq("w:dup" -> 1.0), 30)
+    checkQuery(Seq("w:batch" -> 1.0, "w:the" -> 1.0), 60)
+  }
+
+  test("degenerate full-scan (accuracy>=0.9) matches WAND path") {
+    val a = engine.searchByTerms(SparkEntry.FlagshipTerms, rows = 60, accuracy = 0.5)
+      .as[(Long, Long, Long)].collect().toSeq
+    val b = engine.searchByTerms(SparkEntry.FlagshipTerms, rows = 60, accuracy = 1.0)
+      .as[(Long, Long, Long)].collect().toSeq
+    // accuracy 0.5 keeps floor(6*0.5)=3 rarest terms — different result set,
+    // but both must be internally consistent with brute forcing same terms
+    val pruned = engine.prune(SparkEntry.FlagshipTerms, 0.5).map(t => (t._1, t._2))
+    val expA = BruteScorer.topK(docs, pruned, 60)
+    assert(a.map(_._2) == expA.map(_.docId))
+    val expB = BruteScorer.topK(docs, SparkEntry.FlagshipTerms, 60)
+    assert(b.map(_._2) == expB.map(_.docId))
+    assert(b.map(_._3) == expB.map(_.scoreQ))
+  }
+
+  test("pruning rule: df-asc order, budget, df=0 dropped keeping >=3") {
+    val terms = Seq("w:nosuch1" -> 1.0, "w:dup" -> 1.0, "w:batch" -> 1.0,
+      "w:spark" -> 1.0, "w:nosuch2" -> 1.0, "w:the" -> 1.0)
+    val kept = engine.prune(terms, 0.5) // budget = max(3, floor(6*0.5)) = 3
+    assert(kept.size == 3)
+    assert(kept.head._1 == "w:dup") // rarest first
+    assert(!kept.exists(_._3 == 0L)) // zeros dropped
+    val kept2 = engine.prune(Seq("w:nosuch1" -> 1.0, "w:nosuch2" -> 1.0, "w:nosuch3" -> 1.0, "w:nosuch4" -> 1.0), 1.0)
+    assert(kept2.size == 3) // all zero-df: keep first 3 anyway
+  }
+
+  test("fq filter (docPred) rank-identical to brute scorer over filtered docs") {
+    val enDocs = corpus.where($"lang" === "en")
+      .select($"doc_id").as[Long].collect().toSet
+    // brute: score all, keep en docs only (scores use GLOBAL stats — same as engine)
+    val exp = BruteScorer.topK(docs, SparkEntry.FlagshipTerms, Int.MaxValue)
+      .filter(s => enDocs.contains(s.docId)).take(40)
+    val got = engine.searchByTerms(SparkEntry.FlagshipTerms, rows = 40,
+      docPred = Some(col("lang") === "en")).as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(_._2) == exp.map(_.docId))
+    assert(got.map(_._3) == exp.map(_.scoreQ))
+  }
+
+  test("checkpointed resume: uncommitted range is rebuilt, committed ranges skipped") {
+    val d = tmpDir("resume")
+    val r1 = IndexBuild.build(spark, corpus, d, cfg)
+    assert(r1.rangesBuilt.nonEmpty && r1.rangesSkipped.isEmpty)
+    // simulate a crash: delete one range's manifest _SUCCESS (its segments stay)
+    val victim = r1.rangesBuilt.head
+    val fs = new Path(d).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(s"${IndexBuild.manifestDir(d)}/range=$victim/_SUCCESS"), false)
+    val r2 = IndexBuild.build(spark, corpus, d, cfg)
+    assert(r2.rangesBuilt == Seq(victim), s"rebuilt ${r2.rangesBuilt}")
+    assert(r2.rangesSkipped.toSet == r1.rangesBuilt.toSet - victim)
+    // full rebuild is a no-op
+    val r3 = IndexBuild.build(spark, corpus, d, cfg)
+    assert(r3.rangesBuilt.isEmpty)
+    // resumed index answers queries identically
+    val eng2 = new Engine(new Index(spark, d))
+    val a = eng2.searchByTerms(SparkEntry.FlagshipTerms, rows = 20).collect().map(_.toSeq)
+    val b = engine.searchByTerms(SparkEntry.FlagshipTerms, rows = 20).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("sha lineage: docmeta sha matches corpus snapshot (input_hint invariant)") {
+    val idx = new Index(spark, indexDir)
+    val mism = idx.docmeta.as("m")
+      .join(corpus.as("c"), Seq("doc_id"))
+      .where(col("m.sha") =!= col("c.sha")).count()
+    assert(mism == 0)
+    assert(idx.docmeta.count() == corpus.count())
+  }
+
+  test("randomDocs is deterministic and seed-sensitive") {
+    val a = engine.randomDocs("seed1", 10).select("doc_id").as[Long].collect().toSeq
+    val b = engine.randomDocs("seed1", 10).select("doc_id").as[Long].collect().toSeq
+    val c = engine.randomDocs("seed2", 10).select("doc_id").as[Long].collect().toSeq
+    assert(a == b)
+    assert(a != c)
+    assert(a.distinct.size == 10)
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+import scala.util.Random
+import graft.corpus.Corpus
+import graft.index.{Codec, IndexBuild, IndexConfig, TermHash}
+import graft.query.{Bm25, BruteScorer, Engine, Index, SegHit, Wand}
+
+/** Property tests for the WAND pruning: block-max skipping must be
+  * invisible — rank-identical to exhaustive DAAT at every heap size,
+  * including tiny `candidates` where the threshold actually prunes.
+  */
+class WandPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cfg = IndexConfig(segShift = 10)
+
+  /** Build an in-memory segment from (docLocal -> term multiset). */
+  private def mkSegment(docs: Map[Int, Seq[String]]): (Seq[SegHit], Map[String, Int]) = {
+    val dls = docs.view.mapValues(_.size).toMap
+    val byTerm = docs.toSeq
+      .flatMap { case (d, ts) => ts.groupBy(identity).map { case (t, g) => (t, d, g.size) } }
+      .groupBy(_._1)
+    val hits = byTerm.map { case (t, ps) =>
+      val arr = ps.map(p => Codec.Posting(p._2, p._3, dls(p._2))).sortBy(_.local).toArray
+      SegHit(0L, t, arr.length, arr.map(_.tf).max, arr.map(_.dl).min, Codec.encode(arr))
+    }.toSeq
+    (hits, byTerm.view.mapValues(_.size).toMap)
+  }
+
+  test("WAND == DAAT for random segments at every candidates size (property)") {
+    val vocab = (0 until 40).map(i => s"t$i")
+    for (trial <- 0 until 60) {
+      val rnd = new Random(1000 + trial)
+      val nDocs = 1 + rnd.nextInt(900)
+      val docs = (0 until nDocs).map { d =>
+        val len = 1 + rnd.nextInt(30)
+        d -> Seq.fill(len)(vocab(rnd.nextInt(vocab.size)))
+      }.toMap
+      val (hits, dfs) = mkSegment(docs)
+      val n = nDocs.toDouble
+      val avgdl = docs.values.map(_.size).sum.toDouble / n
+      val qTerms = rnd.shuffle(vocab).take(1 + rnd.nextInt(8))
+      val weights = qTerms.map(t =>
+        t -> (0.2 + rnd.nextDouble()) * Bm25.idf(dfs.getOrElse(t, 1).toDouble, n)).toMap
+      for (cand <- Seq(1, 3, 17, 1000)) {
+        val wand = Wand.scoreSegment(0L, hits.iterator, weights, avgdl, cand, cfg, null, useWand = true)
+          .map(s => (s.docId, s.scoreQ)).toSeq
+        val daat = Wand.scoreSegment(0L, hits.iterator, weights, avgdl, cand, cfg, null, useWand = false)
+          .map(s => (s.docId, s.scoreQ)).toSeq
+        assert(wand == daat, s"trial=$trial cand=$cand q=$qTerms")
+      }
+    }
+  }
+
+  test("end-to-end on skewed synthetic corpus: hot+rare query rank-identical to brute") {
+    val corpus = Corpus.synthesize(spark, 3000, seed = 7, partitions = 8).cache()
+    val dir = Files.createTempDirectory("graft-synth").toString
+    IndexBuild.build(spark, corpus, dir, IndexConfig(segShift = 9, rangeSegsShift = 1))
+    val engine = new Engine(new Index(spark, dir))
+    val docs = corpus.select($"doc_id", $"content").as[(Long, String)].collect().toSeq
+    // "w:license" is in EVERY file (hot/skew head); mix with mid + rare terms
+    val queries = Seq(
+      Seq("w:license" -> 1.0, "w:hashimpl" -> 1.0, "w:mergefactory" -> 1.0),
+      Seq("w:license" -> 1.0, "w:apache" -> 1.0, "w:copyright" -> 1.0), // all hot
+      Seq("w:indexbuf" -> 1.0, "w:scanptr" -> 2.0, "w:sortz" -> 0.5),
+      graft.analyze.Tokenizer.termsScala(docs.head._2).distinct.take(30).toSeq.map(_ -> 1.0))
+    queries.foreach { q =>
+      val got = engine.searchByTerms(q, rows = 50)
+        .as[(Long, Long, Long)].collect().toSeq
+      val exp = BruteScorer.topK(docs, q, 50)
+      assert(got.map(_._2) == exp.map(_.docId), s"docs for $q")
+      assert(got.map(_._3) == exp.map(_.scoreQ), s"scores for $q")
+    }
+    // skew check: hot-term posting rows are salted across segments —
+    // no single (term,seg) group exceeds the segment width
+    val idx = new Index(spark, dir)
+    val maxDf = idx.segments.where($"term" === "w:license")
+      .agg(org.apache.spark.sql.functions.max($"df")).as[Int].head()
+    assert(maxDf <= (1 << 9), s"hot-term group size $maxDf exceeds segment width")
+    val nGroups = idx.segments.where($"term" === "w:license").count()
+    assert(nGroups > 1, "hot term should be split across segments")
+  }
+}
