@@ -3,8 +3,10 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.corpus.Corpus
+import graft.ml.{Ann, Dedup, TextStats}
+import graft.multimodal.Binary
 import graft.query.{Bm25, Engine}
-import graft.sql.Oracle
+import graft.sql.{Oracle, OracleMl}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -31,6 +33,9 @@ object SparkEntry {
   val PruneTerms: Seq[(String, Double)] =
     Seq("w:nosucha" -> 1.0, "w:dup" -> 1.0, "w:batch" -> 1.0,
       "w:spark" -> 1.0, "w:nosuchb" -> 1.0, "s:75f" -> 1.0)
+
+  /** Fixed ANN query vectors (vec_ids present at every sf). */
+  val AnnQueryIds: Seq[Long] = Seq(0L, 17L, 42L)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -120,6 +125,45 @@ object SparkEntry {
         .join(broadcast(emb), col("doc_id") === col("vec_id"))
         .select(col("doc_id"), col("lang"), col("label"))
     }),
+
+    // ---- training-pipeline operators ------------------------------------
+    // exact dedup: hash-groupBy over corpus with injected dups
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactDups(Dedup.withDups(Corpus.fromDocuments(s, dir)))),
+    // MinHash+LSH: shingle -> 12 minhashes -> 4 bands -> bucket join
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(Dedup.minhashBands(
+        Dedup.minhashSignatures(Dedup.withDups(Corpus.fromDocuments(s, dir)))))),
+    // exact n-gram Jaccard verification over the LSH candidates
+    "q_dedup_jaccard" -> ((s, dir) => {
+      val c = Dedup.withDups(Corpus.fromDocuments(s, dir))
+      Dedup.jaccardPairs(c,
+        Dedup.minhashPairs(Dedup.minhashBands(Dedup.minhashSignatures(c))))
+    }),
+    // SimHash signatures + near-dup pairs (hamming <= 2)
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash(Bm25.postings(Corpus.fromDocuments(s, dir)))),
+    "q_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(
+        Dedup.simhash(Bm25.postings(Corpus.fromDocuments(s, dir))), 2)),
+    // embedding-cosine near-dup pairs (cos_q >= 0.4 quantized)
+    "q_dedup_embcos" -> ((s, dir) =>
+      Dedup.embCosPairs(s.read.parquet(s"$dir/embeddings.parquet"), 4000L)),
+    // ANN: brute-force cosine top-10 for 3 query vectors
+    "q_ann_brute" -> ((s, dir) =>
+      Ann.bruteTopK(s.read.parquet(s"$dir/embeddings.parquet"), AnnQueryIds, 10)),
+    // ANN scale path: sign-LSH bucket join + exact re-rank in bucket
+    "q_ann_lsh" -> ((s, dir) =>
+      Ann.lshTopK(s.read.parquet(s"$dir/embeddings.parquet"), AnnQueryIds, 10)),
+    // text analysis
+    "q_lang_id" -> ((s, dir) => TextStats.langId(Corpus.fromDocuments(s, dir))),
+    "q_quality" -> ((s, dir) => TextStats.quality(Corpus.fromDocuments(s, dir))),
+    "q_token_count" -> ((s, dir) => TextStats.tokenCounts(Corpus.fromDocuments(s, dir))),
+    "q_fingerprint" -> ((s, dir) => TextStats.fingerprint(Corpus.fromDocuments(s, dir))),
+    // multimodal: opaque binary payload + typed metadata
+    "q_binary_meta" -> ((s, dir) =>
+      Binary.asBinaryTable(Corpus.fromDocuments(s, dir))
+        .select("doc_id", "byte_len", "sha", "head_hex")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -156,5 +200,18 @@ object SparkEntry {
     "q_join_merge" -> Oracle.withPrelude(
       """SELECT c.doc_id, c.lang, e.label
         |FROM corpus c JOIN embeddings e ON e.vec_id = c.doc_id""".stripMargin),
+    "q_dedup_exact" -> OracleMl.exactDupsSql,
+    "q_dedup_minhash" -> OracleMl.minhashPairsSql,
+    "q_dedup_jaccard" -> OracleMl.jaccardPairsSql,
+    "q_dedup_simhash" -> OracleMl.simhashSql,
+    "q_simhash_pairs" -> OracleMl.simhashPairsSql(2),
+    "q_dedup_embcos" -> OracleMl.embCosPairsSql(4000L),
+    "q_ann_brute" -> OracleMl.annBruteSql(AnnQueryIds, 10),
+    "q_ann_lsh" -> OracleMl.annLshSql(AnnQueryIds, 10),
+    "q_lang_id" -> OracleMl.langIdSql,
+    "q_quality" -> OracleMl.qualitySql,
+    "q_token_count" -> OracleMl.tokenCountsSql,
+    "q_fingerprint" -> OracleMl.fingerprintSql,
+    "q_binary_meta" -> OracleMl.binaryMetaSql,
   )
 }

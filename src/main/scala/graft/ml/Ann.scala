@@ -1,0 +1,90 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.analyze.Tokenizer
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (Array[Float]): brute-force cosine top-k as the exactness baseline, and
+  * a sign-random-projection (SimHash-for-vectors) bucketed variant as the
+  * scale path — the direct analog of the reference's hashing-as-terms
+  * trick (BitSampling LSH: hash = Σ 2^i·[dot(proj_i, v) ≥ 0], decompiled
+  * `/root/reference/lib/LIRE-1.0_b05.jar!...hashing/BitSampling.class`),
+  * with md5-derived ±1 hyperplanes instead of stored projection tables so
+  * the DuckDB oracle reproduces them exactly.
+  */
+object Ann {
+  val Dims = 64
+  val LshBits = 6
+
+  /** ±1 hyperplane weights, w(j)(i) = +1 iff md5("j:i")[0] < '8'. The
+    * SINGLE source of truth — [[graft.sql.OracleMl]] serializes these same
+    * arrays into the oracle SQL.
+    */
+  lazy val lshPlanes: Array[Array[Double]] =
+    Array.tabulate(LshBits, Dims)((j, i) =>
+      if (Tokenizer.md5Hex(s"$j:$i").charAt(0) < '8') 1.0 else -1.0)
+
+  /** Double-precision dot product in array order (both engines sum
+    * left-to-right in doubles, so quantized values agree).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Brute-force cosine top-k for a set of query vectors taken from the
+    * table itself (self excluded). Output (query_id, rank, vec_id, cos_q).
+    * Plan shape: broadcast(queries) ⋈ embeddings (one narrow pass over
+    * the big side), per-query rank via window over k·|q| rows.
+    */
+  def bruteTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val q = embeddings.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = embeddings.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("embedding")) * lit(1e4)).cast("long").as("cos_q"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_q").desc, col("vec_id").asc)).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cos_q")
+  }
+
+  /** Sign-LSH bucket id per vector: bit j set iff round(dot(v, plane_j)
+    * ·1e9) > 0 (rounding kills cross-engine last-ulp flips near 0).
+    */
+  def lshBucket(emb: Column): Column =
+    (0 until LshBits).map { j =>
+      when(round(dot(emb, typedlit(lshPlanes(j).toSeq)) * lit(1e9)) > 0, lit(1L << j))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  def buckets(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), lshBucket(col("embedding")).as("bucket"))
+
+  /** LSH ANN: candidates = same bucket as the query (bucket equi-join —
+    * the only shuffle key at scale), exact cosine re-rank inside the
+    * bucket. Output (query_id, rank, vec_id, cos_q, bucket).
+    */
+  def lshTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val withB = embeddings.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding")).as("bucket"))
+    val q = withB.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
+    withB.join(broadcast(q), Seq("bucket"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("bucket"),
+        round(cosine(col("q_emb"), col("embedding")) * lit(1e4)).cast("long").as("cos_q"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_q").desc, col("vec_id").asc)).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cos_q", "bucket")
+  }
+}

@@ -1,0 +1,180 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.analyze.Tokenizer
+
+/** Deduplication operators for a training-data pipeline: exact,
+  * MinHash+LSH banding, SimHash, n-gram Jaccard, embedding cosine.
+  *
+  * Everything is built from codegen'd Spark built-ins (no UDFs) and is
+  * mirrored in SQL by [[graft.sql.OracleMl]]. All pseudo-randomness is
+  * md5-derived so Spark and DuckDB agree bit-for-bit.
+  *
+  * Scale notes:
+  *  - signatures/buckets are computed per-row (no shuffle);
+  *  - candidate generation joins on (band, hash) / bucket — an equi-join
+  *    a 100 TB run shuffles ONLY on the tiny signature table, never on
+  *    content;
+  *  - pairwise verification (jaccard / cosine) touches candidate pairs
+  *    only, never the full cross product (the all-pairs variants here are
+  *    gated to oracle-scale checks; see [[simhashPairs]] docs).
+  */
+object Dedup {
+  val MinhashFns = 12
+  val MinhashBands = 4 // 3 rows per band
+  val SimhashBits = 16
+
+  /** Deterministic dup-injection used by the dedup showcase queries: every
+    * doc_id % 97 == 0 re-appears verbatim at doc_id+1000000 (exact dup),
+    * every doc_id % 101 == 0 re-appears at doc_id+2000000 with one token
+    * appended (near dup).
+    */
+  def withDups(corpus: DataFrame): DataFrame = {
+    val base = corpus.select("doc_id", "content")
+    base
+      .unionAll(base.where(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("content")))
+      .unionAll(base.where(col("doc_id") % 101 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("content"), lit(" spark")).as("content")))
+  }
+
+  /** Exact dedup: hash-groupBy on content (single shuffle on a 32-byte
+    * key; at scale this is the cheapest possible full-corpus dedup).
+    * Returns groups with >1 member.
+    */
+  def exactDups(corpus: DataFrame): DataFrame =
+    corpus
+      .groupBy(md5(col("content")).as("content_hash"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_doc_id"))
+      .where(col("n_dups") > 1)
+
+  /** Distinct word-bigram shingle strings per doc (null-safe, per-row). */
+  def shingleSet(content: Column): Column = {
+    val toks = Tokenizer.tokens(content)
+    array_distinct(
+      when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+        .otherwise(lit(Array.empty[String])))
+  }
+
+  /** MinHash signature columns mh0..mh{H-1}: per function i, the lexical
+    * min of md5("i:" || shingle). Pure per-row compute.
+    */
+  def minhashSignatures(corpus: DataFrame): DataFrame = {
+    val sh = shingleSet(col("content")).as("sh")
+    val withSh = corpus.select(col("doc_id"), sh).where(size(col("sh")) > 0)
+    (0 until MinhashFns).foldLeft(withSh) { (df, i) =>
+      df.withColumn(s"mh$i",
+        array_min(transform(col("sh"), s => md5(concat(lit(s"$i:"), s)))))
+    }.drop("sh")
+  }
+
+  /** LSH banding: (doc_id, band_j, band_hash), B bands of H/B rows. */
+  def minhashBands(sig: DataFrame): DataFrame = {
+    val rowsPerBand = MinhashFns / MinhashBands
+    val bandStructs = (0 until MinhashBands).map { j =>
+      val parts = (0 until rowsPerBand).map(r => col(s"mh${j * rowsPerBand + r}"))
+      struct(lit(j).as("band_j"), md5(concat_ws("|", parts: _*)).as("band_hash"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("b.band_j"), col("b.band_hash"))
+  }
+
+  /** Candidate pairs: docs sharing >=1 band bucket; shared = #bands. */
+  def minhashPairs(bands: DataFrame): DataFrame = {
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b,
+        col("a.band_j") === col("b.band_j") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_bands"))
+  }
+
+  /** Exact n-gram Jaccard over candidate pairs only (verification step of
+    * the MinHash pipeline): J = |A∩B| / |A∪B|, quantized.
+    */
+  def jaccardPairs(corpus: DataFrame, pairs: DataFrame): DataFrame = {
+    val sets = corpus.select(col("doc_id"), shingleSet(col("content")).as("sh"))
+      .where(size(col("sh")) > 0)
+    pairs.select("doc_a", "doc_b")
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        round(lit(1000000.0) * size(array_intersect(col("sh_a"), col("sh_b"))) /
+          (size(col("sh_a")) + size(col("sh_b")) -
+            size(array_intersect(col("sh_a"), col("sh_b")))))
+          .cast("long").as("jaccard_q"))
+  }
+
+  /** Per-term sign for simhash bit b (md5-derived, engine-agnostic). */
+  private def signOf(term: Column, b: Int): Column =
+    when(substring(md5(concat(term, lit(s":$b"))), 1, 1) < "8", lit(1)).otherwise(lit(-1))
+
+  /** SimHash over the index terms (tf-weighted): bit b set iff
+    * sum(tf · sign_b(term)) > 0. Input: postings (doc_id, term, tf).
+    */
+  def simhash(postings: DataFrame): DataFrame = {
+    val sums = (0 until SimhashBits).map(b =>
+      sum(col("tf") * signOf(col("term"), b)).as(s"s$b"))
+    postings.groupBy(col("doc_id"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        (0 until SimhashBits)
+          .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** Near-dup pairs by simhash hamming distance. NOTE: the self-join here
+    * is all-pairs — correct at oracle scale; at 100 TB this must go
+    * through banding (split the 16 bits into 4 bands, join per band) like
+    * minhashPairs; the banded variant is [[simhashBandedPairs]].
+    */
+  def simhashPairs(sim: DataFrame, maxHamming: Int): DataFrame = {
+    val a = sim.select(col("doc_id").as("doc_a"), col("simhash").as("h_a"))
+    val b = sim.select(col("doc_id").as("doc_b"), col("simhash").as("h_b"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(h_a ^ h_b)").cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Scale path: hamming<=maxHamming pairs via 4-band pigeonhole — any
+    * pair within hamming 3 shares at least one exact 4-bit band... (with
+    * 4 bands of 4 bits, hamming<=3 guarantees >=1 identical band). Join
+    * per band, dedup, verify exact hamming.
+    */
+  def simhashBandedPairs(sim: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, "4-band pigeonhole covers hamming <= 3")
+    val banded = sim.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(j =>
+        struct(lit(j).as("j"),
+          shiftrightunsigned(col("simhash"), j * 4).bitwiseAND(lit(0xfL)).as("band"))): _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.j"), col("b.band"))
+    val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("h_a"), col("j"), col("band"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("h_b"), col("j"), col("band"))
+    a.join(b, Seq("j", "band")).where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(h_a ^ h_b)").cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup pairs above a quantized threshold.
+    * All-pairs at oracle scale; the bucketed scale path shares
+    * [[graft.ml.Ann]]'s sign-LSH buckets.
+    */
+  def embCosPairs(embeddings: DataFrame, minCosQ: Long): DataFrame = {
+    val a = embeddings.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"))
+    val b = embeddings.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(Ann.cosine(col("e_a"), col("e_b")) * lit(1e4)).cast("long").as("cos_q"))
+      .where(col("cos_q") >= minCosQ)
+  }
+}

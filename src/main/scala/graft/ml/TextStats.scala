@@ -1,0 +1,104 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.analyze.Tokenizer
+
+/** Text-analysis operators for a training-data pipeline: language-ID
+  * (stopword-profile heuristic), quality scoring, token counting
+  * (whitespace + BPE-ish regex), and min-hash document fingerprinting.
+  * All per-row column expressions (no shuffle), mirrored in SQL by
+  * [[graft.sql.OracleMl]].
+  */
+object TextStats {
+
+  /** Language profiles: (name, stopword list). Single source of truth for
+    * engine + oracle.
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "los", "y"),
+    "fr" -> Seq("le", "la", "les", "des", "et"))
+
+  /** BPE-ish token regex: letter runs, digit runs, single symbols. */
+  val BpeRe = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  /** Punctuation class for quality scoring. */
+  val PunctRe = "[.,;:!?]"
+  /** Stopwords for the quality ratio. */
+  val QualityStops: Seq[String] = Seq("the", "a")
+
+  private def hitsFor(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*)))
+
+  /** (doc_id, pred_lang, best_hits): argmax of stopword hits per profile,
+    * ties -> lexicographically first profile name, zero hits -> 'und'.
+    */
+  def langId(corpus: DataFrame): DataFrame = {
+    val toks = Tokenizer.tokens(col("content"))
+    val hitCols = LangProfiles.map { case (name, words) =>
+      struct(hitsFor(toks, words).as("hits"), lit(name).as("lang"))
+    }
+    // argmax with (hits desc, lang asc): sort structs desc on (hits, negated-name)
+    // simpler: array_max over (hits, reversed-rank) — use a fold instead
+    val best = hitCols.reduce { (a, b) =>
+      when(b.getField("hits") > a.getField("hits"), b).otherwise(a)
+    } // left-to-right fold: first profile wins ties (names pre-sorted)
+    corpus.select(
+      col("doc_id"),
+      when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und")).as("pred_lang"),
+      best.getField("hits").cast("long").as("best_hits"))
+  }
+
+  /** Quality features + a composite score (quantized):
+    *   n_chars, n_tokens, punct_q (punct chars / chars), stop_q
+    *   (stopword tokens / tokens), mean_tok_len_q, quality_q =
+    *   round(1e6·(0.5·min(1, n_tokens/40) + 0.3·(1−punct_ratio) +
+    *   0.2·min(1, 10·stop_ratio))).
+    */
+  def quality(corpus: DataFrame): DataFrame = {
+    val toks = Tokenizer.tokens(col("content"))
+    val nChars = length(col("content")).cast("double")
+    val nToks = size(toks).cast("double")
+    val nPunct = (length(col("content")) -
+      length(regexp_replace(col("content"), PunctRe, ""))).cast("double")
+    val nStop = hitsFor(toks, QualityStops).cast("double")
+    val punctRatio = when(nChars > 0, nPunct / nChars).otherwise(lit(0.0))
+    val stopRatio = when(nToks > 0, nStop / nToks).otherwise(lit(0.0))
+    val meanTokLen = when(nToks > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nToks)
+      .otherwise(lit(0.0))
+    val q = lit(0.5) * least(lit(1.0), nToks / lit(40.0)) +
+      lit(0.3) * (lit(1.0) - punctRatio) +
+      lit(0.2) * least(lit(1.0), lit(10.0) * stopRatio)
+    corpus.select(
+      col("doc_id"),
+      nChars.cast("long").as("n_chars"),
+      nToks.cast("long").as("n_tokens"),
+      round(punctRatio * 1e6).cast("long").as("punct_q"),
+      round(stopRatio * 1e6).cast("long").as("stop_q"),
+      round(meanTokLen * 1e6).cast("long").as("mean_tok_len_q"),
+      round(q * 1e6).cast("long").as("quality_q"))
+  }
+
+  /** Token counts: whitespace tokens vs BPE-ish regex tokens vs chars. */
+  def tokenCounts(corpus: DataFrame): DataFrame =
+    corpus.select(
+      col("doc_id"),
+      size(filter(split(col("content"), "\\s+"), t => length(t) > 0))
+        .cast("long").as("ws_tokens"),
+      regexp_count(lower(col("content")), lit(BpeRe)).cast("long").as("bpe_tokens"),
+      length(col("content")).cast("long").as("n_chars"))
+
+  /** Min-hash fingerprint over character 8-grams (winnowing-lite): the
+    * lexical min of md5 over all 8-char windows; null for content < 8
+    * chars. A content-defined identity robust to doc reordering at corpus
+    * level.
+    */
+  def fingerprint(corpus: DataFrame): DataFrame =
+    corpus.select(
+      col("doc_id"),
+      when(length(col("content")) >= 8,
+        array_min(transform(sequence(lit(1), length(col("content")) - 7),
+          i => md5(col("content").substr(i, lit(8))))))
+        .otherwise(lit(null).cast("string")).as("fp"))
+}

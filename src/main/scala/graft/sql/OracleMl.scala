@@ -1,0 +1,229 @@
+package graft.sql
+
+import graft.ml.{Ann, Dedup, TextStats}
+
+/** DuckDB oracle SQL for the training-pipeline operators (dedup / ANN /
+  * text stats / multimodal metadata). Constants (minhash fn count, LSH
+  * planes, profiles, regexes) are read from the SAME Scala objects the
+  * engine uses — one source of truth.
+  */
+object OracleMl {
+  import Oracle.withPrelude
+
+  /** corpus + injected dups (mirror of Dedup.withDups). */
+  val dupCtes: String =
+    """corpus2 AS (
+      |  SELECT doc_id, content FROM corpus
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, content FROM corpus WHERE doc_id % 97 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, content || ' spark' FROM corpus WHERE doc_id % 101 = 0)""".stripMargin
+
+  /** Distinct bigram shingles of corpus2: sh2(doc_id, sh). */
+  val shingleCtes: String =
+    """toks2 AS (
+      |  SELECT doc_id,
+      |         list_filter(regexp_split_to_array(lower(content), '[^a-z0-9]+'), x -> x <> '') AS ts
+      |  FROM corpus2),
+      |sh2 AS (
+      |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i + 1] AS sh
+      |  FROM toks2, unnest(generate_series(1, len(ts) - 1)) AS g(i))""".stripMargin
+
+  def exactDupsSql: String = withPrelude(
+    s"""     , $dupCtes
+       |SELECT md5(content) AS content_hash, count(*)::BIGINT AS n_dups,
+       |       min(doc_id) AS keep_doc_id
+       |FROM corpus2 GROUP BY 1 HAVING count(*) > 1""".stripMargin)
+
+  /** Minhash signature + band CTEs -> bands(doc_id, band_j, band_hash). */
+  def minhashCtes: String = {
+    val mhCols = (0 until Dedup.MinhashFns)
+      .map(i => s"min(md5('$i:' || sh)) AS mh$i").mkString(",\n         ")
+    val rpb = Dedup.MinhashFns / Dedup.MinhashBands
+    val bandRows = (0 until Dedup.MinhashBands).map { j =>
+      val parts = (0 until rpb).map(r => s"mh${j * rpb + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $j AS band_j, md5($parts) AS band_hash FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""sig AS (
+       |  SELECT doc_id,
+       |         $mhCols
+       |  FROM sh2 GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows)""".stripMargin
+  }
+
+  def minhashPairsSql: String = withPrelude(
+    s"""     , $dupCtes,
+       |$shingleCtes,
+       |$minhashCtes
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS shared_bands
+       |FROM bands a
+       |JOIN bands b ON a.band_j = b.band_j AND a.band_hash = b.band_hash
+       |            AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2""".stripMargin)
+
+  def jaccardPairsSql: String = withPrelude(
+    s"""     , $dupCtes,
+       |$shingleCtes,
+       |$minhashCtes,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a
+       |  JOIN bands b ON a.band_j = b.band_j AND a.band_hash = b.band_hash
+       |              AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh2 GROUP BY 1),
+       |inter AS (
+       |  SELECT p.doc_a, p.doc_b, count(*)::BIGINT AS i
+       |  FROM pairs p
+       |  JOIN sh2 a ON a.doc_id = p.doc_a
+       |  JOIN sh2 b ON b.doc_id = p.doc_b AND b.sh = a.sh
+       |  GROUP BY 1, 2)
+       |SELECT i.doc_a, i.doc_b,
+       |       CAST(round(1000000.0 * i.i / (sa.n + sb.n - i.i)) AS BIGINT) AS jaccard_q
+       |FROM inter i
+       |JOIN sizes sa ON sa.doc_id = i.doc_a
+       |JOIN sizes sb ON sb.doc_id = i.doc_b""".stripMargin)
+
+  /** simhash CTE over post(doc_id, term, tf) -> sim(doc_id, simhash). */
+  def simhashCte: String = {
+    val sums = (0 until Dedup.SimhashBits).map(b =>
+      s"sum(CASE WHEN substr(md5(term || ':$b'), 1, 1) < '8' THEN tf ELSE -tf END) AS s$b")
+      .mkString(",\n         ")
+    val combine = (0 until Dedup.SimhashBits)
+      .map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""simsum AS (
+       |  SELECT doc_id,
+       |         $sums
+       |  FROM post GROUP BY doc_id),
+       |sim AS (SELECT doc_id, CAST($combine AS BIGINT) AS simhash FROM simsum)""".stripMargin
+  }
+
+  def simhashSql: String = withPrelude(
+    s"""     , $simhashCte
+       |SELECT doc_id, simhash FROM sim""".stripMargin)
+
+  def simhashPairsSql(maxHamming: Int): String = withPrelude(
+    s"""     , $simhashCte
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+       |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming""".stripMargin)
+
+  /** double-precision cosine between two DOUBLE[] expressions. */
+  private def cosSql(a: String, b: String): String =
+    s"""(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) /
+       | (sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) *
+       |  sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))))""".stripMargin
+
+  def embCosPairsSql(minCosQ: Long): String =
+    s"""WITH p AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |         CAST(round(${cosSql("a.embedding", "b.embedding")} * 10000.0) AS BIGINT) AS cos_q
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, cos_q FROM p WHERE cos_q >= $minCosQ""".stripMargin
+
+  def annBruteSql(queryIds: Seq[Long], k: Int): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+       |           WHERE vec_id IN (${queryIds.mkString(", ")})),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id,
+       |         CAST(round(${cosSql("q.q_emb", "e.embedding")} * 10000.0) AS BIGINT) AS cos_q
+       |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cos_q,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos_q DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, vec_id, cos_q FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** bucket expression serializing Ann.lshPlanes into SQL. */
+  def lshBucketSql(embExpr: String): String =
+    Ann.lshPlanes.zipWithIndex.map { case (plane, j) =>
+      val arr = plane.mkString("[", ", ", "]")
+      s"(CASE WHEN round(list_dot_product($embExpr::DOUBLE[], $arr::DOUBLE[]) * 1e9) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  def annLshSql(queryIds: Seq[Long], k: Int): String =
+    s"""WITH wb AS (
+       |  SELECT vec_id, embedding, CAST(${lshBucketSql("embedding")} AS BIGINT) AS bucket
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM wb
+       |      WHERE vec_id IN (${queryIds.mkString(", ")})),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id, e.bucket,
+       |         CAST(round(${cosSql("q.q_emb", "e.embedding")} * 10000.0) AS BIGINT) AS cos_q
+       |  FROM wb e JOIN q ON e.bucket = q.bucket WHERE e.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, bucket, cos_q,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos_q DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, vec_id, cos_q, bucket FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
+  // ---- text stats -------------------------------------------------------
+
+  def langIdSql: String = {
+    // left-to-right fold, first profile wins ties (profiles name-sorted)
+    val hitExprs = TextStats.LangProfiles.map { case (name, words) =>
+      val list = words.map(w => s"'$w'").mkString(", ")
+      name -> s"len(list_filter(ts, x -> x IN ($list)))"
+    }
+    val bestHits = hitExprs.map(_._2).reduce((a, b) => s"greatest($a, $b)")
+    val predChain = hitExprs.reverse.foldLeft("'und'") { case (acc, (name, e)) =>
+      s"CASE WHEN $e >= $bestHits AND $e > 0 THEN '$name' ELSE $acc END"
+    } // reversed fold => earliest profile tested last wraps outermost...
+    withPrelude(
+      s"""SELECT doc_id, $predChain AS pred_lang, CAST($bestHits AS BIGINT) AS best_hits
+         |FROM toks""".stripMargin)
+  }
+
+  def qualitySql: String = {
+    val stops = TextStats.QualityStops.map(w => s"'$w'").mkString(", ")
+    withPrelude(
+      s"""     , feats AS (
+         |  SELECT c.doc_id,
+         |         length(c.content)::DOUBLE AS n_chars,
+         |         len(t.ts)::DOUBLE AS n_toks,
+         |         (length(c.content) - length(regexp_replace(c.content, '${TextStats.PunctRe}', '', 'g')))::DOUBLE AS n_punct,
+         |         len(list_filter(t.ts, x -> x IN ($stops)))::DOUBLE AS n_stop,
+         |         coalesce(list_sum(list_transform(t.ts, x -> length(x))), 0)::DOUBLE AS tok_chars
+         |  FROM corpus c JOIN toks t ON t.doc_id = c.doc_id),
+         |ratios AS (
+         |  SELECT doc_id, n_chars, n_toks,
+         |         CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0 END AS punct_ratio,
+         |         CASE WHEN n_toks > 0 THEN n_stop / n_toks ELSE 0 END AS stop_ratio,
+         |         CASE WHEN n_toks > 0 THEN tok_chars / n_toks ELSE 0 END AS mean_tok_len
+         |  FROM feats)
+         |SELECT doc_id,
+         |       CAST(n_chars AS BIGINT) AS n_chars,
+         |       CAST(n_toks AS BIGINT) AS n_tokens,
+         |       CAST(round(punct_ratio * 1000000.0) AS BIGINT) AS punct_q,
+         |       CAST(round(stop_ratio * 1000000.0) AS BIGINT) AS stop_q,
+         |       CAST(round(mean_tok_len * 1000000.0) AS BIGINT) AS mean_tok_len_q,
+         |       CAST(round((0.5 * least(1.0, n_toks / 40.0) + 0.3 * (1.0 - punct_ratio)
+         |             + 0.2 * least(1.0, 10.0 * stop_ratio)) * 1000000.0) AS BIGINT) AS quality_q
+         |FROM ratios""".stripMargin)
+  }
+
+  def tokenCountsSql: String = withPrelude(
+    s"""SELECT doc_id,
+       |       len(list_filter(regexp_split_to_array(content, '\\s+'), x -> x <> ''))::BIGINT AS ws_tokens,
+       |       len(regexp_extract_all(lower(content), '${TextStats.BpeRe}'))::BIGINT AS bpe_tokens,
+       |       length(content)::BIGINT AS n_chars
+       |FROM corpus""".stripMargin)
+
+  def fingerprintSql: String = withPrelude(
+    s"""     , fp AS (
+       |  SELECT doc_id, min(md5(substr(content, i, 8))) AS fp
+       |  FROM corpus, unnest(generate_series(1, length(content) - 7)) g(i)
+       |  WHERE length(content) >= 8
+       |  GROUP BY doc_id)
+       |SELECT c.doc_id, fp.fp FROM corpus c LEFT JOIN fp ON fp.doc_id = c.doc_id""".stripMargin)
+
+  def binaryMetaSql: String = withPrelude(
+    s"""SELECT doc_id,
+       |       octet_length(content::BLOB)::BIGINT AS byte_len,
+       |       sha256(content) AS sha,
+       |       lower(hex(substr(content, 1, 8)::BLOB)) AS head_hex
+       |FROM corpus""".stripMargin)
+}

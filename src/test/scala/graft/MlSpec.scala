@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.corpus.Corpus
+import graft.ml.{Ann, Dedup, TextStats}
+import graft.multimodal.Binary
+import graft.query.Bm25
+
+class MlSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val corpus = Corpus.fromDocuments(spark, sfTiny).cache()
+  lazy val dupped = Dedup.withDups(corpus)
+
+  test("exact dedup finds exactly the injected verbatim dups") {
+    val groups = Dedup.exactDups(dupped).collect()
+    val injected = corpus.where($"doc_id" % 97 === 0).count()
+    assert(groups.length == injected)
+    assert(groups.forall(_.getAs[Long]("n_dups") == 2))
+    // keeper is always the original (min doc_id)
+    assert(groups.forall(_.getAs[Long]("keep_doc_id") < 1000000L))
+  }
+
+  test("minhash candidate pairs cover all exact dups with all bands shared") {
+    val pairs = Dedup.minhashPairs(Dedup.minhashBands(Dedup.minhashSignatures(dupped)))
+      .as[(Long, Long, Long)].collect().toSeq
+    val exactIds = corpus.where($"doc_id" % 97 === 0).select($"doc_id").as[Long].collect()
+    exactIds.foreach { id =>
+      val p = pairs.find(p => p._1 == id && p._2 == id + 1000000L)
+      assert(p.isDefined, s"missing exact-dup pair for $id")
+      assert(p.get._3 == Dedup.MinhashBands.toLong, s"exact dup must share all bands")
+    }
+  }
+
+  test("jaccard: 1.0 for exact dups, (0,1) for near dups") {
+    val pairs = Dedup.minhashPairs(Dedup.minhashBands(Dedup.minhashSignatures(dupped)))
+    val j = Dedup.jaccardPairs(dupped, pairs).as[(Long, Long, Long)].collect().toSeq
+    val exact = j.filter(p => p._1 < 1000000L && p._2 == p._1 + 1000000L)
+    assert(exact.nonEmpty && exact.forall(_._3 == 1000000L))
+    val near = j.filter(p => p._1 < 1000000L && p._2 == p._1 + 2000000L)
+    assert(near.nonEmpty && near.forall(p => p._3 > 0 && p._3 < 1000000L))
+  }
+
+  test("simhash: exact dups collide; banded pairs == all-pairs result") {
+    val sim = Dedup.simhash(Bm25.postings(dupped)).cache()
+    val byId = sim.as[(Long, Long)].collect().toMap
+    corpus.where($"doc_id" % 97 === 0).select($"doc_id").as[Long].collect().foreach { id =>
+      assert(byId(id) == byId(id + 1000000L), s"exact dup $id simhash differs")
+    }
+    val all = Dedup.simhashPairs(sim, 3).as[(Long, Long, Long)].collect().toSet
+    val banded = Dedup.simhashBandedPairs(sim, 3).as[(Long, Long, Long)].collect().toSet
+    assert(all == banded, "banded pigeonhole must equal all-pairs at hamming<=3")
+  }
+
+  test("ann: lsh results are a subset of brute-force candidates' scores") {
+    val emb = spark.read.parquet(s"$sfTiny/embeddings.parquet").cache()
+    val brute = Ann.bruteTopK(emb, SparkEntry.AnnQueryIds, 1000)
+      .select($"query_id", $"vec_id", $"cos_q").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val lsh = Ann.lshTopK(emb, SparkEntry.AnnQueryIds, 10)
+      .select($"query_id", $"vec_id", $"cos_q", $"bucket").collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      assert(brute.contains(k) && brute(k) == r.getLong(2),
+        s"lsh cos mismatch for $k") // same exact cosine as brute path
+    }
+    // every lsh candidate shares the query's bucket by construction
+    val buckets = Ann.buckets(emb).as[(Long, Long)].collect().toMap
+    lsh.foreach(r => assert(buckets(r.getLong(1)) == r.getLong(3)))
+  }
+
+  test("lang id: argmax with first-profile tie-break; und on zero hits") {
+    val rows = TextStats.langId(Seq((1L, "the fast join of the table"), (2L, "xyzzy blorp"))
+      .toDF("doc_id", "content")).collect()
+    val m = rows.map(x => x.getLong(0) -> (x.getString(1), x.getLong(2))).toMap
+    assert(m(1L) == ("en", 3L))
+    assert(m(2L) == ("und", 0L))
+  }
+
+  test("binary feature extraction: deterministic, batch-shaped, normalized") {
+    val bin = Binary.asBinaryTable(corpus.limit(200))
+    val feats = Binary.extractFeatures(spark, bin, batchSize = 64).collect()
+    assert(feats.length == 200)
+    feats.foreach { f =>
+      assert(f.feature.length == Binary.FeatureBins)
+      val s = f.feature.sum
+      assert(s == 0f || math.abs(s - 1f) < 1e-4, s"not normalized: $s")
+    }
+    // batch shape honored: with 200 rows over partitions, batch index stays small
+    assert(feats.map(_.n_batches_seen).max <= (200 / 64) + 1)
+    // determinism
+    val again = Binary.extractFeatures(spark, bin, batchSize = 64).collect()
+    assert(feats.sortBy(_.doc_id).map(_.feature.toSeq).toSeq ==
+      again.sortBy(_.doc_id).map(_.feature.toSeq).toSeq)
+  }
+}
