@@ -26,5 +26,7 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
+// GC experiment knob (default G1); e.g. GRAFT_JVM_EXTRA="-XX:+UseParallelGC"
+javaOptions ++= sys.env.get("GRAFT_JVM_EXTRA").toSeq.flatMap(_.split("\\s+").toSeq)

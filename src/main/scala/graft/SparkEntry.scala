@@ -142,10 +142,10 @@ object SparkEntry {
     }),
     // SimHash signatures + near-dup pairs (hamming <= 2)
     "q_dedup_simhash" -> ((s, dir) =>
-      Dedup.simhash(Bm25.postings(Corpus.fromDocuments(s, dir)))),
+      Dedup.simhash(Corpus.fromDocuments(s, dir))),
     "q_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(
-        Dedup.simhash(Bm25.postings(Corpus.fromDocuments(s, dir))), 2)),
+        Dedup.simhash(Corpus.fromDocuments(s, dir)), 2)),
     // embedding-cosine near-dup pairs (cos_q >= 0.4 quantized)
     "q_dedup_embcos" -> ((s, dir) =>
       Dedup.embCosPairs(s.read.parquet(s"$dir/embeddings.parquet"), 4000L)),

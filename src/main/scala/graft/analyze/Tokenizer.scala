@@ -74,14 +74,51 @@ object Tokenizer {
     if (content == null) Array.empty
     else content.toLowerCase.split(SplitRe).filter(_.nonEmpty)
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val hexChars = "0123456789abcdef".toCharArray
+
   def md5Hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    d.map(b => f"$b%02x").mkString
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   def shingleTerm(a: String, b: String): String =
     "s:" + md5Hex(a + " " + b).substring(0, 3)
+
+  /** Token count without materializing tokens (no split, no md5) —
+    * equivalent to tokenizeScala(content).length; used where only the doc
+    * length dl = 2·n − 1 (words + shingles) is needed.
+    */
+  def tokenCountScala(content: String): Int = {
+    if (content == null) return 0
+    var n = 0
+    var inTok = false
+    var i = 0
+    while (i < content.length) {
+      val c = content.charAt(i)
+      val lc = Character.toLowerCase(c)
+      val isTok = (lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9')
+      if (isTok && !inTok) n += 1
+      inTok = isTok
+      i += 1
+    }
+    n
+  }
+
+  /** dl (words + shingles) from a token count: n + max(n-1, 0). */
+  def dlOf(nTokens: Int): Int = if (nTokens == 0) 0 else 2 * nTokens - 1
 
   /** Plain-Scala twin of [[terms]]. */
   def termsScala(content: String): Array[String] = {

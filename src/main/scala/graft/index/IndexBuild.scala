@@ -39,7 +39,11 @@ final case class IndexConfig(
     /** segments per checkpoint range: rangeShift = segShift + rangeSegsShift. */
     rangeSegsShift: Int = 6,
     /** shuffle width hint for the phase-1 groupByKey (0 = session default). */
-    buildPartitions: Int = 0) {
+    buildPartitions: Int = 0,
+    /** ranges built concurrently (driver-side job overlap; each range is
+      * still an independent, idempotent checkpoint unit). */
+    concurrentRanges: Int = 4) {
+  require(segShift <= 27, "segShift > 27 breaks packed-long sign ordering")
   def rangeShift: Int = segShift + rangeSegsShift
   def segOf(docId: Long): Long = docId >>> segShift
   def rangeOf(docId: Long): Long = docId >>> rangeShift
@@ -87,49 +91,94 @@ object IndexBuild {
   def docmetaDir(indexDir: String) = s"$indexDir/docmeta"
   def manifestDir(indexDir: String) = s"$indexDir/manifest"
 
-  /** Tokenize a corpus slice into postings (typed path; per-doc map-side
-    * tf aggregation — no shuffle for tf).
+  /** Pack (local, tf, dl) into one long — the shuffle row stays (String,
+    * Long, Long), primitive-heavy, to keep the 49M-rows/200k-docs build
+    * allocation-light. Layout: local:28 | tf:16 | dl:20.
     */
-  def tokenized(spark: SparkSession, corpus: DataFrame): Dataset[TermPosting] = {
+  def pack(local: Int, tf: Int, dl: Int): Long = {
+    require(local >= 0 && local < (1 << 27), s"local $local out of range")
+    require(tf > 0 && tf < (1 << 16), s"tf $tf out of range")
+    require(dl > 0 && dl < (1 << 20), s"dl $dl out of range")
+    (local.toLong << 36) | (tf.toLong << 20) | dl.toLong
+  }
+  def unpackLocal(p: Long): Int = (p >>> 36).toInt
+  def unpackTf(p: Long): Int = ((p >>> 20) & 0xffff).toInt
+  def unpackDl(p: Long): Int = (p & 0xfffff).toInt
+
+  /** Map-side combine: tokenize a partition and pre-merge postings per
+    * (term, seg) into packed-long arrays BEFORE the shuffle. Because the
+    * corpus is doc-range partitioned, a (term, segment) group's postings
+    * live in ~1 input partition — this collapses the shuffle from one row
+    * per (doc, term) (~250/doc) to one row per (term, seg, partition),
+    * ~20x fewer row objects for the same payload bytes. The per-partition
+    * map is bounded: distinct (term, seg) of ONE partition's docs.
+    */
+  def partialPostings(spark: SparkSession, corpus: DataFrame,
+                      cfg: IndexConfig): Dataset[(String, Long, Array[Long])] = {
     import spark.implicits._
     corpus.select(col("doc_id"), col("content")).as[(Long, String)]
-      .flatMap { case (docId, content) =>
-        val terms = Tokenizer.termsScala(content)
-        if (terms.isEmpty) Iterator.empty
-        else {
-          val dl = terms.length
-          val counts = new java.util.HashMap[String, Int]()
-          terms.foreach(t => counts.merge(t, 1, Integer.sum(_, _)))
-          val out = new Array[TermPosting](counts.size())
-          var i = 0
-          val it = counts.entrySet().iterator()
-          while (it.hasNext) {
-            val e = it.next()
-            out(i) = TermPosting(e.getKey, docId, e.getValue, dl)
-            i += 1
+      .mapPartitions { docs =>
+        val acc = new java.util.HashMap[String, java.util.HashMap[Long, LongBuf]]()
+        val docCounts = new java.util.HashMap[String, Int]()
+        docs.foreach { case (docId, content) =>
+          val terms = Tokenizer.termsScala(content)
+          if (terms.nonEmpty) {
+            val dl = terms.length
+            val segId = cfg.segOf(docId)
+            val local = cfg.localOf(docId)
+            docCounts.clear()
+            terms.foreach(t => docCounts.merge(t, 1, Integer.sum(_, _)))
+            val it = docCounts.entrySet().iterator()
+            while (it.hasNext) {
+              val e = it.next()
+              val bySeg = acc.computeIfAbsent(e.getKey, _ => new java.util.HashMap[Long, LongBuf]())
+              bySeg.computeIfAbsent(segId, _ => new LongBuf)
+                .add(pack(local, e.getValue, dl))
+            }
           }
-          out.iterator
         }
+        val out = Iterator.newBuilder[(String, Long, Array[Long])]
+        val ti = acc.entrySet().iterator()
+        while (ti.hasNext) {
+          val te = ti.next()
+          val si = te.getValue.entrySet().iterator()
+          while (si.hasNext) {
+            val se = si.next()
+            out += ((te.getKey, se.getKey, se.getValue.toArray))
+          }
+        }
+        out.result()
       }
   }
 
-  /** Phase 1: salted groupByKey((term, seg)) -> encoded sub-lists. */
-  def phase1(spark: SparkSession, posts: Dataset[TermPosting], cfg: IndexConfig): Dataset[SegTermRow] = {
+  /** Phase 1: salted groupByKey((term, seg)) over the map-side partials ->
+    * merged, sorted, block-compressed sub-list per (term, segment).
+    */
+  def phase1(spark: SparkSession, partials: Dataset[(String, Long, Array[Long])],
+             cfg: IndexConfig): Dataset[SegTermRow] = {
     import spark.implicits._
-    posts
-      .groupByKey(p => (p.term, cfg.segOf(p.docId)))
-      .mapGroups { (key: (String, Long), it: Iterator[TermPosting]) =>
+    partials
+      .groupByKey(p => (p._1, p._2))
+      .mapGroups { (key: (String, Long), it: Iterator[(String, Long, Array[Long])]) =>
         val (term, segId) = key
-        val buf = scala.collection.mutable.ArrayBuffer.empty[Codec.Posting]
-        it.foreach(p => buf += Codec.Posting(cfg.localOf(p.docId), p.tf, p.dl))
-        val arr = buf.sortBy(_.local).toArray
+        val buf = new LongBuf
+        it.foreach(p => buf.addAll(p._3))
+        val packed = buf.toArray
+        java.util.Arrays.sort(packed) // local is the high bits: sorts by local
+        val arr = new Array[Codec.Posting](packed.length)
         var maxTf = 0
         var minDl = Int.MaxValue
-        arr.foreach { p =>
-          if (p.tf > maxTf) maxTf = p.tf
-          if (p.dl < minDl) minDl = p.dl
+        var i = 0
+        while (i < packed.length) {
+          val p = packed(i)
+          val tf = unpackTf(p)
+          val dl = unpackDl(p)
+          arr(i) = Codec.Posting(unpackLocal(p), tf, dl)
+          if (tf > maxTf) maxTf = tf
+          if (dl < minDl) minDl = dl
+          i += 1
         }
-        SegTermRow(segId, TermHash.hash(term), term, arr.length, maxTf, minDl, Codec.encode(arr))
+        SegTermRow(segId, TermHash.hash(term), term, packed.length, maxTf, minDl, Codec.encode(arr))
       }
   }
 
@@ -155,43 +204,92 @@ object IndexBuild {
       .distinct().as[Long].collect().sorted
     val done = doneRanges(spark, indexDir)
     val (skip, todo) = ranges.partition(done.contains)
-    var nDocs = 0L
-    var sumDl = 0L
-    todo.foreach { r =>
+    // ranges overlap on the driver (bounded pool): each range stays an
+    // independent idempotent checkpoint unit, but their Spark jobs
+    // interleave so fixed scheduling latency doesn't serialize the build
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(cfg.concurrentRanges, todo.length)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val futures = todo.map { r => scala.concurrent.Future { buildRange(spark, corpus, indexDir, cfg, r) } }
+    val results =
+      try futures.map(f => scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+      finally pool.shutdown()
+    BuildReport(todo.toSeq, skip.toSeq,
+      results.map(_._1).sum, results.map(_._2).sum, (System.nanoTime() - t0) / 1000000L)
+  }
+
+  /** Build one checkpoint range; returns (n_docs, sum_dl). */
+  private def buildRange(spark: SparkSession, corpus: DataFrame, indexDir: String,
+                          cfg: IndexConfig, r: Long): (Long, Long) = {
+    import spark.implicits._
+    {
       val rt0 = System.nanoTime()
       val lo = r << cfg.rangeShift
       val hi = (r + 1) << cfg.rangeShift
       val slice = corpus.where(col("doc_id") >= lo && col("doc_id") < hi)
-      val posts = tokenized(spark, slice)
+      val posts = partialPostings(spark, slice, cfg)
       val p1 = phase1(spark, posts, cfg)
-      // phase 2: partition-local segment files, term-sorted for row-group pruning
-      val segParts = math.max(1, 1 << cfg.rangeSegsShift >> 2)
+      // phase 2: partition-local segment files, term-sorted for row-group
+      // pruning. Write width = min(segments in range, cluster parallelism):
+      // range partitioning on seg_id keeps each segment in one file while
+      // using every core (a fixed small width would serialize the write).
+      val segParts = math.max(1, math.min(
+        1 << cfg.rangeSegsShift,
+        if (cfg.buildPartitions > 0) cfg.buildPartitions
+        else spark.sparkContext.defaultParallelism))
+      // hash-repartition by seg_id (NOT repartitionByRange: its range
+      // sampling would recompute the whole phase-1 lineage a second time)
       p1.toDF()
-        .repartitionByRange(segParts, col("seg_id"))
+        .repartition(segParts, col("seg_id"))
         .sortWithinPartitions(col("term_id"), col("seg_id"))
         .write.mode("overwrite").parquet(s"${segmentsDir(indexDir)}/range=$r")
-      // docmeta (norms/identity side-store)
-      val meta = slice.select(
-        col("doc_id"), col("repo"), col("path"), col("commit"), col("lang"), col("sha"),
-        size(Tokenizer.terms(col("content"))).as("dl"))
+      // docmeta (norms/identity side-store); dl via the counting-only
+      // tokenizer twin (dl = 2n-1) — no token materialization, no shingle
+      // md5s (the column-expression twin is tested identical but ~10x
+      // slower on the md5-per-shingle hot loop)
+      val meta = slice
+        .select(col("doc_id"), col("repo"), col("path"), col("commit"),
+          col("lang"), col("sha"), col("content"))
+        .as[(Long, String, String, String, String, String, String)]
+        .map { case (id, repo, path, commit, lang, sha, content) =>
+          (id, repo, path, commit, lang, sha,
+            Tokenizer.dlOf(Tokenizer.tokenCountScala(content)))
+        }
+        .toDF("doc_id", "repo", "path", "commit", "lang", "sha", "dl")
       meta.write.mode("overwrite").parquet(s"${docmetaDir(indexDir)}/range=$r")
-      // manifest last: _SUCCESS == range committed
-      val m = spark.read.parquet(s"${docmetaDir(indexDir)}/range=$r")
+      // manifest last: _SUCCESS == range committed. Stats aggregated once
+      // from the written docmeta (what's on disk is what's attested).
+      val (nd, sdl, nRows, checksum) = spark.read
+        .parquet(s"${docmetaDir(indexDir)}/range=$r")
         .agg(
           sum(when(col("dl") > 0, 1L).otherwise(0L)).as("n_docs"),
           coalesce(sum(when(col("dl") > 0, col("dl").cast("long")).otherwise(0L)), lit(0L)).as("sum_dl"),
           count(lit(1)).as("n_rows"),
           coalesce(expr("bit_xor(xxhash64(concat_ws('|', doc_id, sha)))"), lit(0L)).as("checksum"))
-        .withColumn("range_id", lit(r))
-        .withColumn("seg_shift", lit(cfg.segShift))
-        .withColumn("range_segs_shift", lit(cfg.rangeSegsShift))
-        .withColumn("build_ms", lit((System.nanoTime() - rt0) / 1000000L))
+        .as[(Long, Long, Long, Long)].head()
+      val m = Seq((r, nd, sdl, nRows, checksum, cfg.segShift, cfg.rangeSegsShift,
+        (System.nanoTime() - rt0) / 1000000L))
+        .toDF("range_id", "n_docs", "sum_dl", "n_rows", "checksum",
+          "seg_shift", "range_segs_shift", "build_ms")
       m.coalesce(1).write.mode("overwrite").parquet(s"${manifestDir(indexDir)}/range=$r")
-      val row = spark.read.parquet(s"${manifestDir(indexDir)}/range=$r")
-        .select("n_docs", "sum_dl").as[(Long, Long)].head()
-      nDocs += row._1
-      sumDl += row._2
+      (nd, sdl)
     }
-    BuildReport(todo.toSeq, skip.toSeq, nDocs, sumDl, (System.nanoTime() - t0) / 1000000L)
   }
+}
+
+/** Growable primitive long buffer (allocation-light build hot path). */
+private[index] final class LongBuf {
+  private var a = new Array[Long](8)
+  private var n = 0
+  def add(v: Long): Unit = {
+    if (n == a.length) a = java.util.Arrays.copyOf(a, n * 2)
+    a(n) = v; n += 1
+  }
+  def addAll(vs: Array[Long]): Unit = {
+    if (n + vs.length > a.length)
+      a = java.util.Arrays.copyOf(a, math.max(n + vs.length, a.length * 2))
+    System.arraycopy(vs, 0, a, n, vs.length); n += vs.length
+  }
+  def toArray: Array[Long] = java.util.Arrays.copyOf(a, n)
 }

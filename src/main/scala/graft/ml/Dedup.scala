@@ -61,15 +61,42 @@ object Dedup {
   }
 
   /** MinHash signature columns mh0..mh{H-1}: per function i, the lexical
-    * min of md5("i:" || shingle). Pure per-row compute.
+    * min of md5("i:" || shingle). Typed per-partition pass (no shuffle);
+    * md5 values identical to the SQL oracle's. A Catalyst-HOF variant of
+    * this is ~100x slower: lambda bodies inside transform() run
+    * interpreted with a fresh MessageDigest per element.
     */
   def minhashSignatures(corpus: DataFrame): DataFrame = {
-    val sh = shingleSet(col("content")).as("sh")
-    val withSh = corpus.select(col("doc_id"), sh).where(size(col("sh")) > 0)
-    (0 until MinhashFns).foldLeft(withSh) { (df, i) =>
-      df.withColumn(s"mh$i",
-        array_min(transform(col("sh"), s => md5(concat(lit(s"$i:"), s)))))
-    }.drop("sh")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val h = MinhashFns
+    corpus.select(col("doc_id"), col("content")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (docId, content) =>
+          val toks = Tokenizer.tokenizeScala(content)
+          if (toks.length < 2) Iterator.empty
+          else {
+            val mins = Array.fill[String](h)(null)
+            val seen = new java.util.HashSet[String]()
+            var i = 0
+            while (i < toks.length - 1) {
+              val sh = toks(i) + " " + toks(i + 1)
+              if (seen.add(sh)) {
+                var f = 0
+                while (f < h) {
+                  val v = Tokenizer.md5Hex(f + ":" + sh)
+                  if (mins(f) == null || v < mins(f)) mins(f) = v
+                  f += 1
+                }
+              }
+              i += 1
+            }
+            Iterator.single((docId, mins.toSeq))
+          }
+        }
+      }
+      .select(col("_1").as("doc_id") +:
+        (0 until h).map(i => element_at(col("_2"), i + 1).as(s"mh$i")): _*)
   }
 
   /** LSH banding: (doc_id, band_j, band_hash), B bands of H/B rows. */
@@ -112,22 +139,56 @@ object Dedup {
           .cast("long").as("jaccard_q"))
   }
 
-  /** Per-term sign for simhash bit b (md5-derived, engine-agnostic). */
-  private def signOf(term: Column, b: Int): Column =
-    when(substring(md5(concat(term, lit(s":$b"))), 1, 1) < "8", lit(1)).otherwise(lit(-1))
-
   /** SimHash over the index terms (tf-weighted): bit b set iff
-    * sum(tf · sign_b(term)) > 0. Input: postings (doc_id, term, tf).
+    * sum(tf · sign_b(term)) > 0, sign_b(term) = ±1 from md5(term||":"||b).
+    * Typed per-partition pass, no shuffle; per-term sign masks memoized in
+    * a partition-local cache (the vocabulary is tiny next to the corpus —
+    * 16 md5s happen once per distinct term per partition, not per doc).
     */
-  def simhash(postings: DataFrame): DataFrame = {
-    val sums = (0 until SimhashBits).map(b =>
-      sum(col("tf") * signOf(col("term"), b)).as(s"s$b"))
-    postings.groupBy(col("doc_id"))
-      .agg(sums.head, sums.tail: _*)
-      .select(col("doc_id"),
-        (0 until SimhashBits)
-          .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
+  def simhash(corpus: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bits = SimhashBits
+    corpus.select(col("doc_id"), col("content")).as[(Long, String)]
+      .mapPartitions { it =>
+        val signCache = new java.util.HashMap[String, Integer]() // bit b set => +1
+        def maskOf(term: String): Int =
+          signCache.computeIfAbsent(term, { t =>
+            var m = 0
+            var b = 0
+            while (b < bits) {
+              if (Tokenizer.md5Hex(t + ":" + b).charAt(0) < '8') m |= 1 << b
+              b += 1
+            }
+            Integer.valueOf(m)
+          })
+        val counts = new java.util.HashMap[String, Int]()
+        it.flatMap { case (docId, content) =>
+          val terms = Tokenizer.termsScala(content)
+          if (terms.isEmpty) Iterator.empty
+          else {
+            counts.clear()
+            terms.foreach(t => counts.merge(t, 1, Integer.sum(_, _)))
+            val sums = new Array[Int](bits)
+            val ei = counts.entrySet().iterator()
+            while (ei.hasNext) {
+              val e = ei.next()
+              val m = maskOf(e.getKey)
+              val tf = e.getValue
+              var b = 0
+              while (b < bits) {
+                if ((m & (1 << b)) != 0) sums(b) += tf else sums(b) -= tf
+                b += 1
+              }
+            }
+            var sh = 0L
+            var b = 0
+            while (b < bits) { if (sums(b) > 0) sh |= 1L << b; b += 1 }
+            Iterator.single((docId, sh))
+          }
+        }
+      }
+      .toDF("doc_id", "simhash")
   }
 
   /** Near-dup pairs by simhash hamming distance. NOTE: the self-join here

@@ -42,7 +42,7 @@ class MlSpec extends SparkSpec {
   }
 
   test("simhash: exact dups collide; banded pairs == all-pairs result") {
-    val sim = Dedup.simhash(Bm25.postings(dupped)).cache()
+    val sim = Dedup.simhash(dupped).cache()
     val byId = sim.as[(Long, Long)].collect().toMap
     corpus.where($"doc_id" % 97 === 0).select($"doc_id").as[Long].collect().foreach { id =>
       assert(byId(id) == byId(id + 1000000L), s"exact dup $id simhash differs")
