@@ -164,6 +164,15 @@ object SparkEntry {
     "q_binary_meta" -> ((s, dir) =>
       Binary.asBinaryTable(Corpus.fromDocuments(s, dir))
         .select("doc_id", "byte_len", "sha", "head_hex")),
+    // streaming-capable tumbling-window aggregation (batch-mode twin of
+    // StreamIndexer.eventCounts; the watermarked streaming run is tested
+    // in StreamingSpec against this same plan)
+    "q_event_window" -> ((s, dir) =>
+      graft.streaming.StreamIndexer.eventCounts(
+        s.read.parquet(s"$dir/events.parquet"), withWatermark = false)
+        .select(
+          date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          col("event_type"), col("n"), col("sum_value_q"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -213,5 +222,10 @@ object SparkEntry {
     "q_token_count" -> OracleMl.tokenCountsSql,
     "q_fingerprint" -> OracleMl.fingerprintSql,
     "q_binary_meta" -> OracleMl.binaryMetaSql,
+    "q_event_window" ->
+      """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+        |       event_type, count(*)::BIGINT AS n,
+        |       CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_q
+        |FROM events GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -42,6 +42,34 @@ object Corpus {
       .withColumn("content_len", length(col("content")).cast("long"))
   }
 
+  /** Assign dense, deterministic doc_ids to an input_hint-shaped table
+    * (repo, path, commit, lang, content) that has none (SURVEY.md §7.4):
+    * range-repartition by the natural key (repo, path, commit), sort within
+    * partitions, id = partitionId << 33 | rowIndex. Stable across runs for
+    * a fixed `partitions`; monotone within a partition (what delta-gap
+    * compression needs); id space per partition bounded at 2^33 rows.
+    * Also derives the `sha` invariant column if absent.
+    */
+  def withDocIds(df: DataFrame, partitions: Int): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val base = if (df.columns.contains("sha")) df
+      else df.withColumn("sha", sha2(coalesce(col("content"), lit("")), 256))
+    val arranged = base
+      .repartitionByRange(partitions, col("repo"), col("path"), col("commit"))
+      .sortWithinPartitions(col("repo"), col("path"), col("commit"))
+    val outSchema = StructType(
+      StructField("doc_id", LongType, nullable = false) +: arranged.schema.fields)
+    arranged.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+      require(pid < (1L << 30), "partition count out of id-space")
+      it.zipWithIndex.map { case (row, i) =>
+        require(i.toLong < (1L << 33), "partition row count out of id-space")
+        Row.fromSeq((pid << 33 | i.toLong) +: row.toSeq)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Seeded synthetic corpus of `n` files for bench/scale runs.
     *
     * Token distribution: ~2000-word Zipfian vocabulary + 8 hot terms that

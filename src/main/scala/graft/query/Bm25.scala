@@ -49,10 +49,14 @@ object Bm25 {
   def tfNormCol(tf: Column, dl: Column, avgdl: Column): Column =
     tf * lit(K1 + 1.0) / (tf + lit(K1) * (lit(1.0 - B) + lit(B) * dl / avgdl))
 
-  /** corpus(doc_id, content, ...) -> postings(doc_id, term, tf:long). */
+  /** corpus(doc_id, content, ...) -> postings(doc_id, term, tf:long).
+    * Tokenization via the native [[graft.functions.GraftTerms]] expression
+    * (same output as Tokenizer.terms, ~10x faster — see its scaladoc).
+    */
   def postings(corpus: DataFrame): DataFrame =
     corpus
-      .select(col("doc_id"), explode(Tokenizer.terms(col("content"))).as("term"))
+      .select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.graft_terms(col("content"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
 

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analyze.Tokenizer
+import graft.corpus.Corpus
+import graft.functions.GraftFunctions
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = spark.read.parquet(s"$sfTiny/documents.parquet")
+    .select($"doc_id", coalesce($"text", lit("")).as("content")).cache()
+
+  test("GraftTerms expression == built-in composition == Scala twin") {
+    val viaExpr = docs.select($"doc_id", GraftFunctions.graft_terms($"content").as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    val viaBuiltins = docs.select($"doc_id", Tokenizer.terms($"content").as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    val viaScala = docs.as[(Long, String)].collect()
+      .map { case (id, c) => id -> Tokenizer.termsScala(c).toSeq }.toMap
+    assert(viaExpr == viaBuiltins)
+    assert(viaExpr == viaScala)
+  }
+
+  test("graft_doclen == terms length; registered SQL functions usable") {
+    GraftFunctions.register(spark)
+    docs.createOrReplaceTempView("fn_docs")
+    val rows = spark.sql(
+      """SELECT doc_id, size(graft_terms(content)) AS n, graft_doclen(content) AS dl
+        |FROM fn_docs""".stripMargin)
+      .as[(Long, Int, Int)].collect()
+    rows.foreach { case (id, n, dl) =>
+      val expected = math.max(n, 0) // size() of empty array is 0
+      assert(dl == expected, s"doc $id: dl=$dl terms=$n")
+    }
+    // usable in ORDER BY / WHERE like the reference's lirefunc (README.md:171-172)
+    val top = spark.sql(
+      """SELECT doc_id FROM fn_docs WHERE graft_doclen(content) > 0
+        |ORDER BY graft_doclen(content) DESC, doc_id LIMIT 5""".stripMargin).collect()
+    assert(top.length == 5)
+  }
+
+  test("null content handled (expression is null-intolerant)") {
+    val r = Seq((1L, null: String), (2L, "a b")).toDF("doc_id", "content")
+      .select(GraftFunctions.graft_terms($"content").as("t"),
+        GraftFunctions.graft_doclen($"content").as("dl"))
+      .collect()
+    assert(r(0).isNullAt(0) && r(0).isNullAt(1))
+    assert(r(1).getSeq[String](0) == Seq("w:a", "w:b", Tokenizer.shingleTerm("a", "b")))
+  }
+
+  test("withDocIds: dense per partition, deterministic, order-insensitive") {
+    val src = spark.read.parquet(s"$sfTiny/documents.parquet")
+      .select($"source".as("repo"),
+        concat(lit("f"), $"doc_id").as("path"),
+        lit("c0").as("commit"), $"lang",
+        coalesce($"text", lit("")).as("content"))
+    val a = Corpus.withDocIds(src, 7).select($"doc_id", $"repo", $"path").collect()
+      .map(r => (r.getString(1), r.getString(2)) -> r.getLong(0)).toMap
+    val b = Corpus.withDocIds(src.orderBy(rand(99)), 7)
+      .select($"doc_id", $"repo", $"path").collect()
+      .map(r => (r.getString(1), r.getString(2)) -> r.getLong(0)).toMap
+    assert(a == b, "ids must be a pure function of the natural key")
+    assert(a.values.toSeq.distinct.size == a.size, "ids unique")
+    // monotone within partition, local offsets dense from 0
+    val byPid = a.values.groupBy(_ >> 33)
+    byPid.foreach { case (_, ids) =>
+      val offs = ids.map(_ & ((1L << 33) - 1)).toSeq.sorted
+      assert(offs == (0L until offs.size), "offsets dense from 0")
+    }
+  }
+
+  test("end-to-end from an input_hint-shaped table (no doc_id column)") {
+    import graft.index.{IndexBuild, IndexConfig}
+    import graft.query.{BruteScorer, Engine, Index}
+    val src = spark.read.parquet(s"$sfTiny/documents.parquet")
+      .select($"source".as("repo"),
+        concat(lit("f"), $"doc_id").as("path"),
+        lit("c0").as("commit"), $"lang",
+        coalesce($"text", lit("")).as("content"))
+    val corpus = Corpus.withDocIds(src, 7).cache()
+    val dir = java.nio.file.Files.createTempDirectory("graft-hint").toString
+    IndexBuild.build(spark, corpus, dir, IndexConfig(segShift = 6, rangeSegsShift = 2))
+    val engine = new Engine(new Index(spark, dir))
+    val docsSeq = corpus.select($"doc_id", $"content").as[(Long, String)].collect().toSeq
+    val got = engine.searchByTerms(SparkEntry.FlagshipTerms, rows = 40)
+      .as[(Long, Long, Long)].collect().toSeq
+    val exp = BruteScorer.topK(docsSeq, SparkEntry.FlagshipTerms, 40)
+    assert(got.map(_._2) == exp.map(_.docId))
+    assert(got.map(_._3) == exp.map(_.scoreQ))
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.corpus.Corpus
+import graft.index.{IndexBuild, IndexConfig}
+import graft.query.{Engine, Index}
+import graft.streaming.StreamIndexer
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // range = 2^8 docs: chunk A = doc_id < 256, chunk B = rest (range-aligned)
+  val cfg = IndexConfig(segShift = 6, rangeSegsShift = 2)
+
+  test("incremental stream ingestion == batch build; restarts & replays no-op") {
+    val root = Files.createTempDirectory("graft-stream").toString
+    val inDir = s"$root/in"; val idxDir = s"$root/idx"; val ckDir = s"$root/ck"
+    new java.io.File(inDir).mkdirs()
+    val corpus = Corpus.fromDocuments(spark, sfTiny)
+      .select("doc_id", "repo", "path", "commit", "lang", "content", "sha").cache()
+
+    // chunk A arrives
+    corpus.where($"doc_id" < 256).write.parquet(s"$inDir/chunkA")
+    val q1 = StreamIndexer.start(spark, s"$inDir/chunk*", idxDir, ckDir, cfg)
+    q1.awaitTermination()
+    val rangesA = IndexBuild.doneRanges(spark, idxDir)
+    assert(rangesA == Set(0L), s"got $rangesA")
+
+    // chunk B arrives; restart stream from the same checkpoint
+    corpus.where($"doc_id" >= 256).write.parquet(s"$inDir/chunkB")
+    val q2 = StreamIndexer.start(spark, s"$inDir/chunk*", idxDir, ckDir, cfg)
+    q2.awaitTermination()
+    assert(IndexBuild.doneRanges(spark, idxDir) == Set(0L, 1L))
+
+    // streamed index answers == batch-built index over the same corpus
+    val batchDir = s"$root/batch"
+    IndexBuild.build(spark, corpus, batchDir, cfg)
+    val a = new Engine(new Index(spark, idxDir))
+      .searchByTerms(SparkEntry.FlagshipTerms, rows = 30).collect().map(_.toSeq).toSeq
+    val b = new Engine(new Index(spark, batchDir))
+      .searchByTerms(SparkEntry.FlagshipTerms, rows = 30).collect().map(_.toSeq).toSeq
+    assert(a == b)
+
+    // replay from scratch (fresh checkpoint): all ranges committed -> no-op,
+    // index unchanged (exactly-once via the manifest gate)
+    val mtimes = new java.io.File(s"$idxDir/manifest").listFiles().map(_.lastModified()).toSeq
+    val q3 = StreamIndexer.start(spark, s"$inDir/chunk*", idxDir, s"$root/ck2", cfg)
+    q3.awaitTermination()
+    val mtimes2 = new java.io.File(s"$idxDir/manifest").listFiles().map(_.lastModified()).toSeq
+    assert(mtimes == mtimes2, "replayed ranges must not be rebuilt")
+  }
+
+  test("watermarked windowed event counts: streaming result == batch oracle") {
+    val eventsPath = s"$sfTiny/events.parquet"
+    val batch = StreamIndexer.eventCounts(
+      spark.read.parquet(eventsPath), withWatermark = false)
+      .orderBy("w_start", "event_type").collect().map(_.toSeq).toSeq
+
+    // FileStreamSource wants a directory; the sf table is a single file
+    val evDir = Files.createTempDirectory("graft-events").toString
+    Files.copy(java.nio.file.Paths.get(eventsPath),
+      java.nio.file.Paths.get(s"$evDir/events.parquet"))
+    val schema = spark.read.parquet(eventsPath).schema
+    val sq = spark.readStream.schema(schema).parquet(evDir)
+    val counts = StreamIndexer.eventCounts(sq)
+    val q = counts.writeStream
+      .format("memory").queryName("evt_counts")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // append mode emits only windows the watermark closed; with one batch of
+    // historical data every window except the last open one is final
+    val streamed = spark.table("evt_counts")
+      .orderBy("w_start", "event_type").collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed.toSet.subsetOf(batch.toSet),
+      "streamed windows must match the batch computation")
+    assert(streamed.size >= batch.size - 4, "only trailing open windows may be withheld")
+  }
+}
