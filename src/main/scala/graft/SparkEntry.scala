@@ -37,6 +37,14 @@ object SparkEntry {
   /** Fixed ANN query vectors (vec_ids present at every sf). */
   val AnnQueryIds: Seq[Long] = Seq(0L, 17L, 42L)
 
+  /** Extract-verb showcase content (mixed case + a zero-df token). */
+  val ExtractContent = "Spark hash-JOIN dup merge stream zzznope window"
+  val ExtractAccuracy = 0.33
+  def extractBudget: Int = {
+    val n = graft.analyze.Tokenizer.termsScala(ExtractContent).distinct.length
+    math.max(3, math.floor(n * ExtractAccuracy).toInt)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Bm25.scoreTopK(spark, Corpus.fromDocuments(spark, "/root/testdata/sf0.001"),
@@ -164,6 +172,17 @@ object SparkEntry {
     "q_binary_meta" -> ((s, dir) =>
       Binary.asBinaryTable(Corpus.fromDocuments(s, dir))
         .select("doc_id", "byte_len", "sha", "head_hex")),
+    // §3.3 extract verb: analyzer-as-a-service (bs_list/bs_query analog)
+    "q_extract" -> ((s, dir) =>
+      Engine.forDir(s, dir).extract(ExtractContent, ExtractAccuracy)),
+    // input_hint invariant: index docmeta sha == source snapshot sha, all rows
+    "q_sha_invariant" -> ((s, dir) => {
+      val e = Engine.forDir(s, dir)
+      val c = Corpus.fromDocuments(s, dir).select(col("doc_id"), col("sha").as("src_sha"))
+      e.index.docmeta.join(c, Seq("doc_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("sha") =!= col("src_sha"), 1L).otherwise(0L)).as("n_mismatch"))
+    }),
     // streaming-capable tumbling-window aggregation (batch-mode twin of
     // StreamIndexer.eventCounts; the watermarked streaming run is tested
     // in StreamingSpec against this same plan)
@@ -222,6 +241,9 @@ object SparkEntry {
     "q_token_count" -> OracleMl.tokenCountsSql,
     "q_fingerprint" -> OracleMl.fingerprintSql,
     "q_binary_meta" -> OracleMl.binaryMetaSql,
+    "q_extract" -> Oracle.extractSql(ExtractContent, extractBudget),
+    "q_sha_invariant" -> Oracle.withPrelude(
+      "SELECT count(*)::BIGINT AS n_docs, 0::BIGINT AS n_mismatch FROM corpus"),
     "q_event_window" ->
       """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS w_start,
         |       event_type, count(*)::BIGINT AS n,

@@ -166,6 +166,28 @@ final class Engine(val index: Index) {
     searchByContent(content, rows, accuracy, candidates)
   }
 
+  /** The `extract` verb (reference §3.3, LireRequestHandler.java:384-439):
+    * tokenize content with the index analyzer, return every distinct term
+    * with its global df, df-asc list rank (bs_list analog) and whether the
+    * accuracy budget keeps it (bs_query analog). Pure metadata — no search.
+    * Output: (term, df, list_rank, kept 0/1).
+    */
+  def extract(content: String, accuracy: Double): DataFrame = {
+    import index.spark
+    val terms = graft.analyze.Tokenizer.termsScala(content).distinct.toSeq
+    val dfs = index.dfOf(terms)
+    val sorted = terms.map(t => (t, dfs.getOrElse(t, 0L)))
+      .sortBy { case (t, df) => (df, t) }
+      .zipWithIndex.map { case ((t, df), i) => (t, df, (i + 1).toLong) }
+    val nonzero = sorted.filter(_._2 > 0)
+    val base = if (nonzero.size >= 3) nonzero else sorted.take(3)
+    val budget = math.max(3, math.floor(terms.size * accuracy).toInt)
+    val kept = base.take(budget).map(_._1).toSet
+    spark.createDataFrame(sorted.map { case (t, df, r) =>
+      (t, df, r, if (kept(t)) 1L else 0L)
+    }).toDF("term", "df", "list_rank", "kept")
+  }
+
   /** Deterministic "random" sample (reference T6 made seeded): order by
     * md5(seed || doc_id) — reproducible in SQL, unlike rand().
     */

@@ -127,6 +127,37 @@ object Oracle {
          |${bm25Body(None)}
          |${topKSelect(k)}""".stripMargin)
 
+  /** The extract verb: tokenize a literal, df-asc list + kept budget.
+    * `budget` precomputed in Scala (= max(3, floor(nDistinctTerms·acc))).
+    */
+  def extractSql(content: String, budget: Int): String = {
+    val lit = content.replace("'", "''")
+    withPrelude(
+      s"""     , qtoks AS (
+         |  SELECT list_filter(regexp_split_to_array(lower('$lit'), '[^a-z0-9]+'), x -> x <> '') AS ts),
+         |qterms AS (
+         |  SELECT DISTINCT term FROM (
+         |    SELECT 'w:' || unnest(ts) AS term FROM qtoks
+         |    UNION ALL
+         |    SELECT 's:' || substr(md5(ts[i] || ' ' || ts[i + 1]), 1, 3)
+         |    FROM qtoks, unnest(generate_series(1, len(ts) - 1)) AS g(i)) u),
+         |wdf AS (
+         |  SELECT q.term, coalesce(f.df, 0)::BIGINT AS df
+         |  FROM qterms q LEFT JOIN dict f ON f.term = q.term),
+         |sorted AS (
+         |  SELECT *, row_number() OVER (ORDER BY df ASC, term ASC) AS list_rank,
+         |         count(CASE WHEN df > 0 THEN 1 END) OVER () AS nz
+         |  FROM wdf),
+         |base AS (
+         |  SELECT term, row_number() OVER (ORDER BY list_rank) AS kept_rank
+         |  FROM sorted WHERE (nz >= 3 AND df > 0) OR (nz < 3 AND list_rank <= 3))
+         |SELECT s.term, s.df, s.list_rank,
+         |       CASE WHEN b.kept_rank IS NOT NULL AND b.kept_rank <= $budget
+         |            THEN 1 ELSE 0 END::BIGINT AS kept
+         |FROM sorted s LEFT JOIN base b ON b.term = s.term
+         |ORDER BY s.list_rank""".stripMargin)
+  }
+
   /** More-like-this: query = distinct terms of `docId`, boost 1. */
   def bm25Mlt(docId: Long, k: Int): String =
     withPrelude(
