@@ -37,6 +37,13 @@ object SparkEntry {
   /** Fixed ANN query vectors (vec_ids present at every sf). */
   val AnnQueryIds: Seq[Long] = Seq(0L, 17L, 42L)
 
+  /** Batched multi-query set (flagship / boosted / rare / shingle-only). */
+  val MultiQueries: Seq[(Long, Seq[(String, Double)])] = Seq(
+    1L -> FlagshipTerms,
+    2L -> BoostedTerms,
+    3L -> Seq("w:dup" -> 1.0, "w:vector" -> 0.5),
+    4L -> Seq("s:75f" -> 1.0, "s:420" -> 1.0, "s:7e3" -> 1.0, "s:nosuch" -> 1.0))
+
   /** Extract-verb showcase content (mixed case + a zero-df token). */
   val ExtractContent = "Spark hash-JOIN dup merge stream zzznope window"
   val ExtractAccuracy = 0.33
@@ -172,6 +179,9 @@ object SparkEntry {
     "q_binary_meta" -> ((s, dir) =>
       Binary.asBinaryTable(Corpus.fromDocuments(s, dir))
         .select("doc_id", "byte_len", "sha", "head_hex")),
+    // batched multi-query search: N queries in ONE segment pass
+    "q_multi_search" -> ((s, dir) =>
+      Engine.forDir(s, dir).searchManyByTerms(MultiQueries, rows = 20)),
     // §3.3 extract verb: analyzer-as-a-service (bs_list/bs_query analog)
     "q_extract" -> ((s, dir) =>
       Engine.forDir(s, dir).extract(ExtractContent, ExtractAccuracy)),
@@ -241,6 +251,7 @@ object SparkEntry {
     "q_token_count" -> OracleMl.tokenCountsSql,
     "q_fingerprint" -> OracleMl.fingerprintSql,
     "q_binary_meta" -> OracleMl.binaryMetaSql,
+    "q_multi_search" -> Oracle.bm25Multi(MultiQueries, 20),
     "q_extract" -> Oracle.extractSql(ExtractContent, extractBudget),
     "q_sha_invariant" -> Oracle.withPrelude(
       "SELECT count(*)::BIGINT AS n_docs, 0::BIGINT AS n_mismatch FROM corpus"),

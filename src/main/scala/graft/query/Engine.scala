@@ -145,6 +145,50 @@ final class Engine(val index: Index) {
     Wand.topK(spark, scored, rows)
   }
 
+  /** Batched multi-query search: score MANY queries in ONE pass over the
+    * segment files — the Spark-native answer to per-request engines: job
+    * scheduling and the segment scan amortize across the whole batch, so
+    * sustained throughput is bounded by Σ df(terms) instead of per-query
+    * job latency. Each query's results are rank-identical to its
+    * individual searchByTerms run (tested). No pruning/accuracy here:
+    * callers pre-prune with [[prune]] if wanted.
+    * Output: (query_id, rank, doc_id, score_q).
+    */
+  def searchManyByTerms(
+      queries: Seq[(Long, Seq[(String, Double)])],
+      rows: Int = 60,
+      candidates: Int = 10000): DataFrame = {
+    val allTerms = queries.flatMap(_._2.map(_._1)).distinct
+    val dfs = index.dfOf(allTerms)
+    val (n, avgdl) = index.stats
+    // per-query weight maps (zero-df terms drop out naturally)
+    val weightsByQuery: Map[Long, Map[String, Double]] = queries.map { case (qid, ts) =>
+      qid -> ts.groupBy(_._1).flatMap { case (t, g) =>
+        dfs.get(t).filter(_ > 0).map { df =>
+          t -> g.map(_._2 * Bm25.idf(df.toDouble, n.toDouble)).sum
+        }
+      }
+    }.toMap
+    val liveTerms = weightsByQuery.values.flatMap(_.keys).toSeq.distinct
+    if (liveTerms.isEmpty)
+      return Wand.topKPerQuery(spark, spark.emptyDataset[(Long, Scored)], rows)
+    val ids = liveTerms.map(TermHash.hash)
+    val hits = index.segments
+      .where(col("term_id").isin(ids: _*) && col("term").isin(liveTerms: _*))
+      .select("seg_id", "term", "df", "max_tf", "min_dl", "postings")
+      .as[SegHit]
+    val cfg = index.cfg
+    val wB = spark.sparkContext.broadcast(weightsByQuery)
+    val scored = hits.groupByKey(_.seg_id).flatMapGroups { (seg, it) =>
+      val rows = it.toArray // shared once, re-traversed per query (≤|q| rows)
+      wB.value.iterator.flatMap { case (qid, weights) =>
+        Wand.scoreSegment(seg, rows.iterator, weights, avgdl, candidates, cfg,
+          null, useWand = true).map(s => (qid, s))
+      }
+    }
+    Wand.topKPerQuery(spark, scored, rows)
+  }
+
   /** Free-content search: tokenize the query content with the SAME
     * analyzer as indexing (index/query symmetry, SURVEY.md §3.3), distinct
     * terms, boost 1 (Boolean-OR semantics: query tf ignored, as in the

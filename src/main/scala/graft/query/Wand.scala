@@ -99,6 +99,19 @@ final class TopKAgg(k: Int)(implicit outEnc: Encoder[Seq[Scored]])
   def outputEncoder: Encoder[Seq[Scored]] = outEnc
 }
 
+/** TopKAgg over keyed inputs (batched multi-query merge). */
+final class TopKAggKeyed(k: Int)(implicit outEnc: Encoder[Seq[Scored]])
+    extends Aggregator[(Long, Scored), BoundedTopK, Seq[Scored]] {
+  def zero: BoundedTopK = new BoundedTopK(k)
+  def reduce(b: BoundedTopK, a: (Long, Scored)): BoundedTopK = {
+    b.offer(a._2.docId, a._2.score); b
+  }
+  def merge(b1: BoundedTopK, b2: BoundedTopK): BoundedTopK = b1.merge(b2)
+  def finish(r: BoundedTopK): Seq[Scored] = r.sortedBestFirst.toSeq
+  def bufferEncoder: Encoder[BoundedTopK] = Encoders.kryo[BoundedTopK]
+  def outputEncoder: Encoder[Seq[Scored]] = outEnc
+}
+
 /** Block-max WAND top-k over segment files (SURVEY.md §7.5).
   *
   * Per segment (the parallel unit): document-at-a-time traversal of the
@@ -251,5 +264,19 @@ object Wand {
     scored.select(agg.toColumn)
       .flatMap(_.zipWithIndex.map { case (s, i) => ((i + 1).toLong, s.docId, s.scoreQ) })
       .toDF("rank", "doc_id", "score_q")
+  }
+
+  /** Per-query global merge for batched search:
+    * Dataset[(query_id, Scored)] -> (query_id, rank, doc_id, score_q).
+    */
+  def topKPerQuery(spark: SparkSession, scored: Dataset[(Long, Scored)], k: Int): DataFrame = {
+    import spark.implicits._
+    val agg = new TopKAggKeyed(k)
+    scored.groupByKey(_._1)
+      .agg(agg.toColumn)
+      .flatMap { case (qid, top) =>
+        top.zipWithIndex.map { case (s, i) => (qid, (i + 1).toLong, s.docId, s.scoreQ) }
+      }
+      .toDF("query_id", "rank", "doc_id", "score_q")
   }
 }

@@ -158,6 +158,34 @@ object Oracle {
          |ORDER BY s.list_rank""".stripMargin)
   }
 
+  /** Batched multi-query BM25 top-k (partition the ranking by query_id). */
+  def bm25Multi(queries: Seq[(Long, Seq[(String, Double)])], k: Int): String = {
+    val values = queries.flatMap { case (qid, ts) =>
+      ts.map { case (t, b) => s"($qid, '$t', $b::DOUBLE)" }
+    }.mkString(", ")
+    withPrelude(
+      s"""     , q(query_id, term, boost) AS (
+         |  SELECT * FROM (VALUES $values) v(query_id, term, boost)),
+         |scored AS (
+         |  SELECT q.query_id, p.doc_id,
+         |         sum(q.boost * ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+         |             * p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS score
+         |  FROM post p
+         |  JOIN q ON p.term = q.term
+         |  JOIN dict f ON f.term = p.term
+         |  JOIN dl d ON d.doc_id = p.doc_id
+         |  CROSS JOIN stats s
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT query_id, doc_id,
+         |         CAST(round(score * 1000000.0) AS BIGINT) AS score_q,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY CAST(round(score * 1000000.0) AS BIGINT) DESC, doc_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, doc_id, score_q FROM ranked WHERE rank <= $k
+         |ORDER BY query_id, rank""".stripMargin)
+  }
+
   /** More-like-this: query = distinct terms of `docId`, boost 1. */
   def bm25Mlt(docId: Long, k: Int): String =
     withPrelude(

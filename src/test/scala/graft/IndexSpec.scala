@@ -137,6 +137,24 @@ class IndexSpec extends SparkSpec {
     assert(idx.docmeta.count() == corpus.count())
   }
 
+  test("batched multi-query search == per-query searches, rank-identical") {
+    val batch = engine.searchManyByTerms(SparkEntry.MultiQueries, rows = 25)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._4)).toSeq).toMap
+    SparkEntry.MultiQueries.foreach { case (qid, terms) =>
+      val single = engine.searchByTerms(terms, rows = 25)
+        .as[(Long, Long, Long)].collect().map(r => (r._2, r._3)).toSeq
+      assert(batch.getOrElse(qid, Seq.empty) == single, s"query $qid")
+    }
+  }
+
+  test("all-zero-df query returns empty result") {
+    val r = engine.searchByTerms(Seq("w:zzz1" -> 1.0, "w:zzz2" -> 1.0), rows = 10)
+    assert(r.count() == 0)
+    val rm = engine.searchManyByTerms(Seq(9L -> Seq("w:zzz1" -> 1.0)), rows = 10)
+    assert(rm.count() == 0)
+  }
+
   test("randomDocs is deterministic and seed-sensitive") {
     val a = engine.randomDocs("seed1", 10).select("doc_id").as[Long].collect().toSeq
     val b = engine.randomDocs("seed1", 10).select("doc_id").as[Long].collect().toSeq
