@@ -59,13 +59,28 @@ final class Index(val spark: SparkSession, val indexDir: String) {
     .agg(sum("df").cast("long").as("df"))
     .cache()
 
+  /** Driver-resident dictionary map when the vocabulary is small enough —
+    * the reference's HashTermStatistics in-memory term→df map verbatim.
+    * Above the threshold, per-query df lookups fall back to a filtered
+    * (term_id-pruned) scan of the cached dictionary table.
+    */
+  val DictDriverMax = 2000000L
+  private lazy val dictMap: Option[Map[String, Long]] = {
+    val n = dictionary.count()
+    if (n <= DictDriverMax)
+      Some(dictionary.select(col("term"), col("df")).as[(String, Long)].collect().toMap)
+    else None
+  }
+
   /** Global df per query term (term string checked: hash-collision guard). */
-  def dfOf(terms: Seq[String]): Map[String, Long] = {
-    val ids = terms.map(TermHash.hash)
-    dictionary
-      .where(col("term_id").isin(ids: _*) && col("term").isin(terms: _*))
-      .select(col("term"), col("df"))
-      .as[(String, Long)].collect().toMap
+  def dfOf(terms: Seq[String]): Map[String, Long] = dictMap match {
+    case Some(m) => terms.iterator.flatMap(t => m.get(t).map(t -> _)).toMap
+    case None =>
+      val ids = terms.map(TermHash.hash)
+      dictionary
+        .where(col("term_id").isin(ids: _*) && col("term").isin(terms: _*))
+        .select(col("term"), col("df"))
+        .as[(String, Long)].collect().toMap
   }
 }
 
@@ -111,6 +126,10 @@ final class Engine(val index: Index) {
         terms.map { case (t, b) => (t, b, dfs.getOrElse(t, 0L)) }.filter(_._3 > 0)
       } else prune(terms, accuracy)
     if (kept.isEmpty) return Wand.topK(spark, spark.emptyDataset[Scored], rows)
+    // per-segment heap: exact global top-`rows` only needs per-segment
+    // top-`rows`; a smaller `candidates` reproduces the reference's
+    // approximate phase-1 budget. Smaller heap => earlier WAND threshold.
+    val heapSize = math.min(candidates, rows)
     val (n, avgdl) = index.stats
     val weights: Map[String, Double] = kept.groupBy(_._1).map { case (t, g) =>
       // duplicate query terms sum their boosts (OR-clause semantics)
@@ -127,7 +146,7 @@ final class Engine(val index: Index) {
     val scored: org.apache.spark.sql.Dataset[Scored] = docPred match {
       case None =>
         hits.groupByKey(_.seg_id).flatMapGroups { (seg, it) =>
-          Wand.scoreSegment(seg, it, wB.value, avgdl, candidates, cfg, null, accuracy < 0.9)
+          Wand.scoreSegment(seg, it, wB.value, avgdl, heapSize, cfg, null, accuracy < 0.9)
         }
       case Some(pred) =>
         // fq filter: per-segment allowed-bitmap cogrouped with the hits —
@@ -139,7 +158,7 @@ final class Engine(val index: Index) {
           val bm = new RoaringBitmap()
           docIt.foreach(d => bm.add(cfg.localOf(d)))
           if (bm.isEmpty) Iterator.empty
-          else Wand.scoreSegment(seg, hitIt, wB.value, avgdl, candidates, cfg, bm, accuracy < 0.9)
+          else Wand.scoreSegment(seg, hitIt, wB.value, avgdl, heapSize, cfg, bm, accuracy < 0.9)
         }
     }
     Wand.topK(spark, scored, rows)
@@ -179,11 +198,12 @@ final class Engine(val index: Index) {
       .as[SegHit]
     val cfg = index.cfg
     val wB = spark.sparkContext.broadcast(weightsByQuery)
+    val heapSize = math.min(candidates, rows)
     val scored = hits.groupByKey(_.seg_id).flatMapGroups { (seg, it) =>
-      val rows = it.toArray // shared once, re-traversed per query (≤|q| rows)
+      val segRows = it.toArray // shared once, re-traversed per query (≤|q| rows)
       wB.value.iterator.flatMap { case (qid, weights) =>
-        Wand.scoreSegment(seg, rows.iterator, weights, avgdl, candidates, cfg,
-          null, useWand = true).map(s => (qid, s))
+        Wand.scoreSegment(seg, segRows.iterator, weights, avgdl,
+          heapSize, cfg, null, useWand = true).map(s => (qid, s))
       }
     }
     Wand.topKPerQuery(spark, scored, rows)
