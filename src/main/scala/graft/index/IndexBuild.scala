@@ -24,9 +24,6 @@ object TermHash {
   }
 }
 
-/** One tokenized posting before aggregation (dl inlined — see Codec). */
-final case class TermPosting(term: String, docId: Long, tf: Int, dl: Int)
-
 /** One (term, segment) posting sub-list — the unit phase 1 emits. */
 final case class SegTermRow(
     seg_id: Long, term_id: Long, term: String,
