@@ -179,6 +179,10 @@ object SparkEntry {
     "q_binary_meta" -> ((s, dir) =>
       Binary.asBinaryTable(Corpus.fromDocuments(s, dir))
         .select("doc_id", "byte_len", "sha", "head_hex")),
+    // J3/P1: top-k hits broadcast-joined to stored fields
+    "q_search_fields" -> ((s, dir) =>
+      Engine.forDir(s, dir).searchWithFields(FlagshipTerms,
+        Seq("repo", "path", "lang"), rows = 30)),
     // batched multi-query search: N queries in ONE segment pass
     "q_multi_search" -> ((s, dir) =>
       Engine.forDir(s, dir).searchManyByTerms(MultiQueries, rows = 20)),
@@ -251,6 +255,12 @@ object SparkEntry {
     "q_token_count" -> OracleMl.tokenCountsSql,
     "q_fingerprint" -> OracleMl.fingerprintSql,
     "q_binary_meta" -> OracleMl.binaryMetaSql,
+    "q_search_fields" -> Oracle.withPrelude(
+      s"""     , ${Oracle.qFromValues(FlagshipTerms)},
+         |${Oracle.bm25Body(None)}
+         |SELECT r.rank, r.doc_id, r.score_q, c.repo, c.path, c.lang
+         |FROM ranked r JOIN corpus c ON c.doc_id = r.doc_id
+         |WHERE r.rank <= 30 ORDER BY r.rank""".stripMargin),
     "q_multi_search" -> Oracle.bm25Multi(MultiQueries, 20),
     "q_extract" -> Oracle.extractSql(ExtractContent, extractBudget),
     "q_sha_invariant" -> Oracle.withPrelude(

@@ -164,6 +164,19 @@ final class Engine(val index: Index) {
     Wand.topK(spark, scored, rows)
   }
 
+  /** Search + stored-field projection: top-k hits broadcast-joined back to
+    * docmeta for the requested fields (reference J3: `searcher.doc(docId)`
+    * per surviving hit + P1 fl projection, LireRequestHandler.java:653,
+    * 581-617 — k is tiny, so the join side is always broadcast).
+    */
+  def searchWithFields(terms: Seq[(String, Double)], fields: Seq[String],
+                       rows: Int = 60): DataFrame = {
+    val hits = searchByTerms(terms, rows)
+    index.docmeta.join(broadcast(hits), Seq("doc_id"))
+      .select((Seq("rank", "doc_id", "score_q") ++ fields).map(col): _*)
+      .orderBy(col("rank"))
+  }
+
   /** Batched multi-query search: score MANY queries in ONE pass over the
     * segment files — the Spark-native answer to per-request engines: job
     * scheduling and the segment scan amortize across the whole batch, so

@@ -53,6 +53,33 @@ class WandPropertySpec extends SparkSpec {
     }
   }
 
+  test("WAND == DAAT with random allowed-bitmaps (fq interplay, property)") {
+    val vocab = (0 until 30).map(i => s"t$i")
+    for (trial <- 0 until 30) {
+      val rnd = new Random(7000 + trial)
+      val nDocs = 50 + rnd.nextInt(500)
+      val docs = (0 until nDocs).map { d =>
+        d -> Seq.fill(1 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size)))
+      }.toMap
+      val (hits, dfs) = mkSegment(docs)
+      val n = nDocs.toDouble
+      val avgdl = docs.values.map(_.size).sum.toDouble / n
+      val qTerms = rnd.shuffle(vocab).take(1 + rnd.nextInt(6))
+      val weights = qTerms.map(t =>
+        t -> Bm25.idf(dfs.getOrElse(t, 1).toDouble, n)).toMap
+      val allowed = new org.roaringbitmap.RoaringBitmap()
+      (0 until nDocs).foreach(d => if (rnd.nextBoolean()) allowed.add(d))
+      for (cand <- Seq(2, 25, 1000)) {
+        val wand = Wand.scoreSegment(0L, hits.iterator, weights, avgdl, cand, cfg, allowed, useWand = true)
+          .map(s => (s.docId, s.scoreQ)).toSeq
+        val daat = Wand.scoreSegment(0L, hits.iterator, weights, avgdl, cand, cfg, allowed, useWand = false)
+          .map(s => (s.docId, s.scoreQ)).toSeq
+        assert(wand == daat, s"trial=$trial cand=$cand")
+        assert(wand.forall(p => allowed.contains(p._1.toInt)), "filter respected")
+      }
+    }
+  }
+
   test("end-to-end on skewed synthetic corpus: hot+rare query rank-identical to brute") {
     val corpus = Corpus.synthesize(spark, 3000, seed = 7, partitions = 8).cache()
     val dir = Files.createTempDirectory("graft-synth").toString
