@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses ONE bare JSON line from `sbt "runMain graft.Bench"`
+// stdout. sbt's default LoggedOutput wraps every forked-process line as
+// `[info] ...`, which made round 1's bench machine-unparseable
+// (BENCH_r01.json "parsed": null). StdoutOutput hands the child sbt's raw
+// stdout/stderr instead — no prefix on the JSON line.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -37,6 +37,13 @@ object SparkEntry {
   /** Fixed ANN query vectors (vec_ids present at every sf). */
   val AnnQueryIds: Seq[Long] = Seq(0L, 17L, 42L)
 
+  /** Two-phase re-rank parameters: flagship terms retrieve `RerankCands`
+    * BM25 candidates, exact cosine to doc 42's embedding re-ranks them.
+    */
+  val RerankVecId = 42L
+  val RerankCands = 200
+  val RerankRows = 30
+
   /** Batched multi-query set (flagship / boosted / rare / shingle-only). */
   val MultiQueries: Seq[(Long, Seq[(String, Double)])] = Seq(
     1L -> FlagshipTerms,
@@ -155,14 +162,24 @@ object SparkEntry {
       Dedup.jaccardPairs(c,
         Dedup.minhashPairs(Dedup.minhashBands(Dedup.minhashSignatures(c))))
     }),
-    // SimHash signatures + near-dup pairs (hamming <= 2)
+    // SimHash signatures (64-bit) + near-dup pairs (hamming <= 2).
+    // The GATED pairs query is the scale path (8x8-bit band pigeonhole,
+    // per-band equi-join — no cartesian); the all-pairs variant is kept as
+    // an oracle-scale cross-check against the SAME oracle SQL.
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(Corpus.fromDocuments(s, dir))),
     "q_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashBandedPairs(
+        Dedup.simhash(Corpus.fromDocuments(s, dir)), 2)),
+    "q_simhash_allpairs" -> ((s, dir) =>
       Dedup.simhashPairs(
         Dedup.simhash(Corpus.fromDocuments(s, dir)), 2)),
-    // embedding-cosine near-dup pairs (cos_q >= 0.4 quantized)
+    // embedding-cosine near-dup pairs (cos_q >= 0.4 quantized): gated =
+    // sign-LSH bucketed (equi-join, reuses Ann's buckets); all-pairs kept
+    // as the oracle-scale cross-check of the unbucketed semantics
     "q_dedup_embcos" -> ((s, dir) =>
+      Dedup.embCosBucketedPairs(s.read.parquet(s"$dir/embeddings.parquet"), 4000L)),
+    "q_embcos_allpairs" -> ((s, dir) =>
       Dedup.embCosPairs(s.read.parquet(s"$dir/embeddings.parquet"), 4000L)),
     // ANN: brute-force cosine top-10 for 3 query vectors
     "q_ann_brute" -> ((s, dir) =>
@@ -170,6 +187,12 @@ object SparkEntry {
     // ANN scale path: sign-LSH bucket join + exact re-rank in bucket
     "q_ann_lsh" -> ((s, dir) =>
       Ann.lshTopK(s.read.parquet(s"$dir/embeddings.parquet"), AnnQueryIds, 10)),
+    // ANN recall lift: probe the bucket + every Hamming-1 neighbor
+    "q_ann_multiprobe" -> ((s, dir) =>
+      Ann.lshTopKMultiProbe(s.read.parquet(s"$dir/embeddings.parquet"), AnnQueryIds, 10)),
+    // lirefunc full-scan exact sort (sort=lirefunc(...) over *:*)
+    "q_ann_fullsort" -> ((s, dir) =>
+      Ann.fullSort(s.read.parquet(s"$dir/embeddings.parquet"), RerankVecId)),
     // text analysis
     "q_lang_id" -> ((s, dir) => TextStats.langId(Corpus.fromDocuments(s, dir))),
     "q_quality" -> ((s, dir) => TextStats.quality(Corpus.fromDocuments(s, dir))),
@@ -183,6 +206,13 @@ object SparkEntry {
     "q_search_fields" -> ((s, dir) =>
       Engine.forDir(s, dir).searchWithFields(FlagshipTerms,
         Seq("repo", "path", "lang"), rows = 30)),
+    // F10/§3.1 stage 7: two-phase retrieve (WAND BM25 candidates) then
+    // re-rank by the SECOND exact metric (embedding cosine) — the
+    // reference's getReRankedResults lifecycle end to end
+    "q_search_rerank" -> ((s, dir) =>
+      Engine.forDir(s, dir).searchRerank(FlagshipTerms,
+        s.read.parquet(s"$dir/embeddings.parquet"),
+        RerankVecId, rows = RerankRows, candidates = RerankCands)),
     // batched multi-query search: N queries in ONE segment pass
     "q_multi_search" -> ((s, dir) =>
       Engine.forDir(s, dir).searchManyByTerms(MultiQueries, rows = 20)),
@@ -247,9 +277,13 @@ object SparkEntry {
     "q_dedup_jaccard" -> OracleMl.jaccardPairsSql,
     "q_dedup_simhash" -> OracleMl.simhashSql,
     "q_simhash_pairs" -> OracleMl.simhashPairsSql(2),
-    "q_dedup_embcos" -> OracleMl.embCosPairsSql(4000L),
+    "q_simhash_allpairs" -> OracleMl.simhashPairsSql(2),
+    "q_dedup_embcos" -> OracleMl.embCosBucketedSql(4000L),
+    "q_embcos_allpairs" -> OracleMl.embCosPairsSql(4000L),
     "q_ann_brute" -> OracleMl.annBruteSql(AnnQueryIds, 10),
     "q_ann_lsh" -> OracleMl.annLshSql(AnnQueryIds, 10),
+    "q_ann_multiprobe" -> OracleMl.annMultiProbeSql(AnnQueryIds, 10),
+    "q_ann_fullsort" -> OracleMl.annFullSortSql(RerankVecId),
     "q_lang_id" -> OracleMl.langIdSql,
     "q_quality" -> OracleMl.qualitySql,
     "q_token_count" -> OracleMl.tokenCountsSql,
@@ -262,6 +296,7 @@ object SparkEntry {
          |FROM ranked r JOIN corpus c ON c.doc_id = r.doc_id
          |WHERE r.rank <= 30 ORDER BY r.rank""".stripMargin),
     "q_multi_search" -> Oracle.bm25Multi(MultiQueries, 20),
+    "q_search_rerank" -> OracleMl.rerankSql(FlagshipTerms, RerankVecId, RerankCands, RerankRows),
     "q_extract" -> Oracle.extractSql(ExtractContent, extractBudget),
     "q_sha_invariant" -> Oracle.withPrelude(
       "SELECT count(*)::BIGINT AS n_docs, 0::BIGINT AS n_mismatch FROM corpus"),

@@ -72,7 +72,9 @@ object Tokenizer {
 
   def tokenizeScala(content: String): Array[String] =
     if (content == null) Array.empty
-    else content.toLowerCase.split(SplitRe).filter(_.nonEmpty)
+    // Locale.ROOT: locale-sensitive lowercasing (e.g. Turkish 'I' -> 'ı')
+    // would diverge from both Spark's lower() and the DuckDB oracle
+    else content.toLowerCase(java.util.Locale.ROOT).split(SplitRe).filter(_.nonEmpty)
 
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =

@@ -91,12 +91,18 @@ object IndexBuild {
   /** Pack (local, tf, dl) into one long — the shuffle row stays (String,
     * Long, Long), primitive-heavy, to keep the 49M-rows/200k-docs build
     * allocation-light. Layout: local:28 | tf:16 | dl:20.
+    *
+    * tf/dl saturate at their field maxima instead of failing: one ~500k-token
+    * generated/minified file must not kill a range build. BM25's tfNorm is
+    * already saturating in tf, and clamping dl only loosens WAND bounds
+    * conservatively (documented deviation, SURVEY.md §8).
     */
+  val MaxTf: Int = (1 << 16) - 1
+  val MaxDl: Int = (1 << 20) - 1
   def pack(local: Int, tf: Int, dl: Int): Long = {
     require(local >= 0 && local < (1 << 27), s"local $local out of range")
-    require(tf > 0 && tf < (1 << 16), s"tf $tf out of range")
-    require(dl > 0 && dl < (1 << 20), s"dl $dl out of range")
-    (local.toLong << 36) | (tf.toLong << 20) | dl.toLong
+    require(tf > 0 && dl > 0, s"tf/dl must be positive, got tf=$tf dl=$dl")
+    (local.toLong << 36) | (math.min(tf, MaxTf).toLong << 20) | math.min(dl, MaxDl).toLong
   }
   def unpackLocal(p: Long): Int = (p >>> 36).toInt
   def unpackTf(p: Long): Int = ((p >>> 20) & 0xffff).toInt
@@ -196,8 +202,11 @@ object IndexBuild {
             cfg: IndexConfig = IndexConfig()): BuildReport = {
     import spark.implicits._
     val t0 = System.nanoTime()
+    // integer range derivation (NOT double division: for doc_id near 2^53
+    // the double rounding could assign boundary docs to the wrong range,
+    // silently never indexing them) — matches IndexConfig.rangeOf exactly
     val ranges = corpus
-      .select((col("doc_id") / lit(1L << cfg.rangeShift)).cast("long").as("r"))
+      .select(shiftrightunsigned(col("doc_id"), cfg.rangeShift).as("r"))
       .distinct().as[Long].collect().sorted
     val done = doneRanges(spark, indexDir)
     val (skip, todo) = ranges.partition(done.contains)

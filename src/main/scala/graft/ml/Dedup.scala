@@ -23,7 +23,13 @@ import graft.analyze.Tokenizer
 object Dedup {
   val MinhashFns = 12
   val MinhashBands = 4 // 3 rows per band
-  val SimhashBits = 16
+  /** 64-bit SimHash: 16 bits collide pathologically at corpus scale (2^16
+    * buckets over 10^9+ docs); 64 bits keep random-pair collisions rare
+    * while the 8x8-bit banding below still pigeonholes hamming <= 7.
+    */
+  val SimhashBits = 64
+  val SimhashBands = 8
+  val SimhashBandBits: Int = SimhashBits / SimhashBands
 
   /** Deterministic dup-injection used by the dedup showcase queries: every
     * doc_id % 97 == 0 re-appears verbatim at doc_id+1000000 (exact dup),
@@ -151,16 +157,16 @@ object Dedup {
     val bits = SimhashBits
     corpus.select(col("doc_id"), col("content")).as[(Long, String)]
       .mapPartitions { it =>
-        val signCache = new java.util.HashMap[String, Integer]() // bit b set => +1
-        def maskOf(term: String): Int =
+        val signCache = new java.util.HashMap[String, java.lang.Long]() // bit b set => +1
+        def maskOf(term: String): Long =
           signCache.computeIfAbsent(term, { t =>
-            var m = 0
+            var m = 0L
             var b = 0
             while (b < bits) {
-              if (Tokenizer.md5Hex(t + ":" + b).charAt(0) < '8') m |= 1 << b
+              if (Tokenizer.md5Hex(t + ":" + b).charAt(0) < '8') m |= 1L << b
               b += 1
             }
-            Integer.valueOf(m)
+            java.lang.Long.valueOf(m)
           })
         val counts = new java.util.HashMap[String, Int]()
         it.flatMap { case (docId, content) =>
@@ -177,7 +183,7 @@ object Dedup {
               val tf = e.getValue
               var b = 0
               while (b < bits) {
-                if ((m & (1 << b)) != 0) sums(b) += tf else sums(b) -= tf
+                if ((m & (1L << b)) != 0) sums(b) += tf else sums(b) -= tf
                 b += 1
               }
             }
@@ -205,17 +211,21 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
-  /** Scale path: hamming<=maxHamming pairs via 4-band pigeonhole — any
-    * pair within hamming 3 shares at least one exact 4-bit band... (with
-    * 4 bands of 4 bits, hamming<=3 guarantees >=1 identical band). Join
-    * per band, dedup, verify exact hamming.
+  /** Scale path: hamming<=maxHamming pairs via band pigeonhole — with
+    * [[SimhashBands]] bands of [[SimhashBandBits]] bits, any pair within
+    * hamming (bands−1) shares at least one exact band. Join per band
+    * (equi-join on (band_j, band_value) — shuffles signatures only),
+    * dedup, verify exact hamming.
     */
   def simhashBandedPairs(sim: DataFrame, maxHamming: Int): DataFrame = {
-    require(maxHamming <= 3, "4-band pigeonhole covers hamming <= 3")
+    require(maxHamming <= SimhashBands - 1,
+      s"$SimhashBands-band pigeonhole covers hamming <= ${SimhashBands - 1}")
+    val mask = (1L << SimhashBandBits) - 1
     val banded = sim.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(j =>
+      explode(array((0 until SimhashBands).map(j =>
         struct(lit(j).as("j"),
-          shiftrightunsigned(col("simhash"), j * 4).bitwiseAND(lit(0xfL)).as("band"))): _*)).as("b"))
+          shiftrightunsigned(col("simhash"), j * SimhashBandBits)
+            .bitwiseAND(lit(mask)).as("band"))): _*)).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.j"), col("b.band"))
     val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("h_a"), col("j"), col("band"))
     val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("h_b"), col("j"), col("band"))
@@ -226,9 +236,27 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Scale path for embedding near-dup pairs: candidates = same sign-LSH
+    * bucket (reuses [[Ann.lshBucket]] — ONE equi-join on the bucket key,
+    * never a cross product), exact cosine verify inside the bucket.
+    * Misses cross-bucket pairs by design — the recall/cost trade the
+    * reference's hashing-as-terms approach makes; raise recall with more
+    * probes (see [[Ann.lshTopKMultiProbe]]) if needed.
+    */
+  def embCosBucketedPairs(embeddings: DataFrame, minCosQ: Long): DataFrame = {
+    val wb = embeddings.select(col("vec_id"), col("embedding"),
+      Ann.lshBucket(col("embedding")).as("bucket"))
+    val a = wb.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"), col("bucket"))
+    val b = wb.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"), col("bucket"))
+    a.join(b, Seq("bucket")).where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(Ann.cosine(col("e_a"), col("e_b")) * lit(1e4)).cast("long").as("cos_q"))
+      .where(col("cos_q") >= minCosQ)
+  }
+
   /** Embedding-cosine near-dup pairs above a quantized threshold.
-    * All-pairs at oracle scale; the bucketed scale path shares
-    * [[graft.ml.Ann]]'s sign-LSH buckets.
+    * All-pairs — an oracle-scale cross-check ONLY; the gated scale path is
+    * [[embCosBucketedPairs]].
     */
   def embCosPairs(embeddings: DataFrame, minCosQ: Long): DataFrame = {
     val a = embeddings.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"))

@@ -164,6 +164,47 @@ final class Engine(val index: Index) {
     Wand.topK(spark, scored, rows)
   }
 
+  /** Two-phase retrieve-then-re-rank by a SECOND exact metric — the
+    * reference's defining end-to-end semantic (getReRankedResults,
+    * LireRequestHandler.java:631-668: hash-term candidates re-scored by
+    * `queryFeature.getDistance(tmpFeature)` from the DocValues side-store
+    * into a bounded TreeSet; the one-query composite form
+    * `q=f_ha:(h1 h2…)&sort=lirefunc(f,"hist") asc`, README.md:136-138).
+    *
+    * Phase 1: WAND top-`candidates` by BM25 over the index — `candidates`
+    * carries its true reference semantics here: it bounds the approximate
+    * phase-1 set and CAN change the final result set.
+    * Phase 2: the tiny candidate set broadcast-joins the embedding
+    * side-store (the analog of the reference's per-doc feature DocValues),
+    * exact cosine to `queryVecId`'s embedding, top-`rows` by
+    * (cos_q desc, doc_id asc).
+    *
+    * Plan shape at scale: one WAND pass (segment-parallel) + one broadcast
+    * hash join against an embeddings scan filtered to candidate ids — the
+    * big side is never shuffled.
+    * Output: (rank, doc_id, cos_q, score_q) — rank by the SECOND metric,
+    * score_q = the phase-1 BM25 score retained for transparency.
+    */
+  def searchRerank(terms: Seq[(String, Double)], embeddings: DataFrame,
+                   queryVecId: Long, rows: Int = 60,
+                   candidates: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cands = searchByTerms(terms, rows = candidates)
+      .select(col("doc_id"), col("score_q"))
+    val qv = embeddings.where(col("vec_id") === lit(queryVecId))
+      .select(col("embedding").as("q_emb"))
+    embeddings
+      .join(broadcast(cands), col("vec_id") === col("doc_id"))
+      .crossJoin(broadcast(qv))
+      .select(col("doc_id"), col("score_q"),
+        round(graft.ml.Ann.cosine(col("q_emb"), col("embedding")) * lit(1e4))
+          .cast("long").as("cos_q"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cos_q").desc, col("doc_id").asc)).cast("long"))
+      .where(col("rank") <= rows)
+      .select("rank", "doc_id", "cos_q", "score_q")
+  }
+
   /** Search + stored-field projection: top-k hits broadcast-joined back to
     * docmeta for the requested fields (reference J3: `searcher.doc(docId)`
     * per surviving hit + P1 fl projection, LireRequestHandler.java:653,

@@ -84,13 +84,19 @@ object OracleMl {
        |JOIN sizes sa ON sa.doc_id = i.doc_a
        |JOIN sizes sb ON sb.doc_id = i.doc_b""".stripMargin)
 
-  /** simhash CTE over post(doc_id, term, tf) -> sim(doc_id, simhash). */
+  /** simhash CTE over post(doc_id, term, tf) -> sim(doc_id, simhash).
+    * Bit 63's weight is rendered as (-MAX-1): summed LAST so every partial
+    * sum stays in BIGINT range, and the final two's-complement value equals
+    * Spark's `sh |= 1L << 63` bit pattern exactly.
+    */
   def simhashCte: String = {
     val sums = (0 until Dedup.SimhashBits).map(b =>
       s"sum(CASE WHEN substr(md5(term || ':$b'), 1, 1) < '8' THEN tf ELSE -tf END) AS s$b")
       .mkString(",\n         ")
+    def bitLit(b: Int): String =
+      if (b == 63) "(-9223372036854775807 - 1)" else (1L << b).toString
     val combine = (0 until Dedup.SimhashBits)
-      .map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      .map(b => s"(CASE WHEN s$b > 0 THEN ${bitLit(b)} ELSE 0 END)").mkString(" + ")
     s"""simsum AS (
        |  SELECT doc_id,
        |         $sums
@@ -121,6 +127,73 @@ object OracleMl {
        |         CAST(round(${cosSql("a.embedding", "b.embedding")} * 10000.0) AS BIGINT) AS cos_q
        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
        |SELECT vec_a, vec_b, cos_q FROM p WHERE cos_q >= $minCosQ""".stripMargin
+
+  /** Bucketed (sign-LSH) embedding near-dup pairs — mirror of
+    * Dedup.embCosBucketedPairs: candidates restricted to equal buckets.
+    */
+  def embCosBucketedSql(minCosQ: Long): String =
+    s"""WITH wb AS (
+       |  SELECT vec_id, embedding, CAST(${lshBucketSql("embedding")} AS BIGINT) AS bucket
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |         CAST(round(${cosSql("a.embedding", "b.embedding")} * 10000.0) AS BIGINT) AS cos_q
+       |  FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, cos_q FROM p WHERE cos_q >= $minCosQ""".stripMargin
+
+  /** Two-phase retrieve-then-re-rank: BM25 top-`candidates` -> exact
+    * cosine to `queryVecId`'s embedding -> top-`rows` (mirror of
+    * Engine.searchRerank).
+    */
+  def rerankSql(terms: Seq[(String, Double)], queryVecId: Long,
+                candidates: Int, rows: Int): String =
+    withPrelude(
+      s"""     , ${Oracle.qFromValues(terms)},
+         |${Oracle.bm25Body(None)},
+         |cand AS (SELECT doc_id, score_q FROM ranked WHERE rank <= $candidates),
+         |qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = $queryVecId),
+         |rer AS (
+         |  SELECT c.doc_id, c.score_q,
+         |         CAST(round(${cosSql("qv.q_emb", "e.embedding")} * 10000.0) AS BIGINT) AS cos_q
+         |  FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id CROSS JOIN qv),
+         |rr AS (
+         |  SELECT row_number() OVER (ORDER BY cos_q DESC, doc_id ASC) AS rank,
+         |         doc_id, cos_q, score_q
+         |  FROM rer)
+         |SELECT rank, doc_id, cos_q, score_q FROM rr WHERE rank <= $rows ORDER BY rank""".stripMargin)
+
+  /** Multi-probe LSH ANN (mirror of Ann.lshTopKMultiProbe): each query
+    * probes its bucket plus every Hamming-1 neighbor.
+    */
+  def annMultiProbeSql(queryIds: Seq[Long], k: Int): String = {
+    val masks = Ann.MultiProbeMasks.map(m => s"($m)").mkString(", ")
+    s"""WITH wb AS (
+       |  SELECT vec_id, embedding, CAST(${lshBucketSql("embedding")} AS BIGINT) AS bucket
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS q_emb, xor(bucket, p.m) AS bucket
+       |      FROM wb, (VALUES $masks) p(m)
+       |      WHERE vec_id IN (${queryIds.mkString(", ")})),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id,
+       |         CAST(round(${cosSql("q.q_emb", "e.embedding")} * 10000.0) AS BIGINT) AS cos_q
+       |  FROM wb e JOIN q ON e.bucket = q.bucket WHERE e.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cos_q,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos_q DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, vec_id, cos_q FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** lirefunc full-scan exact sort (mirror of Ann.fullSort). */
+  def annFullSortSql(queryVecId: Long): String =
+    s"""WITH qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = $queryVecId),
+       |scored AS (
+       |  SELECT e.vec_id,
+       |         CAST(round(${cosSql("qv.q_emb", "e.embedding")} * 10000.0) AS BIGINT) AS cos_q
+       |  FROM embeddings e CROSS JOIN qv)
+       |SELECT row_number() OVER (ORDER BY cos_q DESC, vec_id ASC) AS rank, vec_id, cos_q
+       |FROM scored ORDER BY rank""".stripMargin
 
   def annBruteSql(queryIds: Seq[Long], k: Int): String =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings

@@ -48,11 +48,45 @@ object StreamIndexer {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // ranges a re-delivered batch carries are already committed and get
-        // skipped by the manifest gate — that's the exactly-once property
-        if (!batch.isEmpty) IndexBuild.build(spark, batch, indexDir, cfg)
+        // skipped by the manifest gate — that's the exactly-once property.
+        // The gate is only safe if the skipped content IS the committed
+        // content: verify each skipped range's (n_rows, checksum) against
+        // its manifest, so a non-range-aligned batch whose ids collide with
+        // committed ranges fails loudly instead of silently losing docs.
+        if (!batch.isEmpty) {
+          val report = IndexBuild.build(spark, batch, indexDir, cfg)
+          if (report.rangesSkipped.nonEmpty)
+            verifySkippedRanges(spark, batch, indexDir, cfg, report.rangesSkipped)
+        }
         ()
       }
       .start()
+  }
+
+  /** Fail if a batch slice that was skipped by the manifest gate differs
+    * from what the committed manifest attests (same order-independent
+    * xor-of-xxhash64(doc_id|sha) checksum IndexBuild records).
+    */
+  def verifySkippedRanges(spark: SparkSession, batch: DataFrame, indexDir: String,
+                          cfg: IndexConfig, skipped: Seq[Long]): Unit = {
+    import spark.implicits._
+    val got = batch
+      .groupBy(shiftrightunsigned(col("doc_id"), cfg.rangeShift).as("range_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(expr("bit_xor(xxhash64(concat_ws('|', doc_id, sha)))"), lit(0L)).as("checksum"))
+      .where(col("range_id").isin(skipped: _*))
+      .as[(Long, Long, Long)].collect().map { case (r, n, c) => r -> (n, c) }.toMap
+    val committed = spark.read
+      .option("basePath", IndexBuild.manifestDir(indexDir))
+      .parquet(skipped.map(r => s"${IndexBuild.manifestDir(indexDir)}/range=$r"): _*)
+      .select(col("range_id"), col("n_rows"), col("checksum"))
+      .as[(Long, Long, Long)].collect().map { case (r, n, c) => r -> (n, c) }.toMap
+    val bad = skipped.filter(r => got.get(r) != committed.get(r))
+    if (bad.nonEmpty)
+      throw new IllegalStateException(
+        s"streamed batch overlaps committed range(s) ${bad.mkString(",")} with DIFFERENT " +
+          s"content (batch ${bad.map(got.get)} vs manifest ${bad.map(committed.get)}); " +
+          "append batches must use fresh doc_id ranges")
   }
 
   /** Watermarked tumbling-window event counts (streaming-capable plan:
