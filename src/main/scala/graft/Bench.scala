@@ -120,6 +120,8 @@ object Bench {
         Seq("w:license" -> 1.0, "w:copyright" -> 1.0, "w:version" -> 1.0),
         rows = 60).count()),
       "wand_filtered" -> (() => engine.searchByTerms(hotRare, rows = 60,
+        docFilter = Some(("lang", "py"))).count()),
+      "wand_filtered_pred" -> (() => engine.searchByTerms(hotRare, rows = 60,
         docPred = Some(org.apache.spark.sql.functions.col("lang") === "py")).count()),
       "content_search" -> (() => engine.searchByContent(
         "license apache hashImpl mergeFactory scanPtr build index term query",
@@ -129,7 +131,14 @@ object Bench {
       "dedup_minhash" -> (() => Dedup.minhashPairs(Dedup.minhashBands(
         Dedup.minhashSignatures(Dedup.withDups(Corpus.fromDocuments(spark, sfDir))))).count()),
       "dedup_simhash_banded" -> (() => Dedup.simhashBandedPairs(
-        Dedup.simhash(Corpus.fromDocuments(spark, sfDir)), 2).count()))
+        Dedup.simhash(Corpus.fromDocuments(spark, sfDir)), 2).count()),
+      "dedup_embcos_bucketed" -> (() => Dedup.embCosBucketedPairs(
+        spark.read.parquet(s"$sfDir/embeddings.parquet"), 4000L).count()),
+      "search_rerank" -> (() => Engine.forDir(spark, sfDir).searchRerank(
+        SparkEntry.FlagshipTerms, spark.read.parquet(s"$sfDir/embeddings.parquet"),
+        SparkEntry.RerankVecId, rows = 60, candidates = 1000).count()),
+      "fingerprint" -> (() => graft.ml.TextStats.fingerprint(
+        Corpus.fromDocuments(spark, sfDir)).count()))
 
     val perQuery = queries.map { case (name, f) =>
       f() // warm (plans, file listings)

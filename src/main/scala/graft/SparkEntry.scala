@@ -29,6 +29,12 @@ object SparkEntry {
     Seq("w:dup" -> 1.0, "s:7e3" -> 0.83, "w:window" -> 0.67,
       "s:89d" -> 0.5, "w:stream" -> 0.33, "w:merge" -> 0.17)
 
+  /** The same query in the reference's textual form (QueryParser surface);
+    * q_query_string must equal q_wand_boosted given this string.
+    */
+  val BoostedQueryString =
+    "w:dup s:7e3^0.83 w:window^0.67 s:89d^0.5 w:stream^0.33 w:merge^0.17"
+
   /** Pruning showcase: zero-df terms + rare + hot mix (T1/T2). */
   val PruneTerms: Seq[(String, Double)] =
     Seq("w:nosucha" -> 1.0, "w:dup" -> 1.0, "w:batch" -> 1.0,
@@ -97,8 +103,17 @@ object SparkEntry {
       Engine.forDir(s, dir).searchByTerms(FlagshipTerms, rows = 60)),
     "q_wand_boosted" -> ((s, dir) =>
       Engine.forDir(s, dir).searchByTerms(BoostedTerms, rows = 60)),
-    // fq via per-segment RoaringBitmap cogroup
+    // textual query form ("term^boost ..."), parsed then searched —
+    // must hash-match q_wand_boosted's oracle
+    "q_query_string" -> ((s, dir) =>
+      Engine.forDir(s, dir).searchByQueryString(BoostedQueryString, rows = 60)),
+    // fq via the PERSISTED per-segment bitmap side-index (built at index
+    // time; no docmeta scan per query)
     "q_wand_filtered" -> ((s, dir) =>
+      Engine.forDir(s, dir).searchByTerms(FlagshipTerms, rows = 60,
+        docFilter = Some(("lang", "en")))),
+    // fq via an arbitrary predicate (docmeta-scan bitmap cogroup fallback)
+    "q_wand_filtered_pred" -> ((s, dir) =>
       Engine.forDir(s, dir).searchByTerms(FlagshipTerms, rows = 60,
         docPred = Some(col("lang") === lit("en")))),
     // T1/T2 pruning active (budget=3 of 6) + candidates=100 < segment
@@ -193,6 +208,13 @@ object SparkEntry {
     // lirefunc full-scan exact sort (sort=lirefunc(...) over *:*)
     "q_ann_fullsort" -> ((s, dir) =>
       Ann.fullSort(s.read.parquet(s"$dir/embeddings.parquet"), RerankVecId)),
+    // feature-vector encoding (reference's CSV/text-file ingestion family):
+    // top-N class-weight cutoff with significance floor -> index terms
+    "q_topn_features" -> ((s, dir) =>
+      ml.Features.topNFeatures(s.read.parquet(s"$dir/embeddings.parquet"), 8, 0.5)),
+    // per-row min-max normalization (Utilities.java:43-52 analog)
+    "q_minmax_norm" -> ((s, dir) =>
+      ml.Features.minMaxNormalize(s.read.parquet(s"$dir/embeddings.parquet"))),
     // text analysis
     "q_lang_id" -> ((s, dir) => TextStats.langId(Corpus.fromDocuments(s, dir))),
     "q_quality" -> ((s, dir) => TextStats.quality(Corpus.fromDocuments(s, dir))),
@@ -254,7 +276,9 @@ object SparkEntry {
     "q_bm25_filtered" -> Oracle.bm25TopK(FlagshipTerms, 60, Some("lang = 'en'")),
     "q_wand_topk" -> Oracle.bm25TopK(FlagshipTerms, 60),
     "q_wand_boosted" -> Oracle.bm25TopK(BoostedTerms, 60),
+    "q_query_string" -> Oracle.bm25TopK(BoostedTerms, 60),
     "q_wand_filtered" -> Oracle.bm25TopK(FlagshipTerms, 60, Some("lang = 'en'")),
+    "q_wand_filtered_pred" -> Oracle.bm25TopK(FlagshipTerms, 60, Some("lang = 'en'")),
     "q_wand_pruned" -> Oracle.bm25TopKPruned(FlagshipTerms, 3, 60),
     "q_prune" -> Oracle.pruneSql(PruneTerms, 3),
     "q_mlt" -> Oracle.bm25Mlt(42L, 30),
@@ -284,6 +308,8 @@ object SparkEntry {
     "q_ann_lsh" -> OracleMl.annLshSql(AnnQueryIds, 10),
     "q_ann_multiprobe" -> OracleMl.annMultiProbeSql(AnnQueryIds, 10),
     "q_ann_fullsort" -> OracleMl.annFullSortSql(RerankVecId),
+    "q_topn_features" -> OracleMl.topNFeaturesSql(8, 0.5),
+    "q_minmax_norm" -> OracleMl.minMaxSql,
     "q_lang_id" -> OracleMl.langIdSql,
     "q_quality" -> OracleMl.qualitySql,
     "q_token_count" -> OracleMl.tokenCountsSql,

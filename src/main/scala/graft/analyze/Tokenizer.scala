@@ -82,10 +82,13 @@ object Tokenizer {
   }
   private val hexChars = "0123456789abcdef".toCharArray
 
-  def md5Hex(s: String): String = {
+  def md5Hex(s: String): String =
+    md5HexBytes(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  def md5HexBytes(bytes: Array[Byte]): String = {
     val md = md5Local.get()
     md.reset()
-    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val d = md.digest(bytes)
     val out = new Array[Char](32)
     var i = 0
     while (i < 16) {

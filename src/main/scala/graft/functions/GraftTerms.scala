@@ -53,12 +53,80 @@ case class GraftDocLen(child: Expression)
     copy(child = newChild)
 }
 
+/** Posting-list decoder: segment `postings` bytes -> array of
+  * struct(local, tf, dl). The bridge between the compact segment format
+  * and a fully-columnar Catalyst plan: explode(graft_postings(...)) turns
+  * a posting list into scorable rows, which is what the hot-term
+  * degenerate plan ([[graft.query.Engine.searchByTerms]] dense-query
+  * route, SURVEY.md O2) aggregates instead of running the scalar DAAT
+  * loop. One eval per (term, segment) row — the array-building cost is
+  * amortized over up to 2^segShift postings.
+  */
+case class GraftPostings(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("local", IntegerType, nullable = false),
+      StructField("tf", IntegerType, nullable = false),
+      StructField("dl", IntegerType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_postings"
+  override def nullSafeEval(input: Any): Any = {
+    val ps = graft.index.Codec.decodeAll(input.asInstanceOf[Array[Byte]])
+    val out = new Array[Any](ps.length)
+    var i = 0
+    while (i < ps.length) {
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(ps(i).local, ps(i).tf, ps(i).dl)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): GraftPostings =
+    copy(child = newChild)
+}
+
+/** Min-hash document fingerprint: lexical min of md5 over every 8-char
+  * window; null for content under 8 chars. Replaces the Catalyst
+  * higher-order-function composition (md5 inside transform(sequence(...))
+  * evaluates interpreted with per-element digest + string allocation —
+  * the 10-100x anti-pattern this package exists to avoid): one eval per
+  * row, one thread-local digest, windows taken by code point exactly like
+  * SQL substring so the DuckDB oracle agrees byte-for-byte.
+  */
+case class GraftFingerprint(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_fingerprint"
+  override def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[UTF8String]
+    val n = u.numChars()
+    if (n < 8) return null
+    var min: String = null
+    var i = 0
+    while (i <= n - 8) {
+      val hex = Tokenizer.md5HexBytes(u.substring(i, i + 8).getBytes)
+      if (min == null || hex.compareTo(min) < 0) min = hex
+      i += 1
+    }
+    UTF8String.fromString(min)
+  }
+  override protected def withNewChildInternal(newChild: Expression): GraftFingerprint =
+    copy(child = newChild)
+}
+
 object GraftFunctions {
   /** Column-space entry points (no registration needed). */
   def graft_terms(c: Column): Column =
     GraftBridge.column(GraftTerms(GraftBridge.expression(c)))
   def graft_doclen(c: Column): Column =
     GraftBridge.column(GraftDocLen(GraftBridge.expression(c)))
+  def graft_postings(c: Column): Column =
+    GraftBridge.column(GraftPostings(GraftBridge.expression(c)))
+  def graft_fingerprint(c: Column): Column =
+    GraftBridge.column(GraftFingerprint(GraftBridge.expression(c)))
 
   /** SQL registration: SELECT graft_terms(content) ... (lirefunc analog). */
   def register(spark: SparkSession): Unit = {
@@ -66,5 +134,9 @@ object GraftFunctions {
       "graft_terms", exprs => GraftTerms(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_doclen", exprs => GraftDocLen(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_postings", exprs => GraftPostings(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_fingerprint", exprs => GraftFingerprint(exprs.head), "scala_udf")
   }
 }

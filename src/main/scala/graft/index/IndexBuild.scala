@@ -39,7 +39,13 @@ final case class IndexConfig(
     buildPartitions: Int = 0,
     /** ranges built concurrently (driver-side job overlap; each range is
       * still an independent, idempotent checkpoint unit). */
-    concurrentRanges: Int = 4) {
+    concurrentRanges: Int = 4,
+    /** docmeta columns that get a persisted per-segment filter bitmap at
+      * build time (the fq-filter side-index: one RoaringBitmap of local
+      * doc ids per (segment, column, value) — the reference's fq
+      * intersection without re-scanning doc metadata per query). Only
+      * low-cardinality columns belong here. */
+    filterColumns: Seq[String] = Seq("lang")) {
   require(segShift <= 27, "segShift > 27 breaks packed-long sign ordering")
   def rangeShift: Int = segShift + rangeSegsShift
   def segOf(docId: Long): Long = docId >>> segShift
@@ -87,6 +93,7 @@ object IndexBuild {
   def segmentsDir(indexDir: String) = s"$indexDir/segments"
   def docmetaDir(indexDir: String) = s"$indexDir/docmeta"
   def manifestDir(indexDir: String) = s"$indexDir/manifest"
+  def filtersDir(indexDir: String) = s"$indexDir/filters"
 
   /** Pack (local, tf, dl) into one long — the shuffle row stays (String,
     * Long, Long), primitive-heavy, to keep the 49M-rows/200k-docs build
@@ -264,6 +271,30 @@ object IndexBuild {
         }
         .toDF("doc_id", "repo", "path", "commit", "lang", "sha", "dl")
       meta.write.mode("overwrite").parquet(s"${docmetaDir(indexDir)}/range=$r")
+      // fq filter side-index: one bitmap of segment-local doc ids per
+      // (seg_id, column, value), from the WRITTEN docmeta (attested data).
+      // Written before the manifest so _SUCCESS covers it. Tiny: total
+      // payload per column value = n_docs bits, segment-partitioned, so
+      // query-time fq is an equi-join on seg_id instead of a full docmeta
+      // scan + shuffle per query.
+      val fcols = cfg.filterColumns.filter(meta.columns.contains)
+      if (fcols.nonEmpty) {
+        val metaOnDisk = spark.read.parquet(s"${docmetaDir(indexDir)}/range=$r")
+        val pairs = fcols.map(c =>
+          metaOnDisk.select(col("doc_id"), lit(c).as("fcol"), col(c).cast("string").as("value")))
+          .reduce(_ unionAll _)
+          .as[(Long, String, String)]
+        pairs
+          .groupByKey(x => (cfg.segOf(x._1), x._2, x._3))
+          .mapGroups { (key: (Long, String, String), it: Iterator[(Long, String, String)]) =>
+            val bm = new org.roaringbitmap.RoaringBitmap()
+            it.foreach(x => bm.add(cfg.localOf(x._1)))
+            (key._1, key._2, key._3, Bitmaps.serialize(bm))
+          }
+          .toDF("seg_id", "fcol", "value", "bitmap")
+          .repartition(1)
+          .write.mode("overwrite").parquet(s"${filtersDir(indexDir)}/range=$r")
+      }
       // manifest last: _SUCCESS == range committed. Stats aggregated once
       // from the written docmeta (what's on disk is what's attested).
       val (nd, sdl, nRows, checksum) = spark.read
@@ -281,6 +312,21 @@ object IndexBuild {
       m.coalesce(1).write.mode("overwrite").parquet(s"${manifestDir(indexDir)}/range=$r")
       (nd, sdl)
     }
+  }
+}
+
+/** RoaringBitmap <-> bytes for the persisted filter side-index. */
+object Bitmaps {
+  def serialize(bm: org.roaringbitmap.RoaringBitmap): Array[Byte] = {
+    bm.runOptimize()
+    val buf = new Array[Byte](bm.serializedSizeInBytes())
+    bm.serialize(java.nio.ByteBuffer.wrap(buf))
+    buf
+  }
+  def deserialize(bytes: Array[Byte]): org.roaringbitmap.RoaringBitmap = {
+    val bm = new org.roaringbitmap.RoaringBitmap()
+    bm.deserialize(java.nio.ByteBuffer.wrap(bytes))
+    bm
   }
 }
 

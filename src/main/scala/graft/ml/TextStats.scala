@@ -92,9 +92,20 @@ object TextStats {
   /** Min-hash fingerprint over character 8-grams (winnowing-lite): the
     * lexical min of md5 over all 8-char windows; null for content < 8
     * chars. A content-defined identity robust to doc reordering at corpus
-    * level.
+    * level. Evaluated by the native [[graft.functions.GraftFingerprint]]
+    * expression (one eval per row); the HOF composition it replaced is
+    * kept as [[fingerprintHof]] for the equivalence test + profiling.
     */
   def fingerprint(corpus: DataFrame): DataFrame =
+    corpus.select(
+      col("doc_id"),
+      graft.functions.GraftFunctions.graft_fingerprint(col("content")).as("fp"))
+
+  /** Built-in-composed twin of [[fingerprint]] — interpreted HOF lambda
+    * with a per-window digest allocation; ~10-100x slower (see
+    * GraftFingerprint scaladoc). Test/profiling reference only.
+    */
+  def fingerprintHof(corpus: DataFrame): DataFrame =
     corpus.select(
       col("doc_id"),
       when(length(col("content")) >= 8,

@@ -42,6 +42,25 @@ final class Index(val spark: SparkSession, val indexDir: String) {
     .option("basePath", IndexBuild.segmentsDir(indexDir))
     .parquet(ranges.map(r => s"${IndexBuild.segmentsDir(indexDir)}/range=$r"): _*)
 
+  /** Persisted per-segment fq bitmaps (seg_id, fcol, value, bitmap) —
+    * absent on indexes built before the side-index existed.
+    */
+  lazy val hasFilters: Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    ranges.nonEmpty && ranges.forall(r =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"${IndexBuild.filtersDir(indexDir)}/range=$r")))
+  }
+
+  lazy val filters: DataFrame = spark.read
+    .option("basePath", IndexBuild.filtersDir(indexDir))
+    .parquet(ranges.map(r => s"${IndexBuild.filtersDir(indexDir)}/range=$r"): _*)
+
+  /** Columns covered by the filter side-index. */
+  lazy val filterCols: Set[String] =
+    if (!hasFilters) Set.empty
+    else filters.select(col("fcol")).distinct().as[String].collect().toSet
+
   lazy val docmeta: DataFrame = spark.read
     .option("basePath", IndexBuild.docmetaDir(indexDir))
     .parquet(ranges.map(r => s"${IndexBuild.docmetaDir(indexDir)}/range=$r"): _*)
@@ -111,30 +130,70 @@ final class Engine(val index: Index) {
     base.take(budget)
   }
 
+  /** Dense-query threshold: when Σdf(kept)/N exceeds this, the query terms
+    * blanket the corpus (every code file contains "license"), WAND upper
+    * bounds never prune, and the scalar DAAT loop degenerates to an
+    * exhaustive per-posting walk with insertion sorts. The columnar
+    * scan-score-agg plan ([[scanScore]]) wins there: whole-stage-codegen'd
+    * hash aggregation over exploded postings. (SURVEY.md O2 second half;
+    * reference analog: the MatchAllDocsQuery switch,
+    * LireRequestHandler.java:218-221.)
+    */
+  val HotScanFraction = 0.5
+
   /** Primary programmatic API (reference `hashes` verb, SURVEY.md §3.2).
     * Returns (rank, doc_id, score_q), k=`rows`.
+    *
+    * Plan routing: rare/mixed terms -> per-segment block-max WAND (DAAT);
+    * dense terms (Σdf/N ≥ [[HotScanFraction]], and `candidates` not below
+    * `rows` — i.e. no approximation requested) -> vectorized scan-score
+    * plan. Both are exact; rank-identity across the switch is pinned in
+    * IndexSpec.
     */
   def searchByTerms(
       terms: Seq[(String, Double)],
       rows: Int = 60,
       accuracy: Double = 1.0,
       candidates: Int = 10000,
-      docPred: Option[Column] = None): DataFrame = {
+      docPred: Option[Column] = None,
+      docFilter: Option[(String, String)] = None): DataFrame = {
     val kept =
-      if (accuracy >= 0.9) { // degenerate plan: no pruning, exhaustive DAAT
+      if (accuracy >= 0.9) { // degenerate plan: no pruning, exhaustive scoring
         val dfs = index.dfOf(terms.map(_._1).distinct)
         terms.map { case (t, b) => (t, b, dfs.getOrElse(t, 0L)) }.filter(_._3 > 0)
       } else prune(terms, accuracy)
     if (kept.isEmpty) return Wand.topK(spark, spark.emptyDataset[Scored], rows)
-    // per-segment heap: exact global top-`rows` only needs per-segment
-    // top-`rows`; a smaller `candidates` reproduces the reference's
-    // approximate phase-1 budget. Smaller heap => earlier WAND threshold.
-    val heapSize = math.min(candidates, rows)
     val (n, avgdl) = index.stats
     val weights: Map[String, Double] = kept.groupBy(_._1).map { case (t, g) =>
       // duplicate query terms sum their boosts (OR-clause semantics)
       t -> g.map(x => x._2 * Bm25.idf(x._3.toDouble, n.toDouble)).sum
     }
+    // equality fq on a filter-indexed column: the persisted per-segment
+    // bitmap path (no docmeta scan); otherwise fall back to a predicate
+    val (bitmapFq, pred) = docFilter match {
+      case Some((c, v)) if index.filterCols.contains(c) => (docFilter, docPred)
+      case Some((c, v)) =>
+        (None, Some(docPred.map(_ && col(c) === lit(v)).getOrElse(col(c) === lit(v))))
+      case None => (None, docPred)
+    }
+    val sumDf = kept.map(_._3).sum
+    if (bitmapFq.isEmpty &&
+        candidates >= rows && n > 0 && sumDf.toDouble / n.toDouble >= HotScanFraction)
+      scanScore(weights, rows, avgdl, pred)
+    else
+      daatScore(weights, rows, math.min(candidates, rows), avgdl,
+        useWand = accuracy < 0.9, pred, bitmapFq)
+  }
+
+  /** Per-segment DAAT path (block-max WAND or exhaustive). `heapSize`:
+    * per-segment heap — exact global top-`rows` only needs per-segment
+    * top-`rows`; a smaller value reproduces the reference's approximate
+    * phase-1 budget (smaller heap => earlier WAND threshold).
+    */
+  private[graft] def daatScore(
+      weights: Map[String, Double], rows: Int, heapSize: Int, avgdl: Double,
+      useWand: Boolean, docPred: Option[Column],
+      bitmapFq: Option[(String, String)] = None): DataFrame = {
     val ids = weights.keys.map(TermHash.hash).toSeq
     val names = weights.keys.toSeq
     val hits = index.segments
@@ -143,14 +202,29 @@ final class Engine(val index: Index) {
       .as[SegHit]
     val cfg = index.cfg
     val wB = spark.sparkContext.broadcast(weights)
-    val scored: org.apache.spark.sql.Dataset[Scored] = docPred match {
-      case None =>
-        hits.groupByKey(_.seg_id).flatMapGroups { (seg, it) =>
-          Wand.scoreSegment(seg, it, wB.value, avgdl, heapSize, cfg, null, accuracy < 0.9)
+    val scored: org.apache.spark.sql.Dataset[Scored] = (bitmapFq, docPred) match {
+      case (Some((c, v)), _) =>
+        // persisted filter side-index: the per-segment bitmaps were built
+        // once at index time, so a repeated fq (lang='en') cogroups a
+        // KB-sized bitmap table with the hits — no docmeta scan, no
+        // per-query doc_id shuffle (VERDICT r01 "What's wrong" #6)
+        val bms = index.filters
+          .where(col("fcol") === lit(c) && col("value") === lit(v))
+          .select(col("seg_id"), col("bitmap")).as[(Long, Array[Byte])]
+        hits.groupByKey(_.seg_id).cogroup(bms.groupByKey(_._1)) { (seg, hitIt, bmIt) =>
+          val bs = bmIt.toArray
+          if (bs.isEmpty) Iterator.empty
+          else {
+            val bm = graft.index.Bitmaps.deserialize(bs(0)._2)
+            var i = 1 // defensive: a segment has exactly one bitmap per value
+            while (i < bs.length) { bm.or(graft.index.Bitmaps.deserialize(bs(i)._2)); i += 1 }
+            Wand.scoreSegment(seg, hitIt, wB.value, avgdl, heapSize, cfg, bm, useWand)
+          }
         }
-      case Some(pred) =>
-        // fq filter: per-segment allowed-bitmap cogrouped with the hits —
-        // the bitmap never leaves its segment task (SURVEY.md P2)
+      case (None, Some(pred)) =>
+        // arbitrary-predicate fq: per-segment allowed-bitmap built from a
+        // docmeta scan, cogrouped with the hits — the bitmap never leaves
+        // its segment task (SURVEY.md P2)
         val allowedBySeg = index.docmeta.where(pred)
           .select(col("doc_id")).as[Long]
           .groupByKey(d => cfg.segOf(d))
@@ -158,10 +232,54 @@ final class Engine(val index: Index) {
           val bm = new RoaringBitmap()
           docIt.foreach(d => bm.add(cfg.localOf(d)))
           if (bm.isEmpty) Iterator.empty
-          else Wand.scoreSegment(seg, hitIt, wB.value, avgdl, heapSize, cfg, bm, accuracy < 0.9)
+          else Wand.scoreSegment(seg, hitIt, wB.value, avgdl, heapSize, cfg, bm, useWand)
+        }
+      case (None, None) =>
+        hits.groupByKey(_.seg_id).flatMapGroups { (seg, it) =>
+          Wand.scoreSegment(seg, it, wB.value, avgdl, heapSize, cfg, null, useWand)
         }
     }
     Wand.topK(spark, scored, rows)
+  }
+
+  /** Dense-query columnar plan: segments filtered to the query terms ->
+    * explode(graft_postings) -> weight ⋈ (broadcast) -> codegen'd hash
+    * aggregation per doc -> TakeOrderedAndProject. No scalar loop, no
+    * typed shuffle: partial aggregation runs map-side per segment file and
+    * only (doc_id, partial-sum) rows move. Exact (same quantized tie rule).
+    */
+  private[graft] def scanScore(
+      weights: Map[String, Double], rows: Int, avgdl: Double,
+      docPred: Option[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cfg = index.cfg
+    val ids = weights.keys.map(TermHash.hash).toSeq
+    val names = weights.keys.toSeq
+    val wDf = weights.toSeq.toDF("term", "w")
+    val exploded = index.segments
+      .where(col("term_id").isin(ids: _*) && col("term").isin(names: _*))
+      .select(col("seg_id"), col("term"), col("postings"))
+      .join(broadcast(wDf), Seq("term"))
+      .select(col("seg_id"), col("w"),
+        explode(graft.functions.GraftFunctions.graft_postings(col("postings"))).as("p"))
+      .select(
+        shiftleft(col("seg_id"), cfg.segShift)
+          .bitwiseOR(col("p.local").cast("long")).as("doc_id"),
+        (col("w") * Bm25.tfNormCol(col("p.tf").cast("double"),
+          col("p.dl").cast("double"), lit(avgdl))).as("part"))
+    val base = docPred match {
+      case None => exploded
+      case Some(pred) =>
+        exploded.join(index.docmeta.where(pred).select("doc_id"), Seq("doc_id"), "left_semi")
+    }
+    base.groupBy(col("doc_id"))
+      .agg(sum(col("part")).as("score"))
+      .withColumn("score_q", round(col("score") * lit(Bm25.Quant)).cast("long"))
+      .orderBy(col("score_q").desc, col("doc_id").asc)
+      .limit(rows)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_q").desc, col("doc_id").asc)).cast("long"))
+      .select(col("rank"), col("doc_id"), col("score_q"))
   }
 
   /** Two-phase retrieve-then-re-rank by a SECOND exact metric — the
@@ -263,6 +381,16 @@ final class Engine(val index: Index) {
     Wand.topKPerQuery(spark, scored, rows)
   }
 
+  /** Textual query front-end: parse the reference's `hashes`-verb string
+    * form and search. Grammar (the WhitespaceAnalyzer + QueryParser surface
+    * of LireRequestHandler.java:494-506, boosted MetricSpaces terms
+    * `R%06d^%1.2f`): whitespace-separated terms, each with an optional
+    * `^boost` suffix (default 1.0).
+    */
+  def searchByQueryString(q: String, rows: Int = 60, accuracy: Double = 1.0,
+                          candidates: Int = 10000): DataFrame =
+    searchByTerms(Engine.parseQuery(q), rows, accuracy, candidates)
+
   /** Free-content search: tokenize the query content with the SAME
     * analyzer as indexing (index/query symmetry, SURVEY.md §3.3), distinct
     * terms, boost 1 (Boolean-OR semantics: query tf ignored, as in the
@@ -319,6 +447,21 @@ final class Engine(val index: Index) {
 object Engine {
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, Engine]()
 
+  /** "t1 t2^0.83" -> Seq(("t1", 1.0), ("t2", 0.83)). A trailing `^boost`
+    * must parse as a double; otherwise the token is taken verbatim with
+    * boost 1 (terms themselves may contain '^' only before a valid boost —
+    * same leniency as Lucene's QueryParser on unparseable boosts).
+    */
+  def parseQuery(q: String): Seq[(String, Double)] =
+    q.trim.split("\\s+").toSeq.filter(_.nonEmpty).map { tok =>
+      tok.lastIndexOf('^') match {
+        case -1 | 0 => tok -> 1.0
+        case i =>
+          try tok.substring(0, i) -> tok.substring(i + 1).toDouble
+          catch { case _: NumberFormatException => tok -> 1.0 }
+      }
+    }
+
   def indexRoot: String =
     sys.env.getOrElse("GRAFT_INDEX_DIR",
       new java.io.File("target/graft-index").getAbsolutePath)
@@ -330,7 +473,7 @@ object Engine {
   def forDir(spark: SparkSession, sfDir: String): Engine =
     cache.computeIfAbsent(sfDir, { _ =>
       val key = sfDir.replaceAll("[^a-zA-Z0-9.]+", "_")
-      val dir = s"$indexRoot/v1-$key" // bump on index-format changes
+      val dir = s"$indexRoot/v2-$key" // bump on index-format changes (v2: filter bitmaps)
       val cfg = IndexConfig(segShift = 7, rangeSegsShift = 2)
       val corpus = Corpus.fromDocuments(spark, sfDir)
       IndexBuild.build(spark, corpus, dir, cfg) // resumes/no-ops if committed

@@ -233,6 +233,38 @@ object OracleMl {
        |SELECT query_id, rank, vec_id, cos_q, bucket FROM ranked WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Top-N class-weight cutoff (mirror of Features.topNFeatures). */
+  def topNFeaturesSql(n: Int, sigFrac: Double): String =
+    s"""WITH exploded AS (
+       |  SELECT vec_id, (i - 1)::BIGINT AS dim, embedding[i]::DOUBLE AS w
+       |  FROM embeddings, unnest(generate_series(1, len(embedding))) g(i)),
+       |ranked AS (
+       |  SELECT vec_id, dim, w,
+       |         max(w) OVER (PARTITION BY vec_id) AS max_w,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY w DESC, dim ASC) AS rank
+       |  FROM exploded)
+       |SELECT vec_id, rank, dim,
+       |       CAST(round(w * 1000000.0) AS BIGINT) AS w_q,
+       |       'd:' || lpad(dim::VARCHAR, 3, '0') AS term
+       |FROM ranked
+       |WHERE rank <= $n AND w > 0 AND w >= max_w * $sigFrac""".stripMargin
+
+  /** Per-row min-max normalization (mirror of Features.minMaxNormalize). */
+  def minMaxSql: String =
+    s"""WITH exploded AS (
+       |  SELECT vec_id, (i - 1)::BIGINT AS dim, embedding[i]::DOUBLE AS w
+       |  FROM embeddings, unnest(generate_series(1, len(embedding))) g(i)),
+       |r AS (
+       |  SELECT vec_id, dim, w,
+       |         min(w) OVER (PARTITION BY vec_id) AS min_w,
+       |         max(w) OVER (PARTITION BY vec_id) AS max_w
+       |  FROM exploded)
+       |SELECT vec_id, dim,
+       |       CAST(CASE WHEN max_w > min_w
+       |                 THEN round((w - min_w) / (max_w - min_w) * 1000000.0)
+       |                 ELSE 0.0 END AS BIGINT) AS norm_q
+       |FROM r""".stripMargin
+
   // ---- text stats -------------------------------------------------------
 
   def langIdSql: String = {

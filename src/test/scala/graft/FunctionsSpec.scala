@@ -89,4 +89,37 @@ class FunctionsSpec extends SparkSpec {
     assert(got.map(_._2) == exp.map(_.docId))
     assert(got.map(_._3) == exp.map(_.scoreQ))
   }
+
+  test("GraftFingerprint expression == HOF composition (short/empty/multibyte)") {
+    val extra = Seq(
+      (9001L, ""), (9002L, "1234567"), (9003L, "12345678"),
+      (9004L, "\u03b1\u03b2\u03b3\u03b4\u03b5\u03b6\u03b7\u03b8\u03b9\u03ba"),
+      (9005L, "same same same same")).toDF("doc_id", "content")
+    val all = docs.unionAll(extra)
+    val a = graft.ml.TextStats.fingerprint(all)
+      .as[(Long, Option[String])].collect().toMap
+    val b = graft.ml.TextStats.fingerprintHof(all)
+      .as[(Long, Option[String])].collect().toMap
+    assert(a == b)
+    assert(a(9001L).isEmpty && a(9002L).isEmpty && a(9003L).isDefined)
+  }
+
+  test("graft_postings decodes exactly what Codec encoded") {
+    import graft.index.Codec
+    val rnd = new scala.util.Random(7)
+    val lists = (0 until 20).map { i =>
+      var local = 0
+      val ps = (0 until rnd.nextInt(400) + 1).map { _ =>
+        local += rnd.nextInt(9) + 1
+        Codec.Posting(local, rnd.nextInt(30) + 1, rnd.nextInt(500) + 1)
+      }.toArray
+      (i.toLong, Codec.encode(ps), ps)
+    }
+    val got = lists.map { case (id, bytes, _) => (id, bytes) }.toDF("id", "postings")
+      .select($"id", GraftFunctions.graft_postings($"postings").as("ps"))
+      .as[(Long, Seq[(Int, Int, Int)])].collect().toMap
+    lists.foreach { case (id, _, ps) =>
+      assert(got(id) == ps.map(p => (p.local, p.tf, p.dl)).toSeq, s"list $id")
+    }
+  }
 }

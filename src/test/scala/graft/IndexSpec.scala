@@ -163,4 +163,78 @@ class IndexSpec extends SparkSpec {
     assert(a != c)
     assert(a.distinct.size == 10)
   }
+
+  test("dense-query columnar scan plan: routed, rank-identical to DAAT and brute") {
+    // hottest 3 terms of the corpus: sum(df)/N certainly >= HotScanFraction
+    val hotTerms = engine.index.dictionary
+      .orderBy($"df".desc, $"term".asc).limit(3)
+      .select($"term").as[String].collect().toSeq.map(_ -> 1.0)
+    val api = engine.searchByTerms(hotTerms, rows = 30)
+    assert(api.queryExecution.executedPlan.toString.contains("graft_postings"),
+      "dense query must route to the columnar scan plan")
+    val got = api.as[(Long, Long, Long)].collect().toSeq
+    val exp = BruteScorer.topK(docs, hotTerms, 30)
+    assert(got.map(_._2) == exp.map(_.docId))
+    assert(got.map(_._3) == exp.map(_.scoreQ))
+    // rank identity across the switch, forced both ways, with and w/o fq
+    val dfs = engine.index.dfOf(hotTerms.map(_._1))
+    val (n, avgdl) = engine.index.stats
+    val w = hotTerms.map { case (t, b) =>
+      t -> b * Bm25.idf(dfs(t).toDouble, n.toDouble) }.toMap
+    for (p <- Seq(None, Some(col("lang") === "en"))) {
+      val s = engine.scanScore(w, 25, avgdl, p).collect().map(_.toSeq).toSeq
+      val d1 = engine.daatScore(w, 25, 25, avgdl, useWand = true, p).collect().map(_.toSeq).toSeq
+      val d2 = engine.daatScore(w, 25, 25, avgdl, useWand = false, p).collect().map(_.toSeq).toSeq
+      assert(s == d1, s"scan vs wand (pred=$p)")
+      assert(s == d2, s"scan vs exhaustive (pred=$p)")
+    }
+    // a rare query must keep the DAAT plan
+    val rare = engine.searchByTerms(Seq("w:dup" -> 1.0), rows = 10)
+    assert(!rare.queryExecution.executedPlan.toString.contains("graft_postings"))
+  }
+
+  test("two-phase searchRerank == oracle-shaped recompute (candidates bound honored)") {
+    val emb = spark.read.parquet(s"$sfTiny/embeddings.parquet")
+    val k = 15
+    val cands = 50
+    val got = engine.searchRerank(SparkEntry.FlagshipTerms, emb, 42L, rows = k, candidates = cands)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // recompute: phase-1 top-`cands` by BM25, then exact cosine re-rank
+    val phase1 = engine.searchByTerms(SparkEntry.FlagshipTerms, rows = cands)
+      .as[(Long, Long, Long)].collect().map(r => r._2 -> r._3).toMap
+    val vecs = emb.select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toMap
+    val qv = vecs(42L).map(_.toDouble).toArray
+    def cosQ(v: Seq[Float]): Long = {
+      val a = v.map(_.toDouble).toArray
+      var dot = 0.0; var na = 0.0; var nq = 0.0
+      var i = 0
+      while (i < a.length) { dot += qv(i) * a(i); na += a(i) * a(i); nq += qv(i) * qv(i); i += 1 }
+      math.round(dot / (math.sqrt(nq) * math.sqrt(na)) * 1e4)
+    }
+    val expected = phase1.toSeq.flatMap { case (d, sq) =>
+      vecs.get(d).map(v => (d, cosQ(v), sq)) }
+      .sortBy { case (d, cq, _) => (-cq, d) }.take(k)
+      .zipWithIndex.map { case ((d, cq, sq), i) => ((i + 1).toLong, d, cq, sq) }
+    assert(got == expected)
+  }
+
+  test("persisted fq bitmaps: docFilter path == predicate path, no docmeta scan") {
+    val idx = engine.index
+    assert(idx.hasFilters, "filters side-index missing")
+    assert(idx.filterCols == Set("lang"))
+    val viaBitmap = engine.searchByTerms(SparkEntry.FlagshipTerms, rows = 30,
+      docFilter = Some(("lang", "en")))
+    val viaPred = engine.searchByTerms(SparkEntry.FlagshipTerms, rows = 30,
+      docPred = Some(col("lang") === "en"))
+    assert(viaBitmap.collect().map(_.toSeq).toSeq == viaPred.collect().map(_.toSeq).toSeq)
+    val plan = viaBitmap.queryExecution.executedPlan.toString
+    assert(!plan.contains("docmeta"), "bitmap path must not scan docmeta")
+    // a column without a persisted bitmap falls back to the predicate path
+    val repo = corpus.select($"repo").as[String].head()
+    val f = engine.searchByTerms(SparkEntry.FlagshipTerms, rows = 30,
+      docFilter = Some(("repo", repo))).collect().map(_.toSeq).toSeq
+    val g = engine.searchByTerms(SparkEntry.FlagshipTerms, rows = 30,
+      docPred = Some(col("repo") === repo)).collect().map(_.toSeq).toSeq
+    assert(f == g)
+  }
 }

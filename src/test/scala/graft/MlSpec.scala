@@ -94,4 +94,58 @@ class MlSpec extends SparkSpec {
     assert(feats.sortBy(_.doc_id).map(_.feature.toSeq).toSeq ==
       again.sortBy(_.doc_id).map(_.feature.toSeq).toSeq)
   }
+
+  test("features: CSV and text-line sources round-trip to the embeddings shape") {
+    import graft.ml.Features
+    val emb = spark.read.parquet(s"$sfTiny/embeddings.parquet")
+      .select($"vec_id", $"embedding").orderBy($"vec_id").limit(50)
+      .as[(Long, Seq[Float])].collect().toSeq
+    // header CSV (id + one column per class, EncodeAndHashCSV shape)
+    val dims = emb.head._2.length
+    val header = ("id" +: (0 until dims).map(d => s"c$d")).mkString(",")
+    val lines = emb.map { case (id, v) => (id +: v).mkString(",") }
+    val csvDir = java.nio.file.Files.createTempDirectory("graft-csv")
+    java.nio.file.Files.write(csvDir.resolve("f.csv"),
+      (header +: lines).mkString("\n").getBytes)
+    val viaCsv = Features.fromCsv(spark, csvDir.toString)
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(viaCsv == emb.toMap)
+    // id;w1 w2 ... feature lines (IndexingFromTextFile shape)
+    val txt = emb.map { case (id, v) => s"$id;${v.mkString(" ")}" }
+    val viaTxt = Features.fromTextLines(spark.createDataset(txt))
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(viaTxt == emb.toMap)
+    // and the encoders compose: top-N over the CSV == top-N over parquet
+    val a = Features.topNFeatures(Features.fromCsv(spark, csvDir.toString), 8, 0.5)
+      .collect().map(_.toSeq).toSet
+    val b = Features.topNFeatures(
+      spark.read.parquet(s"$sfTiny/embeddings.parquet")
+        .where($"vec_id".isin(emb.map(_._1): _*)), 8, 0.5)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("topNFeatures honors N, positivity and the significance floor") {
+    import graft.ml.Features
+    val v = Seq(
+      (1L, Seq(0.9f, 0.8f, 0.05f, 0.0f, -0.3f)), // floor cuts 0.05, <=0 cut
+      (2L, Seq(-1.0f, -2.0f, -3.0f, -0.5f, -4.0f)), // all non-positive -> empty
+      (3L, Seq(0.5f, 0.5f, 0.5f, 0.5f, 0.5f))) // ties -> dim asc, N caps
+      .toDF("vec_id", "embedding")
+    val got = Features.topNFeatures(v, 3, 0.5)
+      .select($"vec_id", $"rank", $"dim", $"term").as[(Long, Long, Long, String)]
+      .collect().toSeq.sortBy(r => (r._1, r._2))
+    assert(got.filter(_._1 == 1L).map(_._3) == Seq(0L, 1L))
+    assert(got.filter(_._1 == 2L).isEmpty)
+    assert(got.filter(_._1 == 3L).map(_._3) == Seq(0L, 1L, 2L))
+    assert(got.forall(r => r._4 == f"d:${r._3}%03d"))
+  }
+
+  test("query-string parser: boosts, defaults, malformed boosts") {
+    import graft.query.Engine
+    assert(Engine.parseQuery(SparkEntry.BoostedQueryString) == SparkEntry.BoostedTerms)
+    assert(Engine.parseQuery("  a   b^2.5  ") == Seq("a" -> 1.0, "b" -> 2.5))
+    assert(Engine.parseQuery("a^x ^5 c^") ==
+      Seq("a^x" -> 1.0, "^5" -> 1.0, "c^" -> 1.0))
+  }
 }
