@@ -155,6 +155,23 @@ object SparkEntry {
       Corpus.fromDocuments(s, dir)
         .where(col("path").endsWith("7.txt"))
         .select("doc_id", "path")),
+    // J4: tags side-file left join — search hits enriched from a sparse
+    // side table (reference: the id->tags side file joined onto results)
+    "q_tags_join" -> ((s, dir) => {
+      val hits = Engine.forDir(s, dir).searchByTerms(FlagshipTerms, rows = 30)
+      val tags = Corpus.fromDocuments(s, dir)
+        .where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), concat(lit("t"), col("doc_id") % 7).as("tag"))
+      hits.join(broadcast(tags), Seq("doc_id"), "left")
+        .select(col("rank"), col("doc_id"), col("score_q"),
+          coalesce(col("tag"), lit("")).as("tag"))
+    }),
+    // P6: one-field projection to list (per-lang ordered field dump)
+    "q_field_list" -> ((s, dir) =>
+      Corpus.fromDocuments(s, dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          concat_ws(",", array_sort(collect_list(col("path")))).as("paths_csv"))),
     // J1: XmlMerge-style broadcast hash join by id (corpus ⋈ embeddings)
     "q_join_merge" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -293,6 +310,18 @@ object SparkEntry {
         |FROM corpus WHERE doc_id = 123""".stripMargin),
     "q_point_suffix" -> Oracle.withPrelude(
       "SELECT doc_id, path FROM corpus WHERE path LIKE '%7.txt'"),
+    "q_tags_join" -> Oracle.withPrelude(
+      s"""     , ${Oracle.qFromValues(FlagshipTerms)},
+         |${Oracle.bm25Body(None)},
+         |tags AS (
+         |  SELECT doc_id, 't' || (doc_id % 7) AS tag FROM corpus WHERE doc_id % 3 = 0)
+         |SELECT r.rank, r.doc_id, r.score_q, coalesce(t.tag, '') AS tag
+         |FROM ranked r LEFT JOIN tags t ON t.doc_id = r.doc_id
+         |WHERE r.rank <= 30 ORDER BY r.rank""".stripMargin),
+    "q_field_list" -> Oracle.withPrelude(
+      """SELECT lang, count(*)::BIGINT AS n,
+        |       coalesce(string_agg(path, ',' ORDER BY path), '') AS paths_csv
+        |FROM corpus GROUP BY lang""".stripMargin),
     "q_join_merge" -> Oracle.withPrelude(
       """SELECT c.doc_id, c.lang, e.label
         |FROM corpus c JOIN embeddings e ON e.vec_id = c.doc_id""".stripMargin),

@@ -79,4 +79,43 @@ class StreamingSpec extends SparkSpec {
       "streamed windows must match the batch computation")
     assert(streamed.size >= batch.size - 4, "only trailing open windows may be withheld")
   }
+
+  test("non-range-aligned replay with DIFFERENT content fails loudly") {
+    val root = Files.createTempDirectory("graft-stream-clash").toString
+    val inDir = s"$root/in"; val idxDir = s"$root/idx"
+    new java.io.File(inDir).mkdirs()
+    val corpus = Corpus.fromDocuments(spark, sfTiny)
+      .select("doc_id", "repo", "path", "commit", "lang", "content", "sha").cache()
+    corpus.where($"doc_id" < 256).write.parquet(s"$inDir/chunkA")
+    val q1 = StreamIndexer.start(spark, s"$inDir/chunk*", idxDir, s"$root/ck1", cfg)
+    q1.awaitTermination()
+    // a batch whose ids collide with the committed range but whose content
+    // differs must NOT be silently swallowed by the manifest gate
+    val clash = corpus.where($"doc_id" < 200)
+      .withColumn("content", concat($"content", lit(" tampered")))
+      .withColumn("sha", sha2($"content", 256))
+    clash.write.parquet(s"$inDir/chunkX")
+    val q2 = StreamIndexer.start(spark, s"$inDir/chunk*", idxDir, s"$root/ck2", cfg)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.awaitTermination()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.toString).toSeq
+    assert(chain(err).exists(_.contains("DIFFERENT")),
+      s"expected the skipped-range content check to fire, got: ${chain(err).mkString(" | ")}")
+    // identical content replay stays a clean no-op
+    val q3 = StreamIndexer.start(spark, s"$inDir/chunkA", idxDir, s"$root/ck3", cfg)
+    q3.awaitTermination()
+  }
+
+  test("prune budget == the reference clamp rule (accuracy*len in [3, len])") {
+    // StatsUtils.clamp(acc * len, 3, len) (LireRequestHandler.java:488-490)
+    // vs Engine.prune's max(3, floor(n*acc)) capped by take() at list size
+    def refClamp(acc: Double, len: Int): Int =
+      math.max(3, math.min((acc * len).toInt, len))
+    for (len <- Seq(3, 5, 10, 64, 100); acc <- Seq(0.1, 0.33, 0.5, 0.9, 1.0, 1.5)) {
+      val ours = math.min(math.max(3, math.floor(len * acc).toInt), len)
+      assert(ours == refClamp(acc, len), s"len=$len acc=$acc")
+    }
+  }
 }
