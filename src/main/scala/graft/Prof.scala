@@ -38,6 +38,16 @@ object Prof {
     time(s"full build cores=$cores sp=$sp n=$n conc=$conc") {
       IndexBuild.build(spark, corpus, Files.createTempDirectory("prof-idx-").toString, cfg)
     }
+    // fingerprint: native Expression vs interpreted HOF composition.
+    // agg(min(fp)) forces the fp column (count() would prune it away).
+    val fpSample = corpus.limit(20000).repartition(cores * 2).cache()
+    fpSample.count()
+    time("fingerprint native (GraftFingerprint)") {
+      graft.ml.TextStats.fingerprint(fpSample).agg(min(col("fp"))).collect()
+    }
+    time("fingerprint HOF (transform+md5, interpreted)") {
+      graft.ml.TextStats.fingerprintHof(fpSample).agg(min(col("fp"))).collect()
+    }
     spark.stop()
   }
 }

@@ -88,10 +88,14 @@ object Tokenizer {
   def md5HexBytes(bytes: Array[Byte]): String = {
     val md = md5Local.get()
     md.reset()
-    val d = md.digest(bytes)
-    val out = new Array[Char](32)
+    hexOf(md.digest(bytes))
+  }
+
+  /** 16 digest bytes -> 32-char lowercase hex. */
+  def hexOf(d: Array[Byte]): String = {
+    val out = new Array[Char](2 * d.length)
     var i = 0
-    while (i < 16) {
+    while (i < d.length) {
       out(2 * i) = hexChars((d(i) >> 4) & 0xf)
       out(2 * i + 1) = hexChars(d(i) & 0xf)
       i += 1

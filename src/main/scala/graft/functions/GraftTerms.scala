@@ -100,18 +100,51 @@ case class GraftFingerprint(child: Expression)
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_fingerprint"
+  @transient private lazy val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** hex order of md5 strings == unsigned byte order of the digests. */
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val x = a(i) & 0xff; val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
   override def nullSafeEval(input: Any): Any = {
     val u = input.asInstanceOf[UTF8String]
     val n = u.numChars()
     if (n < 8) return null
-    var min: String = null
-    var i = 0
-    while (i <= n - 8) {
-      val hex = Tokenizer.md5HexBytes(u.substring(i, i + 8).getBytes)
-      if (min == null || hex.compareTo(min) < 0) min = hex
-      i += 1
+    val md = md5.get()
+    var cur = new Array[Byte](16)
+    var best = new Array[Byte](16)
+    var has = false
+    if (u.numBytes() == n) {
+      // ASCII fast path: char windows == byte windows; zero allocation per
+      // window (digest into a reused buffer, min kept as raw digest bytes)
+      val bytes = u.getBytes
+      var i = 0
+      while (i <= bytes.length - 8) {
+        md.reset(); md.update(bytes, i, 8); md.digest(cur, 0, 16)
+        if (!has || unsignedLess(cur, best)) { val t = best; best = cur; cur = t; has = true }
+        i += 1
+      }
+    } else {
+      // multibyte: windows by code point, exactly like SQL substring
+      var i = 0
+      while (i <= n - 8) {
+        val w = u.substring(i, i + 8).getBytes
+        md.reset(); md.update(w); md.digest(cur, 0, 16)
+        if (!has || unsignedLess(cur, best)) { val t = best; best = cur; cur = t; has = true }
+        i += 1
+      }
     }
-    UTF8String.fromString(min)
+    UTF8String.fromString(Tokenizer.hexOf(best))
   }
   override protected def withNewChildInternal(newChild: Expression): GraftFingerprint =
     copy(child = newChild)

@@ -148,4 +148,42 @@ class MlSpec extends SparkSpec {
     assert(Engine.parseQuery("a^x ^5 c^") ==
       Seq("a^x" -> 1.0, "^5" -> 1.0, "c^" -> 1.0))
   }
+
+  test("ann multi-probe: recall >= 0.8 on planted near-duplicate structure") {
+    import graft.ml.Ann
+    // 12 clusters of 1 center + 4 noisy copies (cos ~ 0.97) in 300 random
+    // vectors: the regime ANN exists for. On isotropic random embeddings
+    // (the synthetic sf tables) top-k neighbors sit at cos ~ 0.1 and NO
+    // sign-LSH can recall them — that is a property of the data, not the
+    // operator (documented in BASELINE.md).
+    val rnd = new scala.util.Random(1234)
+    def unit(): Array[Double] = {
+      val v = Array.fill(Ann.Dims)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, Seq[Float])]()
+    var id = 0L
+    val centers = (0 until 12).map { _ =>
+      val c = unit()
+      val cid = id
+      rows += ((id, c.map(_.toFloat).toSeq)); id += 1
+      (0 until 4).foreach { _ =>
+        val noisy = c.zip(unit()).map { case (a, b) => a + 0.15 * b }
+        rows += ((id, noisy.map(_.toFloat).toSeq)); id += 1
+      }
+      cid
+    }
+    (0 until 240).foreach { _ => rows += ((id, unit().map(_.toFloat).toSeq)); id += 1 }
+    val emb = rows.toSeq.toDF("vec_id", "embedding")
+    val brute = Ann.bruteTopK(emb, centers, 4)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val multi = Ann.lshTopKMultiProbe(emb, centers, 4)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val single = Ann.lshTopK(emb, centers, 4)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val recallMulti = (brute & multi).size.toDouble / brute.size
+    val recallSingle = (brute & single).size.toDouble / brute.size
+    assert(recallMulti >= 0.8, s"multi-probe recall $recallMulti < 0.8")
+    assert(recallMulti >= recallSingle, "multi-probe must not lose recall")
+  }
 }

@@ -77,4 +77,46 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("range:"), "partition col ok") // sanity only
     assert(p.contains("PushedFilters: [In(term_id"), s"no pushdown:\n$p")
   }
+
+  test("dense-query scan plan: codegen'd hash agg with partial aggregation, no scalar loop") {
+    val hotTerms = engine.index.dictionary
+      .orderBy(col("df").desc, col("term").asc).limit(3)
+      .select(col("term")).as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().toSeq.map(_ -> 1.0)
+    val p = plan(engine.searchByTerms(hotTerms, rows = 30))
+    assert(p.contains("graft_postings"), s"not the scan plan:\n$p")
+    assert(p.contains("HashAggregate"), s"no hash aggregation:\n$p")
+    assert(p.contains("partial_sum") || p.contains("Partial"), s"no partial agg:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"no bounded top-k:\n$p")
+    assert(!p.contains("MapGroups"), s"scalar loop present:\n$p")
+  }
+
+  test("bitmap-filtered search cogroups the filter side-index, never docmeta") {
+    val p = plan(engine.searchByTerms(SparkEntry.FlagshipTerms, rows = 30,
+      docFilter = Some(("lang", "en"))))
+    assert(p.contains("filters"), s"filter side-index not scanned:\n$p")
+    assert(!p.contains("docmeta"), s"docmeta scanned:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(fcol)") || p.contains("EqualTo(fcol,lang)"),
+      s"fcol/value not pushed into the filters scan:\n$p")
+  }
+
+  test("bucketed dedup and multi-probe ANN plans contain no cartesian product") {
+    val emb = spark.read.parquet(s"$sfTiny/embeddings.parquet")
+    val p1 = plan(graft.ml.Dedup.embCosBucketedPairs(emb, 4000L))
+    val p2 = plan(graft.ml.Dedup.simhashBandedPairs(
+      graft.ml.Dedup.simhash(Corpus.fromDocuments(spark, sfTiny)), 2))
+    val p3 = plan(graft.ml.Ann.lshTopKMultiProbe(emb, SparkEntry.AnnQueryIds, 10))
+    for ((p, tag) <- Seq((p1, "embCosBucketed"), (p2, "simhashBanded"), (p3, "multiProbe"))) {
+      assert(!p.contains("CartesianProduct"), s"$tag has a cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$tag has a nested-loop join:\n$p")
+    }
+  }
+
+  test("two-phase re-rank broadcasts the candidate set (big side never shuffles)") {
+    val emb = spark.read.parquet(s"$sfTiny/embeddings.parquet")
+    val p = plan(engine.searchRerank(SparkEntry.FlagshipTerms, emb, 42L,
+      rows = 15, candidates = 50))
+    assert(p.contains("BroadcastHashJoin"), s"candidates not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"big side shuffled:\n$p")
+  }
 }
