@@ -237,4 +237,25 @@ class IndexSpec extends SparkSpec {
       docPred = Some(col("repo") === repo)).collect().map(_.toSeq).toSeq
     assert(f == g)
   }
+
+  test("oversized document: tf clamps at field max instead of failing the build") {
+    import org.apache.spark.sql.functions.sha2
+    val big = "dup " * 70000 + "unique" // tf(w:dup)=70000 > 2^16-1
+    val df = Seq(
+      (0L, "r", "p0", "c0", "en", big),
+      (1L, "r", "p1", "c1", "en", "dup spark"),
+      (2L, "r", "p2", "c2", "en", "spark only here"))
+      .toDF("doc_id", "repo", "path", "commit", "lang", "content")
+      .withColumn("sha", sha2($"content", 256))
+    val d = tmpDir("clamp")
+    IndexBuild.build(spark, df, d, cfg) // must not throw
+    val eng = new Engine(new Index(spark, d))
+    val got = eng.searchByTerms(Seq("w:dup" -> 1.0), rows = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(0L, 1L))
+    // the stored tf is the clamp ceiling, not garbage
+    val maxTf = eng.index.segments.where($"term" === "w:dup")
+      .agg(org.apache.spark.sql.functions.max($"max_tf")).as[Int].head()
+    assert(maxTf == (1 << 16) - 1)
+  }
 }
