@@ -88,7 +88,7 @@ object Bench {
     }
     (1 to 3).foreach(_ => samplePair())
     var extra = 0
-    while (effNow < 0.82 && extra < 3) { samplePair(); extra += 1 }
+    while (effNow < 0.82 && extra < 4) { samplePair(); extra += 1 }
     // full-width point: informational curve only (bus-saturated regime)
     val wide: Map[Int, (Double, Long)] =
       if (cpus != 2 && cpus != 8) Map(cpus -> buildInFreshJvm(corpusDir, cpus, cfg)) else Map.empty

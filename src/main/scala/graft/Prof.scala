@@ -15,6 +15,7 @@ object Prof {
     val sp = args(1).toInt
     val n = args(2).toLong
     val conc = if (args.length > 3) args(3).toInt else 4
+    val filters = if (args.length > 4) args(4).toBoolean else true
     val spark = SparkSession.builder().master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", sp.toString)
       .config("spark.sql.adaptive.enabled", "true")
@@ -31,7 +32,9 @@ object Prof {
       }
     }
     val corpus = spark.read.parquet(dir)
-    val cfg = IndexConfig(segShift = 9, rangeSegsShift = 7, concurrentRanges = conc)
+    val rss = if (args.length > 5) args(5).toInt else 7
+    val cfg = IndexConfig(segShift = 9, rangeSegsShift = rss, concurrentRanges = conc,
+      filterColumns = if (filters) Seq("lang") else Seq.empty)
     // JIT warmup
     IndexBuild.build(spark, corpus.where(col("doc_id") < 2000),
       Files.createTempDirectory("prof-warm-").toString, cfg)

@@ -240,7 +240,13 @@ object IndexBuild {
       val rt0 = System.nanoTime()
       val lo = r << cfg.rangeShift
       val hi = (r + 1) << cfg.rangeShift
+      // the slice is consumed by two passes (postings, docmeta): cache it
+      // so the source is read once per range. A range is the bounded unit
+      // (2^rangeShift docs), so the cache footprint is bounded too;
+      // MEMORY_AND_DISK spills instead of evicting under pressure.
       val slice = corpus.where(col("doc_id") >= lo && col("doc_id") < hi)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
       val posts = partialPostings(spark, slice, cfg)
       val p1 = phase1(spark, posts, cfg)
       // phase 2: partition-local segment files, term-sorted for row-group
@@ -251,12 +257,19 @@ object IndexBuild {
         1 << cfg.rangeSegsShift,
         if (cfg.buildPartitions > 0) cfg.buildPartitions
         else spark.sparkContext.defaultParallelism))
+      // segments and docmeta are independent jobs — launch the segments
+      // write async so the two overlap inside the range (shortens the
+      // per-range critical path; ranges already overlap across the pool)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
       // hash-repartition by seg_id (NOT repartitionByRange: its range
       // sampling would recompute the whole phase-1 lineage a second time)
-      p1.toDF()
-        .repartition(segParts, col("seg_id"))
-        .sortWithinPartitions(col("term_id"), col("seg_id"))
-        .write.mode("overwrite").parquet(s"${segmentsDir(indexDir)}/range=$r")
+      val segF = scala.concurrent.Future {
+        p1.toDF()
+          .repartition(segParts, col("seg_id"))
+          .sortWithinPartitions(col("term_id"), col("seg_id"))
+          .write.mode("overwrite").parquet(s"${segmentsDir(indexDir)}/range=$r")
+      }
       // docmeta (norms/identity side-store); dl via the counting-only
       // tokenizer twin (dl = 2n-1) — no token materialization, no shingle
       // md5s (the column-expression twin is tested identical but ~10x
@@ -270,7 +283,16 @@ object IndexBuild {
             Tokenizer.dlOf(Tokenizer.tokenCountScala(content)))
         }
         .toDF("doc_id", "repo", "path", "commit", "lang", "sha", "dl")
-      meta.write.mode("overwrite").parquet(s"${docmetaDir(indexDir)}/range=$r")
+      // stats + checksum observed DURING the write job (one job, not two):
+      // the observed rows are exactly the rows that flowed into the files,
+      // so the manifest still attests the written data
+      val obs = org.apache.spark.sql.Observation(s"graft-range-$r")
+      meta.observe(obs,
+        sum(when(col("dl") > 0, 1L).otherwise(0L)).as("n_docs"),
+        coalesce(sum(when(col("dl") > 0, col("dl").cast("long")).otherwise(0L)), lit(0L)).as("sum_dl"),
+        count(lit(1)).as("n_rows"),
+        coalesce(expr("bit_xor(xxhash64(concat_ws('|', doc_id, sha)))"), lit(0L)).as("checksum"))
+        .write.mode("overwrite").parquet(s"${docmetaDir(indexDir)}/range=$r")
       // fq filter side-index: one bitmap of segment-local doc ids per
       // (seg_id, column, value), from the WRITTEN docmeta (attested data).
       // Written before the manifest so _SUCCESS covers it. Tiny: total
@@ -292,25 +314,22 @@ object IndexBuild {
             (key._1, key._2, key._3, Bitmaps.serialize(bm))
           }
           .toDF("seg_id", "fcol", "value", "bitmap")
-          .repartition(1)
           .write.mode("overwrite").parquet(s"${filtersDir(indexDir)}/range=$r")
       }
-      // manifest last: _SUCCESS == range committed. Stats aggregated once
-      // from the written docmeta (what's on disk is what's attested).
-      val (nd, sdl, nRows, checksum) = spark.read
-        .parquet(s"${docmetaDir(indexDir)}/range=$r")
-        .agg(
-          sum(when(col("dl") > 0, 1L).otherwise(0L)).as("n_docs"),
-          coalesce(sum(when(col("dl") > 0, col("dl").cast("long")).otherwise(0L)), lit(0L)).as("sum_dl"),
-          count(lit(1)).as("n_rows"),
-          coalesce(expr("bit_xor(xxhash64(concat_ws('|', doc_id, sha)))"), lit(0L)).as("checksum"))
-        .as[(Long, Long, Long, Long)].head()
+      // manifest last: _SUCCESS == range committed (segments write must be
+      // done before the manifest row lands — await the async job here).
+      scala.concurrent.Await.result(segF, scala.concurrent.duration.Duration.Inf)
+      val om = obs.get
+      val (nd, sdl, nRows, checksum) =
+        (om("n_docs").asInstanceOf[Long], om("sum_dl").asInstanceOf[Long],
+          om("n_rows").asInstanceOf[Long], om("checksum").asInstanceOf[Long])
       val m = Seq((r, nd, sdl, nRows, checksum, cfg.segShift, cfg.rangeSegsShift,
         (System.nanoTime() - rt0) / 1000000L))
         .toDF("range_id", "n_docs", "sum_dl", "n_rows", "checksum",
           "seg_shift", "range_segs_shift", "build_ms")
       m.coalesce(1).write.mode("overwrite").parquet(s"${manifestDir(indexDir)}/range=$r")
       (nd, sdl)
+      } finally slice.unpersist(blocking = false)
     }
   }
 }
