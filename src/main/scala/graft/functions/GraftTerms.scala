@@ -150,6 +150,35 @@ case class GraftFingerprint(child: Expression)
     copy(child = newChild)
 }
 
+/** SparkSessionExtensions entry point: register the graft functions on
+  * every session via configuration —
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions` — the
+  * deployment-grade analog of the reference's solrconfig.xml
+  * ValueSourceParser registration (solrconfig.xml:802-803): the cluster
+  * operator wires the functions once; every SQL user gets `graft_terms`,
+  * `graft_doclen`, `graft_postings`, `graft_fingerprint`.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    def info(name: String, usage: String) =
+      new ExpressionInfo(classOf[GraftTerms].getName, null, name, usage, "")
+    ext.injectFunction((FunctionIdentifier("graft_terms"),
+      info("graft_terms", "graft_terms(content) - index terms (words + shingle hashes)"),
+      (exprs: Seq[Expression]) => GraftTerms(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("graft_doclen"),
+      info("graft_doclen", "graft_doclen(content) - analyzed doc length"),
+      (exprs: Seq[Expression]) => GraftDocLen(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("graft_postings"),
+      info("graft_postings", "graft_postings(bytes) - decode a posting list"),
+      (exprs: Seq[Expression]) => GraftPostings(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("graft_fingerprint"),
+      info("graft_fingerprint", "graft_fingerprint(content) - min-hash 8-gram fingerprint"),
+      (exprs: Seq[Expression]) => GraftFingerprint(exprs.head)))
+  }
+}
+
 object GraftFunctions {
   /** Column-space entry points (no registration needed). */
   def graft_terms(c: Column): Column =

@@ -122,4 +122,24 @@ class FunctionsSpec extends SparkSpec {
       assert(got(id) == ps.map(p => (p.local, p.tf, p.dl)).toSeq, s"list $id")
     }
   }
+
+  test("GraftExtensions registers the functions via spark.sql.extensions") {
+    import org.apache.spark.sql.SparkSession
+    // a NEW session over the same context picks up extensions; restore after
+    val prev = spark
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new graft.functions.GraftExtensions()(_))
+        .getOrCreate()
+      val r = s2.sql(
+        "SELECT graft_doclen('a b') AS dl, size(graft_terms('a b')) AS n, " +
+        "graft_fingerprint('abcdefgh') AS fp").collect().head
+      assert(r.getInt(0) == 3 && r.getInt(1) == 3)
+      assert(r.getString(2) == Tokenizer.md5Hex("abcdefgh"))
+    } finally {
+      SparkSession.setActiveSession(prev); SparkSession.setDefaultSession(prev)
+    }
+  }
 }
