@@ -225,6 +225,10 @@ object SparkEntry {
     // lirefunc full-scan exact sort (sort=lirefunc(...) over *:*)
     "q_ann_fullsort" -> ((s, dir) =>
       Ann.fullSort(s.read.parquet(s"$dir/embeddings.parquet"), RerankVecId)),
+    // F3: MetricSpaces reference-point encoding (k nearest of R fixed
+    // reference vectors -> boosted index terms)
+    "q_metricspaces" -> ((s, dir) =>
+      Ann.metricSpacesTerms(s.read.parquet(s"$dir/embeddings.parquet"), 32, 8)),
     // feature-vector encoding (reference's CSV/text-file ingestion family):
     // top-N class-weight cutoff with significance floor -> index terms
     "q_topn_features" -> ((s, dir) =>
@@ -337,6 +341,7 @@ object SparkEntry {
     "q_ann_lsh" -> OracleMl.annLshSql(AnnQueryIds, 10),
     "q_ann_multiprobe" -> OracleMl.annMultiProbeSql(AnnQueryIds, 10),
     "q_ann_fullsort" -> OracleMl.annFullSortSql(RerankVecId),
+    "q_metricspaces" -> OracleMl.metricSpacesSql(32, 8),
     "q_topn_features" -> OracleMl.topNFeaturesSql(8, 0.5),
     "q_minmax_norm" -> OracleMl.minMaxSql,
     "q_lang_id" -> OracleMl.langIdSql,

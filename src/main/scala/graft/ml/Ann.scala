@@ -120,6 +120,43 @@ object Ann {
       .select("query_id", "rank", "vec_id", "cos_q")
   }
 
+  /** MetricSpaces-analog reference-point encoding (the reference's second
+    * hashing family: `MetricSpaces.generateHashString/generateBoostedQuery`
+    * in the LIRE jar — a vector is represented by its k nearest of R fixed
+    * reference points, each an index term, query-side boosted by rank).
+    * Reference points here = the R smallest vec_ids (deterministic, no
+    * stored projection tables). Output (vec_id, ref_rank, term, boost_q):
+    * term "r:<ref id>", boost descending linearly in rank — feed the terms
+    * of one vec_id into searchByTerms over an index of these terms and the
+    * whole text engine becomes a metric-space ANN engine, which is exactly
+    * liresolr's trick.
+    */
+  def metricSpacesTerms(embeddings: DataFrame, r: Int, k: Int): DataFrame = {
+    val refs = embeddings.orderBy(col("vec_id")).limit(r)
+      .select(col("vec_id").as("ref_id"), col("embedding").as("ref_emb"))
+    embeddings.crossJoin(broadcast(refs))
+      .select(col("vec_id"), col("ref_id"),
+        round(cosine(col("embedding"), col("ref_emb")) * lit(1e4)).cast("long").as("cos_q"))
+      .withColumn("ref_rank", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos_q").desc, col("ref_id").asc)).cast("long"))
+      .where(col("ref_rank") <= k)
+      .select(col("vec_id"), col("ref_rank"),
+        concat(lit("r:"), col("ref_id")).as("term"),
+        round((lit(k) - col("ref_rank") + 1) * lit(1e6) / lit(k)).cast("long").as("boost_q"))
+  }
+
+  /** Query-side boosted terms for one vector (generateBoostedQuery). */
+  def msQuery(embeddings: DataFrame, queryVecId: Long, r: Int, k: Int): Seq[(String, Double)] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    metricSpacesTerms(embeddings, r, k)
+      .where(col("vec_id") === lit(queryVecId))
+      .orderBy(col("ref_rank"))
+      .select(col("term"), (col("boost_q").cast("double") / lit(1e6)).as("boost"))
+      .as[(String, Double)].collect().toSeq
+  }
+
   /** The reference's `lirefunc` full-scan exact sort
     * (`select?q=*:*&sort=lirefunc(cl,"FFFF..") asc`, README.md:121-123,
     * LireValueSource.java:68-335): order the ENTIRE corpus by exact

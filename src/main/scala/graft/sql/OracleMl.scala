@@ -185,6 +185,23 @@ object OracleMl {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** MetricSpaces reference-point encoding (mirror of Ann.metricSpacesTerms). */
+  def metricSpacesSql(r: Int, k: Int): String =
+    s"""WITH refs AS (
+       |  SELECT vec_id AS ref_id, embedding AS ref_emb FROM embeddings
+       |  ORDER BY vec_id LIMIT $r),
+       |d AS (
+       |  SELECT e.vec_id, refs.ref_id,
+       |         CAST(round(${cosSql("e.embedding", "refs.ref_emb")} * 10000.0) AS BIGINT) AS cos_q
+       |  FROM embeddings e CROSS JOIN refs),
+       |rk AS (
+       |  SELECT vec_id, ref_id, cos_q,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY cos_q DESC, ref_id ASC) AS ref_rank
+       |  FROM d)
+       |SELECT vec_id, ref_rank, 'r:' || ref_id AS term,
+       |       CAST(round(($k - ref_rank + 1) * 1000000.0 / $k) AS BIGINT) AS boost_q
+       |FROM rk WHERE ref_rank <= $k""".stripMargin
+
   /** lirefunc full-scan exact sort (mirror of Ann.fullSort). */
   def annFullSortSql(queryVecId: Long): String =
     s"""WITH qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = $queryVecId),

@@ -186,4 +186,31 @@ class MlSpec extends SparkSpec {
     assert(recallMulti >= 0.8, s"multi-probe recall $recallMulti < 0.8")
     assert(recallMulti >= recallSingle, "multi-probe must not lose recall")
   }
+
+  test("metric-space terms make the text engine an ANN engine (self-retrieval)") {
+    import graft.index.{IndexBuild, IndexConfig}
+    import graft.query.{Engine, Index}
+    val emb = spark.read.parquet(s"$sfTiny/embeddings.parquet")
+    val ms = Ann.metricSpacesTerms(emb, 32, 8)
+    // encode each vector's ref terms as plain tokens ("r:7" -> "r7") so the
+    // text tokenizer indexes them verbatim as w:r7 — hashing-as-terms
+    val corpus = ms
+      .groupBy($"vec_id")
+      .agg(concat_ws(" ", sort_array(collect_list(
+        regexp_replace($"term", ":", "")))).as("content"))
+      .select($"vec_id".as("doc_id"), lit("r").as("repo"),
+        concat(lit("p"), $"vec_id").as("path"), lit("c").as("commit"),
+        lit("x").as("lang"), $"content")
+      .withColumn("sha", sha2($"content", 256))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ms").toString
+    IndexBuild.build(spark, corpus, dir, IndexConfig(segShift = 6, rangeSegsShift = 2))
+    val eng = new Engine(new Index(spark, dir))
+    val q = Ann.msQuery(emb, 42L, 32, 8).map { case (t, b) => ("w:" + t.replace(":", ""), b) }
+    assert(q.size == 8 && q.head._2 == 1.0 && q.map(_._2) == q.map(_._2).sorted.reverse)
+    val top = eng.searchByTerms(q, rows = 5)
+      .select($"doc_id", $"score_q").as[(Long, Long)].collect().toSeq
+    assert(top.take(5).map(_._1).contains(42L), s"query doc not in top-5: $top")
+    assert(top.filter(_._1 == 42L).head._2 == top.head._2,
+      "query doc must carry the maximal score")
+  }
 }
