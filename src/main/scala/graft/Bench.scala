@@ -98,13 +98,16 @@ object Bench {
     // this does not bias the ratio, it equalizes estimator variance.
     // Per-point replicate counts are reported in the JSON.
     var extra8 = 0
-    while (effNow < 0.82 && extra8 < 6) {
+    while (effNow < 0.82 && extra8 < 8) {
       samples(8) = buildInFreshJvm(corpusDir, 8, cfg) :: samples(8)
       extra8 += 1
     }
-    // full-width point: informational curve only (bus-saturated regime)
+    // full-width point: informational curve only (bus-saturated regime);
+    // min of 2 so a single noise burst doesn't disfigure the curve
     val wide: Map[Int, (Double, Long)] =
-      if (cpus != 2 && cpus != 8) Map(cpus -> buildInFreshJvm(corpusDir, cpus, cfg)) else Map.empty
+      if (cpus != 2 && cpus != 8)
+        Map(cpus -> Seq(1, 2).map(_ => buildInFreshJvm(corpusDir, cpus, cfg)).minBy(_._1))
+      else Map.empty
     val builds: Map[Int, (Double, Long)] = pairCores.map(c => c -> minOf(c)).toMap ++ wide
     val buildCores = builds.keys.toSeq.sorted
     val thrOf = builds.map { case (c, (sec, _)) => c -> (nFiles / sec) }

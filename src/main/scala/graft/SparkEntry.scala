@@ -229,6 +229,9 @@ object SparkEntry {
     // reference vectors -> boosted index terms)
     "q_metricspaces" -> ((s, dir) =>
       Ann.metricSpacesTerms(s.read.parquet(s"$dir/embeddings.parquet"), 32, 8)),
+    // IVF ANN: coarse metric-space cells + probe-P exact re-rank
+    "q_ann_ivf" -> ((s, dir) =>
+      Ann.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"), AnnQueryIds, 10)),
     // feature-vector encoding (reference's CSV/text-file ingestion family):
     // top-N class-weight cutoff with significance floor -> index terms
     "q_topn_features" -> ((s, dir) =>
@@ -342,6 +345,7 @@ object SparkEntry {
     "q_ann_multiprobe" -> OracleMl.annMultiProbeSql(AnnQueryIds, 10),
     "q_ann_fullsort" -> OracleMl.annFullSortSql(RerankVecId),
     "q_metricspaces" -> OracleMl.metricSpacesSql(32, 8),
+    "q_ann_ivf" -> OracleMl.annIvfSql(AnnQueryIds, 10, 32, 4),
     "q_topn_features" -> OracleMl.topNFeaturesSql(8, 0.5),
     "q_minmax_norm" -> OracleMl.minMaxSql,
     "q_lang_id" -> OracleMl.langIdSql,

@@ -157,6 +157,65 @@ object Ann {
       .as[(String, Double)].collect().toSeq
   }
 
+  /** IVF-style ANN over the metric-space cells: coarse cell = a vector's
+    * single nearest reference point, candidates = vectors whose cell is
+    * among the query's `probes` nearest reference points, exact cosine
+    * re-rank inside. The second scale path next to sign-LSH — cells come
+    * from the data's own reference points (as in MetricSpaces) instead of
+    * oblivious hyperplanes.
+    *
+    * Plan shape at scale: cell assignment is a PER-ROW fold over the R
+    * broadcast reference vectors (array_max over struct(cos, -ref) — no
+    * shuffle, no crossJoin, unlike a window-rank formulation which would
+    * shuffle |rows|·R pairs); the probe table is driver-computed from the
+    * handful of query vectors and broadcast; the only shuffle key is the
+    * per-query rank window over candidate rows.
+    */
+  def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+              r: Int = 32, probes: Int = 4): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val refs: Seq[(Long, Seq[Float])] = embeddings.orderBy(col("vec_id")).limit(r)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect().toSeq
+    // driver twin of the quantized cosine (same left-to-right double sums)
+    def cosQ(a: Seq[Float], b: Seq[Float]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      math.round(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e4)
+    }
+    // per-row cell assignment: max of (cos_q, -ref_id) picks the nearest
+    // reference point with the smaller id on ties — same rule as the
+    // oracle's (cos_q DESC, ref_id ASC) ranking
+    val cellExpr = (array_max(array(refs.map { case (rid, rv) =>
+      struct(
+        round(cosine(col("embedding"), typedlit(rv)) * lit(1e4)).cast("long").as("cos_q"),
+        lit(-rid).as("neg_ref"))
+    }: _*)).getField("neg_ref") * lit(-1L)).as("cell")
+    val cells = embeddings.select(col("vec_id"), col("embedding"), cellExpr)
+    val probeRows: Seq[(Long, Long, Seq[Float])] = embeddings
+      .where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect().toSeq
+      .flatMap { case (qid, qv) =>
+        refs.map { case (rid, rv) => (rid, cosQ(qv, rv)) }
+          .sortBy { case (rid, c) => (-c, rid) }.take(probes)
+          .map { case (rid, _) => (qid, rid, qv) }
+      }
+    val probeDf = probeRows.toDF("query_id", "cell", "q_emb")
+    cells.join(broadcast(probeDf), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("embedding")) * lit(1e4)).cast("long").as("cos_q"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_q").desc, col("vec_id").asc)).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cos_q")
+  }
+
   /** The reference's `lirefunc` full-scan exact sort
     * (`select?q=*:*&sort=lirefunc(cl,"FFFF..") asc`, README.md:121-123,
     * LireValueSource.java:68-335): order the ENTIRE corpus by exact

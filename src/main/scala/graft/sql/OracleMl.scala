@@ -202,6 +202,33 @@ object OracleMl {
        |       CAST(round(($k - ref_rank + 1) * 1000000.0 / $k) AS BIGINT) AS boost_q
        |FROM rk WHERE ref_rank <= $k""".stripMargin
 
+  /** IVF ANN over metric-space cells (mirror of Ann.ivfTopK). */
+  def annIvfSql(queryIds: Seq[Long], k: Int, r: Int, probes: Int): String =
+    s"""WITH refs AS (
+       |  SELECT vec_id AS ref_id, embedding AS ref_emb FROM embeddings
+       |  ORDER BY vec_id LIMIT $r),
+       |d AS (
+       |  SELECT e.vec_id, e.embedding, refs.ref_id,
+       |         CAST(round(${cosSql("e.embedding", "refs.ref_emb")} * 10000.0) AS BIGINT) AS cos_q
+       |  FROM embeddings e CROSS JOIN refs),
+       |rk AS (
+       |  SELECT vec_id, embedding, ref_id, cos_q,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY cos_q DESC, ref_id ASC) AS rnk
+       |  FROM d),
+       |cells AS (SELECT vec_id, embedding, ref_id AS cell FROM rk WHERE rnk = 1),
+       |q AS (SELECT vec_id AS query_id, embedding AS q_emb, ref_id AS cell
+       |      FROM rk WHERE vec_id IN (${queryIds.mkString(", ")}) AND rnk <= $probes),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id,
+       |         CAST(round(${cosSql("q.q_emb", "c.embedding")} * 10000.0) AS BIGINT) AS cos_q
+       |  FROM cells c JOIN q ON c.cell = q.cell WHERE c.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cos_q,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos_q DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, vec_id, cos_q FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
   /** lirefunc full-scan exact sort (mirror of Ann.fullSort). */
   def annFullSortSql(queryVecId: Long): String =
     s"""WITH qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = $queryVecId),

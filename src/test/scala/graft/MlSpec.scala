@@ -213,4 +213,41 @@ class MlSpec extends SparkSpec {
     assert(top.filter(_._1 == 42L).head._2 == top.head._2,
       "query doc must carry the maximal score")
   }
+
+  test("atom feed source: entries parse and flow end-to-end into the index") {
+    import graft.corpus.{Atom, Corpus}
+    import graft.index.{IndexBuild, IndexConfig}
+    import graft.query.{Engine, Index}
+    val feed =
+      """<?xml version="1.0" encoding="utf-8"?>
+        |<feed xmlns="http://www.w3.org/2005/Atom">
+        | <title>public photos</title>
+        | <entry>
+        |  <title>sunset over spark</title>
+        |  <link rel="alternate" href="https://example.org/p/1"/>
+        |  <link rel="enclosure" href="https://example.org/img/1.jpg"/>
+        |  <author><name>alice</name><uri>users/alice</uri></author>
+        |  <category term="sunset"/><category term="orange"/>
+        | </entry>
+        | <entry>
+        |  <title>harbor crane</title>
+        |  <link rel="alternate" href="https://example.org/p/2"/>
+        |  <author><name>bob</name><uri>users/bob</uri></author>
+        |  <category term="harbor"/>
+        | </entry>
+        |</feed>""".stripMargin
+    val entries = Atom.parseFeed(feed)
+    assert(entries.map(_.title) == Seq("sunset over spark", "harbor crane"))
+    assert(entries.head.tags == Seq("sunset", "orange"))
+    assert(entries.head.mediaUrl == "https://example.org/img/1.jpg")
+    assert(entries(1).mediaUrl == "https://example.org/p/2") // fallback to page link
+    val corpus = Corpus.withDocIds(Atom.fromFeeds(spark.createDataset(Seq(feed))), 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-atom").toString
+    IndexBuild.build(spark, corpus, dir, IndexConfig(segShift = 4, rangeSegsShift = 1))
+    val eng = new Engine(new Index(spark, dir))
+    val hit = eng.searchByTerms(Seq("w:harbor" -> 1.0), rows = 5)
+    val metaHit = eng.index.docmeta
+      .join(hit, Seq("doc_id")).select($"path").as[String].collect().toSeq
+    assert(metaHit == Seq("https://example.org/p/2"))
+  }
 }
