@@ -248,6 +248,9 @@ object SparkEntry {
     "q_binary_meta" -> ((s, dir) =>
       Binary.asBinaryTable(Corpus.fromDocuments(s, dir))
         .select("doc_id", "byte_len", "sha", "head_hex")),
+    // multimodal frame sampling: 32-char frames, every 2nd frame
+    "q_frame_sample" -> ((s, dir) =>
+      Binary.frameSample(Corpus.fromDocuments(s, dir), 32, 2)),
     // J3/P1: top-k hits broadcast-joined to stored fields
     "q_search_fields" -> ((s, dir) =>
       Engine.forDir(s, dir).searchWithFields(FlagshipTerms,
@@ -353,6 +356,7 @@ object SparkEntry {
     "q_token_count" -> OracleMl.tokenCountsSql,
     "q_fingerprint" -> OracleMl.fingerprintSql,
     "q_binary_meta" -> OracleMl.binaryMetaSql,
+    "q_frame_sample" -> OracleMl.frameSampleSql(32, 2),
     "q_search_fields" -> Oracle.withPrelude(
       s"""     , ${Oracle.qFromValues(FlagshipTerms)},
          |${Oracle.bm25Body(None)}

@@ -65,4 +65,57 @@ object Binary {
     val total = payload.length.toFloat
     bins.map(_ / total)
   }
+
+  /** Frame sampling over an opaque payload (the video frame-sample
+    * analog): fixed-width frames taken every `stride` frames — frame j
+    * covers characters [j·width·stride + 1, width]; payloads shorter than
+    * one frame yield no rows. Emits the frame IDENTITY (sha) rather than
+    * the bytes so the downstream table stays narrow; swap sha2 for the
+    * frame payload column when a decoder consumes it. Per-row columnar
+    * expression — no shuffle, prunes to (doc_id, content) at the scan.
+    * Output (doc_id, frame_idx, frame_sha).
+    */
+  def frameSample(corpus: DataFrame, width: Int, stride: Int): DataFrame = {
+    val step = width * stride
+    corpus
+      .where(length(col("content")) >= width)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), floor((length(col("content")) - width) / step).cast("int")),
+          j => sha2(encode(col("content").substr(j * step + 1, lit(width)), "UTF-8"), 256))))
+      .toDF("doc_id", "frame_idx", "frame_sha")
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"), col("frame_sha"))
+  }
+
+  /** Resize stub (the reference resizes images to max side 512 before
+    * feature extraction, ParallelSolrIndexer.java:92-96): deterministic
+    * downsample keeping every `factor`-th character, with the metadata a
+    * real resize would carry. Typed partition pass (mapInPandas-shaped,
+    * like [[extractFeatures]]); swap [[resizeOne]] for a codec call.
+    * Output (doc_id, orig_len, new_len, resized_sha).
+    */
+  def resize(spark: SparkSession, corpus: DataFrame, factor: Int): DataFrame = {
+    import spark.implicits._
+    corpus.select(col("doc_id"), col("content")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        it.map { case (id, content) =>
+          val resized = resizeOne(content, factor)
+          md.reset()
+          val sha = graft.analyze.Tokenizer.hexOf(
+            md.digest(resized.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          (id, content.length.toLong, resized.length.toLong, sha)
+        }
+      }
+      .toDF("doc_id", "orig_len", "new_len", "resized_sha")
+  }
+
+  /** The swappable resize stub: every factor-th character. */
+  def resizeOne(content: String, factor: Int): String = {
+    if (content == null || content.isEmpty) return ""
+    val sb = new StringBuilder(content.length / factor + 1)
+    var i = 0
+    while (i < content.length) { sb.append(content.charAt(i)); i += factor }
+    sb.result()
+  }
 }

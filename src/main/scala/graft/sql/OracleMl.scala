@@ -369,6 +369,18 @@ object OracleMl {
        |  GROUP BY doc_id)
        |SELECT c.doc_id, fp.fp FROM corpus c LEFT JOIN fp ON fp.doc_id = c.doc_id""".stripMargin)
 
+  /** Frame sampling (mirror of Binary.frameSample). */
+  def frameSampleSql(width: Int, stride: Int): String = {
+    val step = width * stride
+    withPrelude(
+      s"""SELECT doc_id, j::BIGINT AS frame_idx,
+         |       sha256(substr(content, j * $step + 1, $width)) AS frame_sha
+         |FROM corpus,
+         |     unnest(generate_series(0,
+         |       CAST(floor((length(content) - $width) / $step) AS BIGINT))) g(j)
+         |WHERE length(content) >= $width""".stripMargin)
+  }
+
   def binaryMetaSql: String = withPrelude(
     s"""SELECT doc_id,
        |       octet_length(content::BLOB)::BIGINT AS byte_len,

@@ -250,4 +250,26 @@ class MlSpec extends SparkSpec {
       .join(hit, Seq("doc_id")).select($"path").as[String].collect().toSeq
     assert(metaHit == Seq("https://example.org/p/2"))
   }
+
+  test("multimodal resize + frame-sample plumbing: deterministic, shape-correct") {
+    import graft.multimodal.Binary
+    assert(Binary.resizeOne("abcdefgh", 2) == "aceg")
+    assert(Binary.resizeOne("", 3) == "")
+    val rs = Binary.resize(spark, corpus, 4)
+      .as[(Long, Long, Long, String)].collect()
+    assert(rs.forall { case (_, o, n, _) => n == (o + 3) / 4 })
+    val fs = Binary.frameSample(corpus, 32, 2)
+    val byDoc = fs.groupBy($"doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    val lens = corpus.select($"doc_id", length($"content")).as[(Long, Int)].collect()
+    lens.foreach { case (id, len) =>
+      val expect = if (len >= 32) (len - 32) / 64 + 1 else 0
+      assert(byDoc.getOrElse(id, 0L) == expect, s"doc $id len $len")
+    }
+    // frames are reproducible content identities
+    val a = fs.orderBy($"doc_id", $"frame_idx").collect().map(_.toSeq).toSeq
+    val b = Binary.frameSample(corpus, 32, 2)
+      .orderBy($"doc_id", $"frame_idx").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
 }
