@@ -181,10 +181,14 @@ class MlSpec extends SparkSpec {
       .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
     val single = Ann.lshTopK(emb, centers, 4)
       .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Ann.ivfTopK(emb, centers, 4)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
     val recallMulti = (brute & multi).size.toDouble / brute.size
     val recallSingle = (brute & single).size.toDouble / brute.size
+    val recallIvf = (brute & ivf).size.toDouble / brute.size
     assert(recallMulti >= 0.8, s"multi-probe recall $recallMulti < 0.8")
     assert(recallMulti >= recallSingle, "multi-probe must not lose recall")
+    assert(recallIvf >= 0.8, s"ivf recall $recallIvf < 0.8")
   }
 
   test("metric-space terms make the text engine an ANN engine (self-retrieval)") {
