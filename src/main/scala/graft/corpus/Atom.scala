@@ -30,6 +30,7 @@ object Atom {
   private final class FeedHandler extends DefaultHandler {
     val entries = scala.collection.mutable.ListBuffer[AtomEntry]()
     private var inEntry = false
+    private var inSource = false // <source> metadata inside an entry is NOT the entry's
     private var inTitle = false
     private var inAuthor = false
     private var inAuthorName = false
@@ -40,22 +41,25 @@ object Atom {
     private var link = ""
     private var mediaUrl = ""
     private var tags = scala.collection.mutable.ListBuffer[String]()
+    private def inOwn = inEntry && !inSource
 
     override def startElement(uri: String, local: String, qName: String,
                               atts: Attributes): Unit = qName match {
       case "entry" =>
-        inEntry = true; title.clear(); authorName.clear(); authorUri.clear()
+        inEntry = true; inSource = false
+        title.clear(); authorName.clear(); authorUri.clear()
         link = ""; mediaUrl = ""; tags = scala.collection.mutable.ListBuffer[String]()
-      case "title" if inEntry => inTitle = true
-      case "author" if inEntry => inAuthor = true
+      case "source" if inEntry => inSource = true
+      case "title" if inOwn => inTitle = true
+      case "author" if inOwn => inAuthor = true
       case "name" if inAuthor => inAuthorName = true
       case "uri" if inAuthor => inAuthorUri = true
-      case "link" if inEntry =>
+      case "link" if inOwn =>
         val rel = Option(atts.getValue("rel")).getOrElse("alternate")
         val href = Option(atts.getValue("href")).getOrElse("")
         if (rel == "enclosure") mediaUrl = href
         else if (rel == "alternate" && link.isEmpty) link = href
-      case "category" if inEntry =>
+      case "category" if inOwn =>
         Option(atts.getValue("term")).filter(_.nonEmpty).foreach(tags += _)
       case _ =>
     }
@@ -66,6 +70,7 @@ object Atom {
         entries += AtomEntry(title.toString.trim, link,
           if (mediaUrl.nonEmpty) mediaUrl else link,
           authorName.toString.trim, authorUri.toString.trim, tags.toSeq)
+      case "source" => inSource = false
       case "title" => inTitle = false
       case "author" => inAuthor = false
       case "name" => inAuthorName = false
@@ -102,9 +107,13 @@ object Atom {
     import spark.implicits._
     feeds.flatMap(parseFeed _)
       .select(
-        org.apache.spark.sql.functions.coalesce(
-          org.apache.spark.sql.functions.col("authorId"),
-          org.apache.spark.sql.functions.col("author")).as("repo"),
+        // authorId is "" (not null) when the feed has no <uri>: fall back
+        // to the author NAME on empty, not on null
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.length(
+            org.apache.spark.sql.functions.col("authorId")) > 0,
+          org.apache.spark.sql.functions.col("authorId"))
+          .otherwise(org.apache.spark.sql.functions.col("author")).as("repo"),
         org.apache.spark.sql.functions.col("mediaUrl").as("path"),
         org.apache.spark.sql.functions.md5(
           org.apache.spark.sql.functions.concat_ws("|",

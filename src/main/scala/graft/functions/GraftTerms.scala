@@ -162,19 +162,23 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    def info(name: String, usage: String) =
-      new ExpressionInfo(classOf[GraftTerms].getName, null, name, usage, "")
+    def info(cls: Class[_], name: String, usage: String) =
+      new ExpressionInfo(cls.getName, null, name, usage, "")
     ext.injectFunction((FunctionIdentifier("graft_terms"),
-      info("graft_terms", "graft_terms(content) - index terms (words + shingle hashes)"),
+      info(classOf[GraftTerms], "graft_terms",
+        "graft_terms(content) - index terms (words + shingle hashes)"),
       (exprs: Seq[Expression]) => GraftTerms(exprs.head)))
     ext.injectFunction((FunctionIdentifier("graft_doclen"),
-      info("graft_doclen", "graft_doclen(content) - analyzed doc length"),
+      info(classOf[GraftDocLen], "graft_doclen",
+        "graft_doclen(content) - analyzed doc length"),
       (exprs: Seq[Expression]) => GraftDocLen(exprs.head)))
     ext.injectFunction((FunctionIdentifier("graft_postings"),
-      info("graft_postings", "graft_postings(bytes) - decode a posting list"),
+      info(classOf[GraftPostings], "graft_postings",
+        "graft_postings(bytes) - decode a posting list"),
       (exprs: Seq[Expression]) => GraftPostings(exprs.head)))
     ext.injectFunction((FunctionIdentifier("graft_fingerprint"),
-      info("graft_fingerprint", "graft_fingerprint(content) - min-hash 8-gram fingerprint"),
+      info(classOf[GraftFingerprint], "graft_fingerprint",
+        "graft_fingerprint(content) - min-hash 8-gram fingerprint"),
       (exprs: Seq[Expression]) => GraftFingerprint(exprs.head)))
   }
 }

@@ -279,8 +279,10 @@ object IndexBuild {
           col("lang"), col("sha"), col("content"))
         .as[(Long, String, String, String, String, String, String)]
         .map { case (id, repo, path, commit, lang, sha, content) =>
+          // same MaxDl clamp as pack(): docmeta dl, manifest sum_dl and the
+          // postings' inlined dl must agree for oversized docs
           (id, repo, path, commit, lang, sha,
-            Tokenizer.dlOf(Tokenizer.tokenCountScala(content)))
+            math.min(Tokenizer.dlOf(Tokenizer.tokenCountScala(content)), MaxDl))
         }
         .toDF("doc_id", "repo", "path", "commit", "lang", "sha", "dl")
       // stats + checksum observed DURING the write job (one job, not two):

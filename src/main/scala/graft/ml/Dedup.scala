@@ -198,9 +198,9 @@ object Dedup {
   }
 
   /** Near-dup pairs by simhash hamming distance. NOTE: the self-join here
-    * is all-pairs — correct at oracle scale; at 100 TB this must go
-    * through banding (split the 16 bits into 4 bands, join per band) like
-    * minhashPairs; the banded variant is [[simhashBandedPairs]].
+    * is all-pairs — an oracle-scale cross-check ONLY; the gated scale path
+    * is [[simhashBandedPairs]] ([[SimhashBands]] bands of
+    * [[SimhashBandBits]] bits, per-band equi-join).
     */
   def simhashPairs(sim: DataFrame, maxHamming: Int): DataFrame = {
     val a = sim.select(col("doc_id").as("doc_a"), col("simhash").as("h_a"))

@@ -169,9 +169,13 @@ final class Engine(val index: Index) {
       t -> g.map(x => x._2 * Bm25.idf(x._3.toDouble, n.toDouble)).sum
     }
     // equality fq on a filter-indexed column: the persisted per-segment
-    // bitmap path (no docmeta scan); otherwise fall back to a predicate
+    // bitmap path (no docmeta scan) — but ONLY when it is the sole filter;
+    // a docFilter combined with an arbitrary docPred routes through the
+    // predicate path with both conditions ANDed (the bitmap path would
+    // silently drop the predicate otherwise)
     val (bitmapFq, pred) = docFilter match {
-      case Some((c, v)) if index.filterCols.contains(c) => (docFilter, docPred)
+      case Some((c, v)) if docPred.isEmpty && index.filterCols.contains(c) =>
+        (docFilter, None)
       case Some((c, v)) =>
         (None, Some(docPred.map(_ && col(c) === lit(v)).getOrElse(col(c) === lit(v))))
       case None => (None, docPred)

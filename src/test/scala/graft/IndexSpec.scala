@@ -258,4 +258,18 @@ class IndexSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.max($"max_tf")).as[Int].head()
     assert(maxTf == (1 << 16) - 1)
   }
+
+  test("docFilter combined with docPred applies BOTH conditions") {
+    val both = engine.searchByTerms(SparkEntry.FlagshipTerms, rows = 30,
+      docPred = Some(col("doc_id") < 250), docFilter = Some(("lang", "en")))
+      .collect().map(_.toSeq).toSeq
+    val ref = engine.searchByTerms(SparkEntry.FlagshipTerms, rows = 30,
+      docPred = Some(col("lang") === "en" && col("doc_id") < 250))
+      .collect().map(_.toSeq).toSeq
+    assert(both == ref)
+    // and it differs from the single-filter results (both conditions bite)
+    val only = engine.searchByTerms(SparkEntry.FlagshipTerms, rows = 30,
+      docFilter = Some(("lang", "en"))).collect().map(_.toSeq).toSeq
+    assert(both != only)
+  }
 }

@@ -276,4 +276,32 @@ class MlSpec extends SparkSpec {
       .orderBy($"doc_id", $"frame_idx").collect().map(_.toSeq).toSeq
     assert(a == b)
   }
+
+  test("atom parser: <source> metadata is not the entry's; uri-less author falls back") {
+    import graft.corpus.Atom
+    val feed =
+      """<?xml version="1.0"?>
+        |<feed xmlns="http://www.w3.org/2005/Atom">
+        | <entry>
+        |  <title>own title</title>
+        |  <link rel="alternate" href="https://example.org/p/9"/>
+        |  <author><name>carol</name></author>
+        |  <category term="own"/>
+        |  <source>
+        |   <title>Planet Feed</title>
+        |   <link rel="enclosure" href="https://planet.example/other.jpg"/>
+        |   <category term="meta"/>
+        |   <author><name>planet</name><uri>users/planet</uri></author>
+        |  </source>
+        | </entry>
+        |</feed>""".stripMargin
+    val e = Atom.parseFeed(feed).head
+    assert(e.title == "own title", s"source title leaked: ${e.title}")
+    assert(e.tags == Seq("own"), s"source category leaked: ${e.tags}")
+    assert(e.mediaUrl == "https://example.org/p/9", "source enclosure leaked")
+    assert(e.author == "carol" && e.authorId == "")
+    val repo = Atom.fromFeeds(spark.createDataset(Seq(feed)))
+      .select($"repo").as[String].head()
+    assert(repo == "carol", "uri-less author must fall back to the name")
+  }
 }
