@@ -77,6 +77,11 @@ object Bench {
     // when efficiency still looks noise-depressed), BOTH points re-sampled
     // together so no point gets a selective advantage.
     val pairCores = Seq(2, 8)
+    val benchT0 = System.nanoTime()
+    def elapsedMin: Double = (System.nanoTime() - benchT0) / 6e10
+    // soft wall-clock budget for the build-sampling phase: extra draws stop
+    // past this so a worst-case noisy run stays within the harness's patience
+    val SampleBudgetMin = 20.0
     val samples = scala.collection.mutable.Map[Int, List[(Double, Long)]]()
       .withDefaultValue(Nil)
     def samplePair(): Unit =
@@ -88,7 +93,9 @@ object Bench {
     }
     (1 to 3).foreach(_ => samplePair())
     var extra = 0
-    while (effNow < 0.82 && extra < 3) { samplePair(); extra += 1 }
+    while (effNow < 0.82 && extra < 3 && elapsedMin < SampleBudgetMin) {
+      samplePair(); extra += 1
+    }
     // Variance-matched re-sampling of the SHORT point: an 8-core run
     // (~30 s) can be engulfed whole by a noise burst while a 2-core run
     // (~90 s) averages over it, so the 8-core min has far higher variance
@@ -100,7 +107,7 @@ object Bench {
     // margin over the 0.8 target larger than that residual. Per-point
     // replicate counts are reported in the JSON.
     var extra8 = 0
-    while (effNow < 0.82 && extra8 < 8) {
+    while (effNow < 0.82 && extra8 < 8 && elapsedMin < SampleBudgetMin) {
       samples(8) = buildInFreshJvm(corpusDir, 8, cfg) :: samples(8)
       if (extra8 % 3 == 2)
         samples(2) = buildInFreshJvm(corpusDir, 2, cfg) :: samples(2)
@@ -110,7 +117,8 @@ object Bench {
     // min of 2 so a single noise burst doesn't disfigure the curve
     val wide: Map[Int, (Double, Long)] =
       if (cpus != 2 && cpus != 8)
-        Map(cpus -> Seq(1, 2).map(_ => buildInFreshJvm(corpusDir, cpus, cfg)).minBy(_._1))
+        Map(cpus -> (1 to (if (elapsedMin < SampleBudgetMin) 2 else 1))
+          .map(_ => buildInFreshJvm(corpusDir, cpus, cfg)).minBy(_._1))
       else Map.empty
     val builds: Map[Int, (Double, Long)] = pairCores.map(c => c -> minOf(c)).toMap ++ wide
     val buildCores = builds.keys.toSeq.sorted
