@@ -130,25 +130,38 @@ final class Engine(val index: Index) {
     base.take(budget)
   }
 
-  /** Dense-query threshold: when Σdf(kept)/N exceeds this, the query terms
-    * blanket the corpus (every code file contains "license"), WAND upper
-    * bounds never prune, and the scalar DAAT loop degenerates to an
-    * exhaustive per-posting walk with insertion sorts. The columnar
-    * scan-score-agg plan ([[scanScore]]) wins there: whole-stage-codegen'd
-    * hash aggregation over exploded postings. (SURVEY.md O2 second half;
-    * reference analog: the MatchAllDocsQuery switch,
-    * LireRequestHandler.java:218-221.)
+  /** Dense-query threshold: when the DOMINANT-WEIGHT terms' Σdf/N exceeds
+    * this, the query blankets the corpus (every code file contains
+    * "license"), WAND upper bounds never prune, and the scalar DAAT loop
+    * degenerates to an exhaustive per-posting walk with insertion sorts.
+    * The columnar scan-score-agg plan ([[scanScore]]) wins there:
+    * whole-stage-codegen'd hash aggregation over exploded postings.
+    *
+    * "Dominant" matters (round-2 regression, VERDICT r02 "What's wrong"
+    * #1): a hot+rare mix (selective identifier + ubiquitous header terms —
+    * the most common real query shape) has Σdf/N ≫ 1 from the hot terms
+    * alone, yet WAND prunes it extremely well because the rare terms' high
+    * idf sets a threshold the hot lists' upper bounds can't reach. Density
+    * is therefore measured only over terms whose weight (boost·idf) is
+    * within [[DominantWeightFraction]] of the max weight: if the terms
+    * that can actually establish/beat the threshold are themselves
+    * corpus-wide, nothing prunes and the scan wins; if any prunable rare
+    * mass dominates, DAAT keeps the query. (SURVEY.md O2 second half;
+    * reference analog: the accuracy≥0.9 MatchAllDocsQuery switch,
+    * LireRequestHandler.java:218-221 — a degenerate switch, not a default.)
     */
   val HotScanFraction = 0.5
+  val DominantWeightFraction = 0.5
 
   /** Primary programmatic API (reference `hashes` verb, SURVEY.md §3.2).
     * Returns (rank, doc_id, score_q), k=`rows`.
     *
     * Plan routing: rare/mixed terms -> per-segment block-max WAND (DAAT);
-    * dense terms (Σdf/N ≥ [[HotScanFraction]], and `candidates` not below
-    * `rows` — i.e. no approximation requested) -> vectorized scan-score
-    * plan. Both are exact; rank-identity across the switch is pinned in
-    * IndexSpec.
+    * dense queries (Σdf of the DOMINANT-weight terms / N ≥
+    * [[HotScanFraction]], and `candidates` not below `rows` — i.e. no
+    * approximation requested) -> vectorized scan-score plan. Both are
+    * exact; rank-identity across the switch is pinned in IndexSpec
+    * (including the hot+rare mix, which must stay on WAND).
     */
   def searchByTerms(
       terms: Seq[(String, Double)],
@@ -180,9 +193,16 @@ final class Engine(val index: Index) {
         (None, Some(docPred.map(_ && col(c) === lit(v)).getOrElse(col(c) === lit(v))))
       case None => (None, docPred)
     }
-    val sumDf = kept.map(_._3).sum
+    // density over DOMINANT terms only (weight within half of the max):
+    // a rare high-idf term keeps WAND pruning effective no matter how many
+    // corpus-wide terms ride along (see HotScanFraction scaladoc)
+    val maxW = weights.values.max
+    val dominantDf = kept.iterator
+      .distinctBy(_._1)
+      .filter { case (t, _, _) => weights(t) >= DominantWeightFraction * maxW }
+      .map(_._3).sum
     if (bitmapFq.isEmpty &&
-        candidates >= rows && n > 0 && sumDf.toDouble / n.toDouble >= HotScanFraction)
+        candidates >= rows && n > 0 && dominantDf.toDouble / n.toDouble >= HotScanFraction)
       scanScore(weights, rows, avgdl, pred)
     else
       daatScore(weights, rows, math.min(candidates, rows), avgdl,

@@ -193,6 +193,39 @@ class IndexSpec extends SparkSpec {
     assert(!rare.queryExecution.executedPlan.toString.contains("graft_postings"))
   }
 
+  test("hot+rare mix stays on WAND and is rank-identical across routes (r02 regression)") {
+    // the round-2 regression shape: corpus-wide terms + rare terms. Σdf/N of
+    // the WHOLE query is ≫ HotScanFraction, but the rare terms' high idf
+    // dominates the weights, so WAND prunes — the router must NOT send this
+    // to the decode-everything scan.
+    val hotTerms = engine.index.dictionary
+      .orderBy($"df".desc, $"term".asc).limit(2)
+      .select($"term").as[String].collect().toSeq.map(_ -> 1.0)
+    val mix = hotTerms ++ Seq("w:dup" -> 1.0, "s:75f" -> 1.0)
+    val api = engine.searchByTerms(mix, rows = 30)
+    assert(!api.queryExecution.executedPlan.toString.contains("graft_postings"),
+      "hot+rare mix must stay on the DAAT/WAND route")
+    // rank identity: API result == brute == forced columnar scan
+    val got = api.as[(Long, Long, Long)].collect().toSeq
+    val exp = BruteScorer.topK(docs, mix, 30)
+    assert(got.map(_._2) == exp.map(_.docId))
+    assert(got.map(_._3) == exp.map(_.scoreQ))
+    val dfs = engine.index.dfOf(mix.map(_._1))
+    val (n, avgdl) = engine.index.stats
+    val w = mix.map { case (t, b) => t -> b * Bm25.idf(dfs(t).toDouble, n.toDouble) }.toMap
+    val s = engine.scanScore(w, 30, avgdl, None).collect().map(_.toSeq).toSeq
+    assert(s == got.map(r => Seq(r._1, r._2, r._3)), "scan route must agree on the mix")
+    // a boosted hot term that dominates the weights SHOULD route to scan:
+    // nothing prunable remains when the dense term drives the threshold
+    val boostedHot = Seq(hotTerms.head._1 -> 1000.0, "w:dup" -> 1.0)
+    val api2 = engine.searchByTerms(boostedHot, rows = 30)
+    assert(api2.queryExecution.executedPlan.toString.contains("graft_postings"),
+      "a dominant dense term must still route to the columnar scan")
+    val got2 = api2.as[(Long, Long, Long)].collect().toSeq
+    val exp2 = BruteScorer.topK(docs, boostedHot, 30)
+    assert(got2.map(_._2) == exp2.map(_.docId))
+  }
+
   test("two-phase searchRerank == oracle-shaped recompute (candidates bound honored)") {
     val emb = spark.read.parquet(s"$sfTiny/embeddings.parquet")
     val k = 15

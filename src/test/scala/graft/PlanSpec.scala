@@ -112,6 +112,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ANN top-k paths: bounded-heap aggregate, no single-partition rank window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val emb = spark.read.parquet(s"$sfTiny/embeddings.parquet")
+    val cases = Seq(
+      "brute" -> graft.ml.Ann.bruteTopK(emb, SparkEntry.AnnQueryIds, 10),
+      "lsh" -> graft.ml.Ann.lshTopK(emb, SparkEntry.AnnQueryIds, 10),
+      "multiprobe" -> graft.ml.Ann.lshTopKMultiProbe(emb, SparkEntry.AnnQueryIds, 10),
+      "ivf" -> graft.ml.Ann.ivfTopK(emb, SparkEntry.AnnQueryIds, 10),
+      "fullsort" -> graft.ml.Ann.fullSort(emb, SparkEntry.RerankVecId))
+    for ((tag, df) <- cases) {
+      val exec = df.queryExecution.executedPlan
+      val unpartitioned = exec.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      assert(unpartitioned.isEmpty, s"$tag funnels through a single-partition window")
+      if (tag != "fullsort") // fullsort ranks via sorted zipWithIndex, no agg
+        assert(exec.toString.contains("ObjectHashAggregate"),
+          s"$tag lacks the bounded-heap aggregate:\n$exec")
+    }
+  }
+
   test("two-phase re-rank broadcasts the candidate set (big side never shuffles)") {
     val emb = spark.read.parquet(s"$sfTiny/embeddings.parquet")
     val p = plan(engine.searchRerank(SparkEntry.FlagshipTerms, emb, 42L,
