@@ -84,7 +84,7 @@ object SparkEntry {
       Bm25.dictionary(Bm25.postings(Corpus.fromDocuments(s, dir)))),
     // doc lengths (norms side-store analog of *_hi DocValues)
     "q_doclens" -> ((s, dir) =>
-      Bm25.docLens(Bm25.postings(Corpus.fromDocuments(s, dir)))),
+      Bm25.docLens(Corpus.fromDocuments(s, dir))),
     // A2/A3/T3-T5: flagship BM25 top-k with tie-break
     "q_bm25_topk" -> ((s, dir) =>
       Bm25.scoreTopK(s, Corpus.fromDocuments(s, dir), FlagshipTerms, 60)),
@@ -206,11 +206,21 @@ object SparkEntry {
     "q_simhash_allpairs" -> ((s, dir) =>
       Dedup.simhashPairs(
         Dedup.simhash(Corpus.fromDocuments(s, dir)), 2)),
+    // scale parameterization of the SAME semantics: maxHamming+1 bands of
+    // maximal width (3x~21 bits => ~2M buckets/band instead of 256) — must
+    // hash-match the all-pairs oracle exactly like the 8-band default does
+    "q_simhash_pairs_3band" -> ((s, dir) =>
+      Dedup.simhashBandedPairs(
+        Dedup.simhash(Corpus.fromDocuments(s, dir)), 2, Dedup.simhashBandsFor(2))),
     // embedding-cosine near-dup pairs (cos_q >= 0.4 quantized): gated =
     // sign-LSH bucketed (equi-join, reuses Ann's buckets); all-pairs kept
     // as the oracle-scale cross-check of the unbucketed semantics
     "q_dedup_embcos" -> ((s, dir) =>
       Dedup.embCosBucketedPairs(s.read.parquet(s"$dir/embeddings.parquet"), 4000L)),
+    // wider bucket space (the log2(N/bucketTarget) scaling knob) — the
+    // candidate set depends on bits, so the oracle carries the same width
+    "q_dedup_embcos_wide" -> ((s, dir) =>
+      Dedup.embCosBucketedPairs(s.read.parquet(s"$dir/embeddings.parquet"), 4000L, bits = 10)),
     "q_embcos_allpairs" -> ((s, dir) =>
       Dedup.embCosPairs(s.read.parquet(s"$dir/embeddings.parquet"), 4000L)),
     // ANN: brute-force cosine top-10 for 3 query vectors
@@ -341,7 +351,9 @@ object SparkEntry {
     "q_dedup_simhash" -> OracleMl.simhashSql,
     "q_simhash_pairs" -> OracleMl.simhashPairsSql(2),
     "q_simhash_allpairs" -> OracleMl.simhashPairsSql(2),
+    "q_simhash_pairs_3band" -> OracleMl.simhashPairsSql(2),
     "q_dedup_embcos" -> OracleMl.embCosBucketedSql(4000L),
+    "q_dedup_embcos_wide" -> OracleMl.embCosBucketedSql(4000L, bits = 10),
     "q_embcos_allpairs" -> OracleMl.embCosPairsSql(4000L),
     "q_ann_brute" -> OracleMl.annBruteSql(AnnQueryIds, 10),
     "q_ann_lsh" -> OracleMl.annLshSql(AnnQueryIds, 10),

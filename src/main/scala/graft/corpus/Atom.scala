@@ -43,8 +43,15 @@ object Atom {
     private var tags = scala.collection.mutable.ListBuffer[String]()
     private def inOwn = inEntry && !inSource
 
+    // namespace-aware: match the local name so prefixed feeds
+    // (<atom:entry>, <atom:title>) parse identically to default-namespace
+    // ones; qName fallback covers non-namespace-aware parser configs
+    private def nameOf(local: String, qName: String): String =
+      if (local != null && local.nonEmpty) local
+      else qName.substring(qName.indexOf(':') + 1)
+
     override def startElement(uri: String, local: String, qName: String,
-                              atts: Attributes): Unit = qName match {
+                              atts: Attributes): Unit = nameOf(local, qName) match {
       case "entry" =>
         inEntry = true; inSource = false
         title.clear(); authorName.clear(); authorUri.clear()
@@ -64,7 +71,7 @@ object Atom {
       case _ =>
     }
 
-    override def endElement(uri: String, local: String, qName: String): Unit = qName match {
+    override def endElement(uri: String, local: String, qName: String): Unit = nameOf(local, qName) match {
       case "entry" =>
         inEntry = false
         entries += AtomEntry(title.toString.trim, link,
@@ -89,6 +96,7 @@ object Atom {
   def parseFeed(xml: String): Seq[AtomEntry] = {
     val factory = javax.xml.parsers.SAXParserFactory.newInstance()
     factory.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    factory.setNamespaceAware(true)
     val parser = factory.newSAXParser()
     val handler = new FeedHandler
     parser.parse(new org.xml.sax.InputSource(new java.io.StringReader(xml)), handler)

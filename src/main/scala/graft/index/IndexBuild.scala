@@ -488,6 +488,10 @@ object IndexBuild {
       // payload per column value = n_docs bits, segment-partitioned, so
       // query-time fq is an equi-join on seg_id instead of a full docmeta
       // scan + shuffle per query.
+      // fail the range as early as possible if the async segments job
+      // already died — no point spending the filters write first (the
+      // manifest-last commit protocol itself is unchanged)
+      segF.value.collect { case scala.util.Failure(e) => throw e }
       val fcols = cfg.filterColumns.filter(meta.columns.contains)
       if (fcols.nonEmpty) {
         val metaOnDisk = spark.read.parquet(s"${docmetaDir(indexDir)}/range=$r")

@@ -52,19 +52,29 @@ object Bm25 {
   /** corpus(doc_id, content, ...) -> postings(doc_id, term, tf:long).
     * Tokenization via the native [[graft.functions.GraftTerms]] expression
     * (same output as Tokenizer.terms, ~10x faster — see its scaladoc).
+    * tf saturates at [[graft.index.IndexBuild.MaxTf]] — the same clamp the
+    * packed index postings apply, so the semantic path, the index path and
+    * the oracle agree even on a pathological minified/generated doc.
     */
   def postings(corpus: DataFrame): DataFrame =
     corpus
       .select(col("doc_id"),
         explode(graft.functions.GraftFunctions.graft_terms(col("content"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(least(count(lit(1)), lit(graft.index.IndexBuild.MaxTf.toLong)).as("tf"))
 
-  /** postings -> doc lengths (doc_id, dl:long). Docs with no terms are
-    * absent (they can never match; N/avgdl are defined over indexed docs).
+  /** corpus -> doc lengths (doc_id, dl:long): the RAW analyzed term count
+    * (2n−1) saturated at [[graft.index.IndexBuild.MaxDl]] — identical to
+    * the index docmeta's dl (clamping the raw count, NOT the sum of
+    * already-clamped tfs). Docs with no terms are absent (they can never
+    * match; N/avgdl are defined over indexed docs).
     */
-  def docLens(post: DataFrame): DataFrame =
-    post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+  def docLens(corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("doc_id"),
+        least(graft.functions.GraftFunctions.graft_doclen(col("content")).cast("long"),
+          lit(graft.index.IndexBuild.MaxDl.toLong)).as("dl"))
+      .where(col("dl") > 0)
 
   /** postings -> dictionary (term, df:long, total_tf:long). The reference's
     * HashTermStatistics full-TermsEnum walk
@@ -86,7 +96,7 @@ object Bm25 {
       docFilter: Option[Column] = None): DataFrame = {
     import spark.implicits._
     val post = postings(corpus)
-    val dl = docLens(post)
+    val dl = docLens(corpus)
     val stats = dl.agg(
       count(lit(1)).cast("double").as("n"),
       avg(col("dl")).as("avgdl"))
@@ -126,14 +136,21 @@ object BruteScorer {
     def scoreQ: Long = math.round(score * Bm25.Quant)
   }
 
-  /** docs: (docId, content). Returns top-k by (score_q desc, docId asc). */
+  /** docs: (docId, content). Returns top-k by (score_q desc, docId asc).
+    * Applies the same MaxTf/MaxDl saturation as the packed index postings.
+    */
   def topK(docs: Seq[(Long, String)], terms: Seq[(String, Double)], k: Int): Seq[Scored] = {
+    import graft.index.IndexBuild.{MaxDl, MaxTf}
     val termCounts: Map[Long, Map[String, Int]] =
       docs.iterator.map { case (id, c) =>
-        id -> Tokenizer.termsScala(c).groupBy(identity).view.mapValues(_.length).toMap
+        id -> Tokenizer.termsScala(c).groupBy(identity).view
+          .mapValues(ts => math.min(ts.length, MaxTf)).toMap
       }.filter(_._2.nonEmpty).toMap
     val n = termCounts.size.toDouble
-    val dls = termCounts.view.mapValues(_.values.sum.toDouble).toMap
+    val dls = docs.iterator.collect {
+      case (id, c) if termCounts.contains(id) =>
+        id -> math.min(Tokenizer.dlOf(Tokenizer.tokenCountScala(c)), MaxDl).toDouble
+    }.toMap
     val avgdl = dls.values.sum / n
     val df: Map[String, Int] =
       termCounts.values.flatMap(_.keys).groupBy(identity).view.mapValues(_.size).toMap

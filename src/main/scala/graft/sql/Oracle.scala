@@ -17,7 +17,15 @@ package graft.sql
   */
 object Oracle {
 
-  /** CTE prelude: corpus -> toks -> terms -> post -> dl -> stats -> dict. */
+  /** CTE prelude: corpus -> toks -> terms -> post -> dl -> stats -> dict.
+    *
+    * Clamp mirror (IndexBuild.MaxTf/MaxDl): `post` carries tf saturated at
+    * 65535 and `dl` the RAW term-count sum saturated at 1048575 — exactly
+    * what the engine's packed postings and docmeta store, so parity holds
+    * even for a pathological generated/minified doc instead of relying on
+    * gated corpora never containing one. `post0` (raw tf) exists for
+    * consumers that mirror raw-count semantics (simhash weights).
+    */
   val prelude: String =
     """corpus AS (
       |  SELECT doc_id,
@@ -36,8 +44,9 @@ object Oracle {
       |  UNION ALL
       |  SELECT doc_id, 's:' || substr(md5(ts[i] || ' ' || ts[i + 1]), 1, 3) AS term
       |  FROM toks, unnest(generate_series(1, len(ts) - 1)) AS g(i)),
-      |post AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms GROUP BY 1, 2),
-      |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM post GROUP BY 1),
+      |post0 AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms GROUP BY 1, 2),
+      |post AS (SELECT doc_id, term, least(tf, 65535)::BIGINT AS tf FROM post0),
+      |dl AS (SELECT doc_id, least(sum(tf), 1048575)::BIGINT AS dl FROM post0 GROUP BY 1),
       |stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl),
       |dict AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS total_tf FROM post GROUP BY 1)""".stripMargin
 

@@ -84,10 +84,12 @@ object OracleMl {
        |JOIN sizes sa ON sa.doc_id = i.doc_a
        |JOIN sizes sb ON sb.doc_id = i.doc_b""".stripMargin)
 
-  /** simhash CTE over post(doc_id, term, tf) -> sim(doc_id, simhash).
-    * Bit 63's weight is rendered as (-MAX-1): summed LAST so every partial
-    * sum stays in BIGINT range, and the final two's-complement value equals
-    * Spark's `sh |= 1L << 63` bit pattern exactly.
+  /** simhash CTE over post0(doc_id, term, tf) -> sim(doc_id, simhash).
+    * post0 (RAW tf, no MaxTf clamp) because Dedup.simhash weighs by the
+    * actual per-doc term counts. Bit 63's weight is rendered as (-MAX-1):
+    * summed LAST so every partial sum stays in BIGINT range, and the final
+    * two's-complement value equals Spark's `sh |= 1L << 63` bit pattern
+    * exactly.
     */
   def simhashCte: String = {
     val sums = (0 until Dedup.SimhashBits).map(b =>
@@ -100,7 +102,7 @@ object OracleMl {
     s"""simsum AS (
        |  SELECT doc_id,
        |         $sums
-       |  FROM post GROUP BY doc_id),
+       |  FROM post0 GROUP BY doc_id),
        |sim AS (SELECT doc_id, CAST($combine AS BIGINT) AS simhash FROM simsum)""".stripMargin
   }
 
@@ -130,10 +132,12 @@ object OracleMl {
 
   /** Bucketed (sign-LSH) embedding near-dup pairs — mirror of
     * Dedup.embCosBucketedPairs: candidates restricted to equal buckets.
+    * `bits` must match the Spark side's bucket width (the candidate set —
+    * and so the output — depends on it).
     */
-  def embCosBucketedSql(minCosQ: Long): String =
+  def embCosBucketedSql(minCosQ: Long, bits: Int = Ann.LshBits): String =
     s"""WITH wb AS (
-       |  SELECT vec_id, embedding, CAST(${lshBucketSql("embedding")} AS BIGINT) AS bucket
+       |  SELECT vec_id, embedding, CAST(${lshBucketSql("embedding", bits)} AS BIGINT) AS bucket
        |  FROM embeddings),
        |p AS (
        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -253,10 +257,10 @@ object OracleMl {
        |SELECT query_id, rank, vec_id, cos_q FROM ranked WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
 
-  /** bucket expression serializing Ann.lshPlanes into SQL. */
-  def lshBucketSql(embExpr: String): String =
-    Ann.lshPlanes.zipWithIndex.map { case (plane, j) =>
-      val arr = plane.mkString("[", ", ", "]")
+  /** bucket expression serializing Ann's LSH planes into SQL. */
+  def lshBucketSql(embExpr: String, bits: Int = Ann.LshBits): String =
+    (0 until bits).map { j =>
+      val arr = Ann.lshPlane(j).mkString("[", ", ", "]")
       s"(CASE WHEN round(list_dot_product($embExpr::DOUBLE[], $arr::DOUBLE[]) * 1e9) > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 

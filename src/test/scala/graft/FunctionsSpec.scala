@@ -123,6 +123,37 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_dot/graft_cosine == HOF composition; SQL sort matches Ann.fullSort") {
+    val emb = spark.read.parquet(s"$sfTiny/embeddings.parquet").cache()
+    // native expressions vs the aggregate(zip_with(...)) twins, bit-exact
+    val both = emb.crossJoin(broadcast(
+        emb.where($"vec_id" === 42L).select($"embedding".as("q_emb"))))
+      .select($"vec_id",
+        graft.ml.Ann.cosine($"q_emb", $"embedding").as("c_native"),
+        graft.ml.Ann.cosineHof($"q_emb", $"embedding").as("c_hof"),
+        graft.ml.Ann.dot($"q_emb", $"embedding").as("d_native"),
+        graft.ml.Ann.dotHof($"q_emb", $"embedding").as("d_hof"))
+      .as[(Long, Double, Double, Double, Double)].collect()
+    both.foreach { case (id, cn, ch, dn, dh) =>
+      assert(cn == ch, s"cosine mismatch vec $id")
+      assert(dn == dh, s"dot mismatch vec $id")
+    }
+    // SQL surface: ORDER BY graft_cosine(...) == Ann.fullSort ranking —
+    // the reference's `sort=lirefunc(cl,"...") asc` parity (README.md:171-172)
+    GraftFunctions.register(spark)
+    emb.createOrReplaceTempView("fn_emb")
+    val qLit = emb.where($"vec_id" === 42L).select($"embedding")
+      .as[Seq[Float]].head().map(v => s"CAST($v AS FLOAT)").mkString("array(", ", ", ")")
+    val viaSql = spark.sql(
+      s"""SELECT vec_id FROM fn_emb
+         |ORDER BY CAST(round(graft_cosine(embedding, $qLit) * 1e4) AS BIGINT) DESC,
+         |         vec_id ASC""".stripMargin)
+      .as[Long].collect().toSeq
+    val viaFullSort = graft.ml.Ann.fullSort(emb, 42L)
+      .orderBy($"rank").select($"vec_id").as[Long].collect().toSeq
+    assert(viaSql == viaFullSort)
+  }
+
   test("GraftExtensions registers the functions via spark.sql.extensions") {
     import org.apache.spark.sql.SparkSession
     // a NEW session over the same context picks up extensions; restore after
@@ -135,9 +166,12 @@ class FunctionsSpec extends SparkSpec {
         .getOrCreate()
       val r = s2.sql(
         "SELECT graft_doclen('a b') AS dl, size(graft_terms('a b')) AS n, " +
-        "graft_fingerprint('abcdefgh') AS fp").collect().head
+        "graft_fingerprint('abcdefgh') AS fp, " +
+        "graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cos, " +
+        "graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp").collect().head
       assert(r.getInt(0) == 3 && r.getInt(1) == 3)
       assert(r.getString(2) == Tokenizer.md5Hex("abcdefgh"))
+      assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 11.0)
     } finally {
       SparkSession.setActiveSession(prev); SparkSession.setDefaultSession(prev)
     }

@@ -290,6 +290,18 @@ class IndexSpec extends SparkSpec {
     val maxTf = eng.index.segments.where($"term" === "w:dup")
       .agg(org.apache.spark.sql.functions.max($"max_tf")).as[Int].head()
     assert(maxTf == (1 << 16) - 1)
+    // the clamp is mirrored end to end: semantic Bm25 path and BruteScorer
+    // score the pathological doc identically to the index path
+    val idx = eng.searchByTerms(Seq("w:dup" -> 1.0, "w:spark" -> 1.0), rows = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    val sem = Bm25.scoreTopK(spark, df, Seq("w:dup" -> 1.0, "w:spark" -> 1.0), 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(idx == sem, "semantic path must apply the same MaxTf/MaxDl clamps")
+    val brute = BruteScorer.topK(
+      df.select($"doc_id", $"content").as[(Long, String)].collect().toSeq,
+      Seq("w:dup" -> 1.0, "w:spark" -> 1.0), 10)
+    assert(idx.map(_._2) == brute.map(_.docId))
+    assert(idx.map(_._3) == brute.map(_.scoreQ))
   }
 
   test("docFilter combined with docPred applies BOTH conditions") {

@@ -95,6 +95,41 @@ class MlSpec extends SparkSpec {
       again.sortBy(_.doc_id).map(_.feature.toSeq).toSeq)
   }
 
+  test("real PNG decode: fixture golden histogram, batch shape mixed with text payloads") {
+    val png = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/fixture.png").toURI))
+    assert(Binary.looksLikePng(png))
+    // golden pinned from the checked-in 16x12 gradient fixture: integer
+    // luminance (299r+587g+114b)/1000, 8 bins, L1-normalized over 192 px
+    val goldenCounts = Seq(12, 26, 37, 41, 38, 26, 11, 1)
+    val feat = Binary.extractOne(png)
+    assert(feat.toSeq == goldenCounts.map(_ / 192f), s"got ${feat.toSeq}")
+    // a real image flows through the SAME batched extraction as text blobs
+    val rows = Seq((9000L, png)) ++
+      Seq((9001L, "plain text payload".getBytes("UTF-8")))
+    val df = spark.createDataFrame(rows).toDF("doc_id", "payload")
+    val out = Binary.extractFeatures(spark, df, batchSize = 8)
+      .collect().map(f => f.doc_id -> f.feature.toSeq).toMap
+    assert(out(9000L) == goldenCounts.map(_ / 192f))
+    assert(math.abs(out(9001L).sum - 1f) < 1e-4) // byte-histogram fallback
+    // real resize: max side 512 on a 600x400 synthetic PNG -> 512x341
+    val big = {
+      val img = new java.awt.image.BufferedImage(600, 400,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 400).foreach(y => (0 until 600).foreach(x =>
+        img.setRGB(x, y, ((x * 7) & 0xff) << 16 | ((y * 11) & 0xff) << 8 | ((x + y) & 0xff))))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val resized = Binary.resizeImageBytes(big, 512).get
+    val rimg = Binary.decodeImage(resized).get
+    assert(rimg.getWidth == 512 && rimg.getHeight == 341)
+    // small-enough image passes through untouched; non-image is None
+    assert(Binary.resizeImageBytes(png, 512).get eq png)
+    assert(Binary.resizeImageBytes("nope".getBytes("UTF-8"), 512).isEmpty)
+  }
+
   test("features: CSV and text-line sources round-trip to the embeddings shape") {
     import graft.ml.Features
     val emb = spark.read.parquet(s"$sfTiny/embeddings.parquet")
@@ -303,5 +338,25 @@ class MlSpec extends SparkSpec {
     val repo = Atom.fromFeeds(spark.createDataset(Seq(feed)))
       .select($"repo").as[String].head()
     assert(repo == "carol", "uri-less author must fall back to the name")
+  }
+
+  test("atom parser: prefixed-namespace feeds parse identically") {
+    import graft.corpus.Atom
+    val feed =
+      """<?xml version="1.0"?>
+        |<atom:feed xmlns:atom="http://www.w3.org/2005/Atom">
+        | <atom:entry>
+        |  <atom:title>ns title</atom:title>
+        |  <atom:link rel="alternate" href="https://example.org/p/1"/>
+        |  <atom:link rel="enclosure" href="https://example.org/m/1.jpg"/>
+        |  <atom:author><atom:name>dave</atom:name><atom:uri>users/dave</atom:uri></atom:author>
+        |  <atom:category term="t1"/><atom:category term="t2"/>
+        | </atom:entry>
+        |</atom:feed>""".stripMargin
+    val es = Atom.parseFeed(feed)
+    assert(es.size == 1, s"prefixed feed parsed to ${es.size} entries")
+    val e = es.head
+    assert(e.title == "ns title" && e.mediaUrl == "https://example.org/m/1.jpg")
+    assert(e.authorId == "users/dave" && e.tags == Seq("t1", "t2"))
   }
 }

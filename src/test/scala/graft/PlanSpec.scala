@@ -106,7 +106,13 @@ class PlanSpec extends SparkSpec {
     val p2 = plan(graft.ml.Dedup.simhashBandedPairs(
       graft.ml.Dedup.simhash(Corpus.fromDocuments(spark, sfTiny)), 2))
     val p3 = plan(graft.ml.Ann.lshTopKMultiProbe(emb, SparkEntry.AnnQueryIds, 10))
-    for ((p, tag) <- Seq((p1, "embCosBucketed"), (p2, "simhashBanded"), (p3, "multiProbe"))) {
+    // scale parameterizations keep the same join shape
+    val p4 = plan(graft.ml.Dedup.embCosBucketedPairs(emb, 4000L, bits = 10))
+    val p5 = plan(graft.ml.Dedup.simhashBandedPairs(
+      graft.ml.Dedup.simhash(Corpus.fromDocuments(spark, sfTiny)), 2,
+      graft.ml.Dedup.simhashBandsFor(2)))
+    for ((p, tag) <- Seq((p1, "embCosBucketed"), (p2, "simhashBanded"), (p3, "multiProbe"),
+      (p4, "embCosBucketed10"), (p5, "simhashBanded3"))) {
       assert(!p.contains("CartesianProduct"), s"$tag has a cartesian product:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$tag has a nested-loop join:\n$p")
     }
