@@ -304,6 +304,28 @@ class IndexSpec extends SparkSpec {
     assert(idx.map(_._3) == brute.map(_.scoreQ))
   }
 
+  test("index metadata resolution: ONE directory listing per surface (counting FS)") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.countfs.impl", classOf[CountingFs].getName)
+    val d = tmpDir("countfs")
+    val cfgMany = IndexConfig(segShift = 5, rangeSegsShift = 1) // 64-doc ranges -> 8 units
+    IndexBuild.build(spark, corpus, s"countfs:$d", cfgMany)
+    assert(IndexBuild.committedUnits(spark, s"countfs:$d").size == 8)
+    // committed-unit discovery: one glob = ONE listStatus of the manifest
+    // dir (plus per-match status probes), never a listing per range
+    CountingFs.listCalls.set(0)
+    IndexBuild.committedUnits(spark, s"countfs:$d")
+    assert(CountingFs.listCalls.get() == 1,
+      s"committedUnits made ${CountingFs.listCalls.get()} listings for 8 units")
+    // filter side-index detection: one glob on the filters dir
+    val idx = new Index(spark, s"countfs:$d")
+    idx.ranges // resolve units first (its own listing + manifest read)
+    CountingFs.listCalls.set(0)
+    assert(idx.hasFilters)
+    assert(CountingFs.listCalls.get() == 1,
+      s"hasFilters made ${CountingFs.listCalls.get()} listings for 8 units")
+  }
+
   test("docFilter combined with docPred applies BOTH conditions") {
     val both = engine.searchByTerms(SparkEntry.FlagshipTerms, rows = 30,
       docPred = Some(col("doc_id") < 250), docFilter = Some(("lang", "en")))
@@ -317,4 +339,20 @@ class IndexSpec extends SparkSpec {
       docFilter = Some(("lang", "en"))).collect().map(_.toSeq).toSeq
     assert(both != only)
   }
+}
+
+/** Local filesystem that counts directory listings — pins the one-listing
+  * metadata contract of committedUnits/hasFilters (IndexSpec).
+  */
+class CountingFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "countfs"
+  override def getUri: java.net.URI = java.net.URI.create("countfs:///")
+  override def listStatus(p: org.apache.hadoop.fs.Path): Array[org.apache.hadoop.fs.FileStatus] = {
+    CountingFs.listCalls.incrementAndGet()
+    super.listStatus(p)
+  }
+}
+
+object CountingFs {
+  val listCalls = new java.util.concurrent.atomic.AtomicInteger(0)
 }
