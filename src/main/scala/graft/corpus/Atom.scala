@@ -45,13 +45,18 @@ object Atom {
 
     // namespace-aware: match the local name so prefixed feeds
     // (<atom:entry>, <atom:title>) parse identically to default-namespace
-    // ones; qName fallback covers non-namespace-aware parser configs
-    private def nameOf(local: String, qName: String): String =
-      if (local != null && local.nonEmpty) local
+    // ones — but ONLY for elements in the Atom namespace (or none):
+    // extension elements with clashing local names (media:title,
+    // media:category, dc:title) must not corrupt the entry's own fields.
+    // qName fallback covers non-namespace-aware parser configs.
+    private val AtomNs = "http://www.w3.org/2005/Atom"
+    private def nameOf(uri: String, local: String, qName: String): String =
+      if (uri != null && uri.nonEmpty && uri != AtomNs) "" // foreign namespace
+      else if (local != null && local.nonEmpty) local
       else qName.substring(qName.indexOf(':') + 1)
 
     override def startElement(uri: String, local: String, qName: String,
-                              atts: Attributes): Unit = nameOf(local, qName) match {
+                              atts: Attributes): Unit = nameOf(uri, local, qName) match {
       case "entry" =>
         inEntry = true; inSource = false
         title.clear(); authorName.clear(); authorUri.clear()
@@ -71,7 +76,7 @@ object Atom {
       case _ =>
     }
 
-    override def endElement(uri: String, local: String, qName: String): Unit = nameOf(local, qName) match {
+    override def endElement(uri: String, local: String, qName: String): Unit = nameOf(uri, local, qName) match {
       case "entry" =>
         inEntry = false
         entries += AtomEntry(title.toString.trim, link,

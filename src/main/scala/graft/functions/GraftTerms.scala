@@ -162,11 +162,15 @@ case class GraftDot(left: Expression, right: Expression)
   import org.apache.spark.sql.catalyst.util.ArrayData
   import org.apache.spark.sql.types._
   override def dataType: DataType = DoubleType
-  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true // null on length mismatch / null element
   override def prettyName: String = "graft_dot"
+  @transient private lazy val ea = GraftDot.elemType(left)
+  @transient private lazy val eb = GraftDot.elemType(right)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
-    GraftDot.dot(a, GraftDot.elemType(left), b, GraftDot.elemType(right))
+    if (a.numElements() != b.numElements() ||
+        GraftDot.hasNull(a) || GraftDot.hasNull(b)) null
+    else java.lang.Double.valueOf(GraftDot.dot(a, ea, b, eb))
   }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): GraftDot =
@@ -178,25 +182,50 @@ object GraftDot {
   import org.apache.spark.sql.types._
   def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
-  @inline def valAt(a: ArrayData, et: DataType, i: Int): Double = et match {
+  def hasNull(a: ArrayData): Boolean = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) { if (a.isNullAt(i)) return true; i += 1 }
+    false
+  }
+  @inline private def valAt(a: ArrayData, et: DataType, i: Int): Double = et match {
     case FloatType => a.getFloat(i).toDouble
     case DoubleType => a.getDouble(i)
     case IntegerType => a.getInt(i).toDouble
     case LongType => a.getLong(i).toDouble
     case other => throw new IllegalArgumentException(s"graft_dot: unsupported element type $other")
   }
+  /** Equal lengths, no nulls (caller-checked). Common element-type pairs
+    * run specialized loops — no per-element DataType dispatch on the hot
+    * path; everything sums left-to-right in doubles.
+    */
   def dot(a: ArrayData, ea: DataType, b: ArrayData, eb: DataType): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var s = 0.0
     var i = 0
-    while (i < n) { s += valAt(a, ea, i) * valAt(b, eb, i); i += 1 }
+    (ea, eb) match {
+      case (FloatType, FloatType) =>
+        while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+      case (DoubleType, DoubleType) =>
+        while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+      case (FloatType, DoubleType) =>
+        while (i < n) { s += a.getFloat(i).toDouble * b.getDouble(i); i += 1 }
+      case (DoubleType, FloatType) =>
+        while (i < n) { s += a.getDouble(i) * b.getFloat(i).toDouble; i += 1 }
+      case _ =>
+        while (i < n) { s += valAt(a, ea, i) * valAt(b, eb, i); i += 1 }
+    }
     s
   }
   def norm2(a: ArrayData, ea: DataType): Double = {
+    val n = a.numElements()
     var s = 0.0
     var i = 0
-    val n = a.numElements()
-    while (i < n) { val x = valAt(a, ea, i); s += x * x; i += 1 }
+    ea match {
+      case FloatType => while (i < n) { val x = a.getFloat(i).toDouble; s += x * x; i += 1 }
+      case DoubleType => while (i < n) { val x = a.getDouble(i); s += x * x; i += 1 }
+      case _ => while (i < n) { val x = valAt(a, ea, i); s += x * x; i += 1 }
+    }
     s
   }
 }
@@ -217,13 +246,17 @@ case class GraftCosine(left: Expression, right: Expression)
   import org.apache.spark.sql.catalyst.util.ArrayData
   import org.apache.spark.sql.types._
   override def dataType: DataType = DoubleType
-  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true // null on length mismatch / null element
   override def prettyName: String = "graft_cosine"
+  @transient private lazy val ea = GraftDot.elemType(left)
+  @transient private lazy val eb = GraftDot.elemType(right)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
-    val ea = GraftDot.elemType(left); val eb = GraftDot.elemType(right)
-    GraftDot.dot(a, ea, b, eb) /
-      (math.sqrt(GraftDot.norm2(a, ea)) * math.sqrt(GraftDot.norm2(b, eb)))
+    if (a.numElements() != b.numElements() ||
+        GraftDot.hasNull(a) || GraftDot.hasNull(b)) null
+    else java.lang.Double.valueOf(
+      GraftDot.dot(a, ea, b, eb) /
+        (math.sqrt(GraftDot.norm2(a, ea)) * math.sqrt(GraftDot.norm2(b, eb))))
   }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): GraftCosine =

@@ -219,46 +219,63 @@ object IndexBuild {
 
   /** Manifest rows of the given units, with back-compat for pre-compaction
     * manifests (doc_ranges/retires synthesized from the scalar columns).
+    * The synthesis is PER ROW (coalesce), not per schema: with mergeSchema
+    * a single new-format unit makes the columns exist for every row, and
+    * an old-format unit's NULLs would otherwise silently drop its
+    * attestations from doneRanges/docRangeStats — re-ingesting committed
+    * ranges and bypassing the replay-tamper gate.
     */
   def manifests(spark: SparkSession, indexDir: String, units: Seq[Long]): DataFrame = {
-    import org.apache.spark.sql.functions.{array, struct}
+    import org.apache.spark.sql.functions.{array, coalesce, struct}
     require(units.nonEmpty, s"no committed units under $indexDir")
     val m = spark.read
       .option("basePath", manifestDir(indexDir))
       .option("mergeSchema", "true") // units written across format versions
       .parquet(units.map(u => s"${manifestDir(indexDir)}/range=$u"): _*)
+    val selfDr = array(struct(col("range_id"), col("n_rows"), col("checksum")))
+    val noRetires = array().cast("array<long>")
     val withDr =
-      if (m.columns.contains("doc_ranges")) m
-      else m.withColumn("doc_ranges",
-        array(struct(col("range_id"), col("n_rows"), col("checksum"))))
-    if (withDr.columns.contains("retires")) withDr
-    else withDr.withColumn("retires", array().cast("array<long>"))
+      if (m.columns.contains("doc_ranges"))
+        m.withColumn("doc_ranges", coalesce(col("doc_ranges"), selfDr))
+      else m.withColumn("doc_ranges", selfDr)
+    if (withDr.columns.contains("retires"))
+      withDr.withColumn("retires", coalesce(col("retires"), noRetires))
+    else withDr.withColumn("retires", noRetires)
+  }
+
+  /** (live unit ids, their manifest rows) resolved with ONE listing (the
+    * committedUnits glob) and ONE manifest read (the DataFrame's file index
+    * is built once; both downstream actions reuse it). The retire is
+    * atomic: a compacted unit's manifest row (written LAST) lists the
+    * units it supersedes, so before that commit the old units are visible
+    * and after it they are shadowed — deleting their directories afterwards
+    * is garbage collection, not correctness.
+    */
+  private def unitState(spark: SparkSession, indexDir: String): (Seq[Long], Option[DataFrame]) = {
+    import spark.implicits._
+    val committed = committedUnits(spark, indexDir)
+    if (committed.isEmpty) (Seq.empty, None)
+    else {
+      val m = manifests(spark, indexDir, committed)
+      val retired = m.select(explode(col("retires")).as("u")).as[Long].collect().toSet
+      val live = committed.filterNot(retired)
+      (live, Some(m.where(col("range_id").isin(live: _*))))
+    }
   }
 
   /** Live units = committed minus every unit retired by a committed
-    * compaction. The retire is atomic: a compacted unit's manifest row
-    * (written LAST) lists the units it supersedes, so before that commit
-    * the old units are visible and after it they are shadowed — deleting
-    * their directories afterwards is garbage collection, not correctness.
+    * compaction.
     */
-  def liveUnits(spark: SparkSession, indexDir: String): Seq[Long] = {
-    import spark.implicits._
-    val committed = committedUnits(spark, indexDir)
-    if (committed.isEmpty) Seq.empty
-    else {
-      val retired = manifests(spark, indexDir, committed)
-        .select(explode(col("retires")).as("u")).as[Long].collect().toSet
-      committed.filterNot(retired)
-    }
-  }
+  def liveUnits(spark: SparkSession, indexDir: String): Seq[Long] =
+    unitState(spark, indexDir)._1
 
   /** Per-original-doc-range (range_id, n_rows, checksum) attestations from
     * the live units — survives compaction (see [[DocRangeStat]]).
     */
   def docRangeStats(spark: SparkSession, indexDir: String): DataFrame = {
-    val live = liveUnits(spark, indexDir)
-    require(live.nonEmpty, s"no committed units under $indexDir")
-    manifests(spark, indexDir, live)
+    val (_, m) = unitState(spark, indexDir)
+    require(m.nonEmpty, s"no committed units under $indexDir")
+    m.get
       .select(explode(col("doc_ranges")).as("dr"))
       .select(col("dr.range_id"), col("dr.n_rows"), col("dr.checksum"))
   }
@@ -266,8 +283,12 @@ object IndexBuild {
   /** Doc-range ids already committed (directly or inside a compacted unit). */
   def doneRanges(spark: SparkSession, indexDir: String): Set[Long] = {
     import spark.implicits._
-    if (committedUnits(spark, indexDir).isEmpty) Set.empty
-    else docRangeStats(spark, indexDir).select("range_id").as[Long].collect().toSet
+    unitState(spark, indexDir) match {
+      case (_, Some(m)) =>
+        m.select(explode(col("doc_ranges")).as("dr"))
+          .select(col("dr.range_id")).as[Long].collect().toSet
+      case _ => Set.empty
+    }
   }
 
   private final case class UnitRow(id: Long, nDocs: Long, sumDl: Long,
@@ -308,7 +329,18 @@ object IndexBuild {
   def compact(spark: SparkSession, indexDir: String,
               maxUnitDocs: Long = Long.MaxValue): CompactReport = {
     import spark.implicits._
-    val live = liveUnits(spark, indexDir).sorted
+    val committed = committedUnits(spark, indexDir)
+    val live = (if (committed.isEmpty) Seq.empty[Long]
+                else liveUnits(spark, indexDir)).sorted
+    // self-healing GC sweep: a compaction that crashed between its manifest
+    // commit and its delete loop leaves retired-but-undeleted unit dirs
+    // (shadowed, so harmless — but an unbounded leak if never reclaimed)
+    val gcFs = new Path(indexDir).getFileSystem(spark.sessionState.newHadoopConf())
+    (committed.toSet -- live).foreach { u =>
+      Seq(segmentsDir(indexDir), docmetaDir(indexDir),
+        filtersDir(indexDir), manifestDir(indexDir))
+        .foreach(d => gcFs.delete(new Path(s"$d/range=$u"), true))
+    }
     if (live.size <= 1) return CompactReport(live, live, Seq.empty)
     val rows = manifests(spark, indexDir, live)
       .select(col("range_id").as("id"), col("n_docs").cast("long").as("nDocs"),

@@ -86,7 +86,7 @@ object Binary {
           }
           y += 1
         }
-        val total = (w * h).toFloat
+        val total = (w.toLong * h.toLong).toFloat
         bins.map(_ / total)
       case None =>
         payload.foreach(b => bins((b & 0xff) >> 5) += 1f)
@@ -98,16 +98,37 @@ object Binary {
   /** PNG magic probe + ImageIO decode. The cheap 8-byte magic check keeps
     * the per-row cost of non-image payloads at a branch (no reader-registry
     * scan per text row); extend the probe set when more codecs matter.
+    *
+    * Hardened for hostile corpora: the declared IHDR dimensions are capped
+    * BEFORE decoding (a 1 KB decompression bomb declaring 60000×60000
+    * would otherwise allocate ~14 GB inside an executor), any decoder
+    * throwable short of fatal falls back to None (the JDK PNG reader is
+    * known to throw RuntimeExceptions on corrupt bodies — one bad row must
+    * not fail the job), and ImageIO's default disk-backed stream cache is
+    * disabled (it writes a temp file per decode in the partition hot loop).
     */
+  val MaxImagePixels: Long = 64L * 1024 * 1024 // 64 MP ≈ 256 MB ARGB
   private val PngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+  javax.imageio.ImageIO.setUseCache(false)
   def looksLikePng(payload: Array[Byte]): Boolean =
     payload != null && payload.length >= 8 &&
       java.util.Arrays.equals(payload, 0, 8, PngMagic, 0, 8)
+  /** Declared (width, height) from the PNG IHDR (bytes 16-23, big-endian). */
+  private def pngDims(p: Array[Byte]): (Long, Long) = {
+    @inline def u32(off: Int): Long =
+      ((p(off) & 0xffL) << 24) | ((p(off + 1) & 0xffL) << 16) |
+        ((p(off + 2) & 0xffL) << 8) | (p(off + 3) & 0xffL)
+    if (p.length < 24) (0L, 0L) else (u32(16), u32(20))
+  }
   def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
     if (!looksLikePng(payload)) None
-    else
-      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
-      catch { case _: java.io.IOException => None }
+    else {
+      val (w, h) = pngDims(payload)
+      if (w <= 0 || h <= 0 || w * h > MaxImagePixels) None
+      else
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+        catch { case scala.util.control.NonFatal(_) => None }
+    }
 
   /** Real image resize (the reference's max-side-512 preprocessing,
     * ParallelSolrIndexer.java:92-96): bilinear scale so the longer side is

@@ -152,6 +152,16 @@ class FunctionsSpec extends SparkSpec {
     val viaFullSort = graft.ml.Ann.fullSort(emb, 42L)
       .orderBy($"rank").select($"vec_id").as[Long].collect().toSeq
     assert(viaSql == viaFullSort)
+    // null semantics match the HOF twins: null element or length mismatch -> NULL
+    val edge = spark.sql(
+      """SELECT graft_dot(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D)) AS d1,
+        |       graft_cosine(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D)) AS c1,
+        |       graft_dot(array(1.0D), array(1.0D, 2.0D)) AS d2,
+        |       graft_cosine(array(1.0D), array(1.0D, 2.0D)) AS c2,
+        |       aggregate(zip_with(array(1.0D), array(1.0D, 2.0D), (x, y) -> x * y),
+        |                 0.0D, (a, x) -> a + x) AS hof2""".stripMargin).collect().head
+    assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.isNullAt(2) && edge.isNullAt(3))
+    assert(edge.isNullAt(4), "HOF twin is NULL on length mismatch — natives must match")
   }
 
   test("GraftExtensions registers the functions via spark.sql.extensions") {

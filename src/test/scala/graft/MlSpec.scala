@@ -340,6 +340,50 @@ class MlSpec extends SparkSpec {
     assert(repo == "carol", "uri-less author must fall back to the name")
   }
 
+  test("atom parser: foreign-namespace extensions (media:*) do not corrupt entry fields") {
+    import graft.corpus.Atom
+    val feed =
+      """<?xml version="1.0"?>
+        |<feed xmlns="http://www.w3.org/2005/Atom"
+        |      xmlns:media="http://search.yahoo.com/mrss/">
+        | <entry>
+        |  <title>real title</title>
+        |  <link rel="alternate" href="https://example.org/p/5"/>
+        |  <category term="real"/>
+        |  <media:group>
+        |   <media:title>clip name</media:title>
+        |   <media:category>video</media:category>
+        |   <media:link rel="enclosure" href="https://cdn.example/clip.mp4"/>
+        |  </media:group>
+        | </entry>
+        |</feed>""".stripMargin
+    val e = Atom.parseFeed(feed).head
+    assert(e.title == "real title", s"media:title leaked: '${e.title}'")
+    assert(e.tags == Seq("real"), s"media:category leaked: ${e.tags}")
+    assert(e.mediaUrl == "https://example.org/p/5", "media:link leaked")
+  }
+
+  test("decode hardening: corrupt PNG and dimension bombs fall back, never throw") {
+    // valid magic + garbage body: decoder must not propagate
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      Array.fill[Byte](64)(0x5a)
+    assert(Binary.decodeImage(corrupt).isEmpty)
+    val f = Binary.extractOne(corrupt) // byte-histogram fallback, normalized
+    assert(math.abs(f.sum - 1f) < 1e-4)
+    // IHDR declaring 60000x60000 (a decompression bomb) is rejected pre-decode
+    val bomb = {
+      val png = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        getClass.getResource("/fixture.png").toURI)).clone()
+      def put(off: Int, v: Int): Unit = {
+        png(off) = (v >>> 24).toByte; png(off + 1) = (v >>> 16).toByte
+        png(off + 2) = (v >>> 8).toByte; png(off + 3) = v.toByte
+      }
+      put(16, 60000); put(20, 60000)
+      png
+    }
+    assert(Binary.decodeImage(bomb).isEmpty, "dimension bomb must be rejected")
+  }
+
   test("atom parser: prefixed-namespace feeds parse identically") {
     import graft.corpus.Atom
     val feed =

@@ -183,6 +183,59 @@ class StreamingSpec extends SparkSpec {
     // compaction is idempotent: a second run under the same bound no-ops
     val rep2 = IndexBuild.compact(spark, idxDir, maxUnitDocs = 200)
     assert(rep2.unitsCreated.isEmpty && rep2.unitsAfter == rep.unitsAfter)
+
+    // crash-before-GC simulation: resurrect a retired unit's manifest dir
+    // (committed again, but shadowed by the compacted unit's retires list).
+    // liveUnits must keep ignoring it and the next compact must sweep it.
+    val fs = new org.apache.hadoop.fs.Path(idxDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val retiredId = 0L
+    spark.range(1).selectExpr(
+      s"CAST($retiredId AS LONG) AS range_id", "CAST(32 AS LONG) AS n_docs",
+      "CAST(100 AS LONG) AS sum_dl", "CAST(32 AS LONG) AS n_rows",
+      "CAST(7 AS LONG) AS checksum", "4 AS seg_shift", "1 AS range_segs_shift",
+      "CAST(1 AS LONG) AS build_ms",
+      s"array(named_struct('range_id', CAST($retiredId AS LONG), 'n_rows', CAST(32 AS LONG), 'checksum', CAST(7 AS LONG))) AS doc_ranges",
+      "CAST(array() AS ARRAY<LONG>) AS retires")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${IndexBuild.manifestDir(idxDir)}/range=$retiredId")
+    assert(IndexBuild.committedUnits(spark, idxDir).contains(retiredId))
+    assert(!IndexBuild.liveUnits(spark, idxDir).contains(retiredId),
+      "a resurrected retired unit must stay shadowed")
+    IndexBuild.compact(spark, idxDir, maxUnitDocs = 200) // sweep
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"${IndexBuild.manifestDir(idxDir)}/range=$retiredId")),
+      "orphaned retired dirs must be GC-swept by the next compaction")
+  }
+
+  test("mixed manifest schemas: old-format units keep their attestations (per-row synthesis)") {
+    val root = Files.createTempDirectory("graft-mixed").toString
+    val idxDir = s"$root/idx"
+    val corpus = Corpus.fromDocuments(spark, sfTiny)
+      .select("doc_id", "repo", "path", "commit", "lang", "content", "sha")
+    IndexBuild.build(spark, corpus, idxDir, cfg) // 2 units at 256-doc ranges
+    val done1 = IndexBuild.doneRanges(spark, idxDir)
+    assert(done1 == Set(0L, 1L))
+    // rewrite unit 0's manifest in the PRE-v3 schema (no doc_ranges/retires)
+    val mdir = s"${IndexBuild.manifestDir(idxDir)}/range=0"
+    val old = spark.read.parquet(mdir)
+      .select("range_id", "n_docs", "sum_dl", "n_rows", "checksum",
+        "seg_shift", "range_segs_shift", "build_ms")
+      .collect()
+    spark.createDataFrame(spark.sparkContext.parallelize(old.toSeq, 1),
+      spark.read.parquet(mdir).select("range_id", "n_docs", "sum_dl", "n_rows",
+        "checksum", "seg_shift", "range_segs_shift", "build_ms").schema)
+      .coalesce(1).write.mode("overwrite").parquet(mdir)
+    // mixed schemas: unit 1 has the new columns, unit 0 does not -> unit 0's
+    // attestation must be SYNTHESIZED per row, not dropped as NULL
+    assert(IndexBuild.doneRanges(spark, idxDir) == Set(0L, 1L),
+      "old-format unit's ranges must stay done under mixed schemas")
+    val stats = IndexBuild.docRangeStats(spark, idxDir)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(stats == Set(0L, 1L))
+    // build resume remains a no-op (the exactly-once gate is intact)
+    val r = IndexBuild.build(spark, corpus, idxDir, cfg)
+    assert(r.rangesBuilt.isEmpty, s"mixed schema caused re-ingest: ${r.rangesBuilt}")
   }
 
   test("prune budget == the reference clamp rule (accuracy*len in [3, len])") {
