@@ -5,6 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.corpus.Corpus
 import graft.index.{IndexBuild, IndexConfig}
+import graft.ml.Dedup
 
 /** Throwaway profiling main (not part of the driver contract).
   * args: cores shufflePartitions nFiles [concurrentRanges]
@@ -86,6 +87,9 @@ object Prof {
     }
     bench("wand_hot_rare")(engine.searchByTerms(hotRare, rows = 60).count())
     bench("wand_all_hot")(engine.searchByTerms(allHot, rows = 60).count())
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    bench("dedup_minhash")(Dedup.minhashPairs(Dedup.minhashBands(
+      Dedup.minhashSignatures(Dedup.withDups(Corpus.fromDocuments(spark, sfDir))))).count())
     spark.stop()
   }
 }

@@ -68,9 +68,16 @@ object Dedup {
 
   /** MinHash signature columns mh0..mh{H-1}: per function i, the lexical
     * min of md5("i:" || shingle). Typed per-partition pass (no shuffle);
-    * md5 values identical to the SQL oracle's. A Catalyst-HOF variant of
-    * this is ~100x slower: lambda bodies inside transform() run
-    * interpreted with a fresh MessageDigest per element.
+    * md5 values identical to the SQL oracle's (hex order of an md5 string
+    * == unsigned byte order of its digest, so mins track raw digests and
+    * only the H winners per doc are hex-encoded). A Catalyst-HOF variant
+    * is ~100x slower: lambda bodies inside transform() run interpreted
+    * with a fresh MessageDigest per element.
+    *
+    * Shingles repeat heavily across documents (Zipf), so the H digests per
+    * DISTINCT shingle are memoized partition-wide (size-capped — the cap
+    * bounds memory, a miss just recomputes), turning the dominant cost
+    * from H md5s per (doc, shingle) into ~H per distinct shingle.
     */
   def minhashSignatures(corpus: DataFrame): DataFrame = {
     val spark = corpus.sparkSession
@@ -78,26 +85,60 @@ object Dedup {
     val h = MinhashFns
     corpus.select(col("doc_id"), col("content")).as[(Long, String)]
       .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val cache = new java.util.HashMap[String, Array[Byte]]()
+        val CacheMax = 1 << 18 // ~256k shingles x h*16 B ≈ 50 MB/partition
+        def digestsOf(sh: String): Array[Byte] = {
+          var d = cache.get(sh)
+          if (d == null) {
+            d = new Array[Byte](h * 16)
+            var f = 0
+            while (f < h) {
+              md.reset()
+              md.update((f + ":" + sh).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              md.digest(d, f * 16, 16)
+              f += 1
+            }
+            if (cache.size < CacheMax) cache.put(sh, d)
+          }
+          d
+        }
+        // unsigned 16-byte compare: a[ao..ao+16) < b[bo..bo+16)
+        def less(a: Array[Byte], ao: Int, b: Array[Byte], bo: Int): Boolean = {
+          var i = 0
+          while (i < 16) {
+            val x = a(ao + i) & 0xff; val y = b(bo + i) & 0xff
+            if (x != y) return x < y
+            i += 1
+          }
+          false
+        }
+        val seen = new java.util.HashSet[String]()
         it.flatMap { case (docId, content) =>
           val toks = Tokenizer.tokenizeScala(content)
           if (toks.length < 2) Iterator.empty
           else {
-            val mins = Array.fill[String](h)(null)
-            val seen = new java.util.HashSet[String]()
+            val mins = new Array[Array[Byte]](h)
+            val minOff = new Array[Int](h)
+            seen.clear()
             var i = 0
             while (i < toks.length - 1) {
               val sh = toks(i) + " " + toks(i + 1)
               if (seen.add(sh)) {
+                val d = digestsOf(sh)
                 var f = 0
                 while (f < h) {
-                  val v = Tokenizer.md5Hex(f + ":" + sh)
-                  if (mins(f) == null || v < mins(f)) mins(f) = v
+                  if (mins(f) == null || less(d, f * 16, mins(f), minOff(f))) {
+                    mins(f) = d; minOff(f) = f * 16
+                  }
                   f += 1
                 }
               }
               i += 1
             }
-            Iterator.single((docId, mins.toSeq))
+            val hexes = (0 until h).map(f => Tokenizer.hexOf(
+              java.util.Arrays.copyOfRange(mins(f), minOff(f), minOff(f) + 16)))
+            Iterator.single((docId, hexes))
           }
         }
       }
