@@ -37,10 +37,19 @@ object StreamIndexer {
   /** Start incremental ingestion of corpus parquet chunks from `inputDir`.
     * Processes everything currently available, then stops (AvailableNow);
     * restart with the same `checkpointDir` to pick up new chunks only.
+    *
+    * `maxLiveUnits` > 0 turns on inline maintenance: when the committed
+    * unit count exceeds it after a batch, [[IndexBuild.compact]] merges
+    * units down (budget = total docs / maxLiveUnits) — the continuous
+    * analog of Lucene's merge-on-commit, keeping Index metadata and
+    * per-query reader fan-out bounded no matter how many micro-batches
+    * have landed. Compaction is idempotent and manifest-atomic, so a
+    * retry-after-crash re-enters safely mid-stream.
     */
   def start(spark: SparkSession, inputDir: String, indexDir: String,
             checkpointDir: String, cfg: IndexConfig,
-            readOptions: Map[String, String] = Map.empty): StreamingQuery = {
+            readOptions: Map[String, String] = Map.empty,
+            maxLiveUnits: Int = 0): StreamingQuery = {
     spark.readStream
       .schema(corpusSchema)
       .options(readOptions)
@@ -59,6 +68,24 @@ object StreamIndexer {
           val report = IndexBuild.build(spark, batch, indexDir, cfg)
           if (report.rangesSkipped.nonEmpty)
             verifySkippedRanges(spark, batch, indexDir, cfg, report.rangesSkipped)
+          if (maxLiveUnits > 0) {
+            var live = IndexBuild.liveUnits(spark, indexDir)
+            if (live.size > maxLiveUnits) {
+              import spark.implicits._
+              val totalDocs = IndexBuild.manifests(spark, indexDir, live)
+                .agg(sum(col("n_docs")).cast("long")).as[Long].head()
+              // ceil-div budget; greedy packing can still overshoot by one
+              // batch when unit sizes straddle the budget, so double until
+              // bounded (terminates: budget -> Long.Max -> one unit)
+              var budget = math.max(1L, (totalDocs + maxLiveUnits - 1) / maxLiveUnits)
+              while (live.size > maxLiveUnits) {
+                val rep = IndexBuild.compact(spark, indexDir, budget)
+                if (rep.unitsAfter.size >= live.size)
+                  budget = if (budget > Long.MaxValue / 2) Long.MaxValue else budget * 2
+                live = rep.unitsAfter
+              }
+            }
+          }
         }
         ()
       }

@@ -208,6 +208,33 @@ class StreamingSpec extends SparkSpec {
       "orphaned retired dirs must be GC-swept by the next compaction")
   }
 
+  test("inline maintenance: streaming with maxLiveUnits keeps the unit count bounded") {
+    val root = Files.createTempDirectory("graft-stream-maint").toString
+    val inDir = s"$root/in"; val idxDir = s"$root/idx"
+    new java.io.File(inDir).mkdirs()
+    val c = IndexConfig(segShift = 4, rangeSegsShift = 1) // 32-doc ranges
+    val corpus = Corpus.fromDocuments(spark, sfTiny)
+      .select("doc_id", "repo", "path", "commit", "lang", "content", "sha").cache()
+    (0 until 16).foreach { i =>
+      corpus.where($"doc_id" >= i * 32 && $"doc_id" < (i + 1) * 32)
+        .write.parquet(s"$inDir/chunk$i")
+    }
+    val q = StreamIndexer.start(spark, s"$inDir/chunk*", idxDir, s"$root/ck", c,
+      readOptions = Map("maxFilesPerTrigger" -> "4"), maxLiveUnits = 3)
+    q.awaitTermination()
+    val live = IndexBuild.liveUnits(spark, idxDir)
+    assert(live.size <= 3, s"maintenance did not bound units: $live")
+    assert(IndexBuild.doneRanges(spark, idxDir).size == 16)
+    // and the maintained index answers like a batch-built one
+    val batchDir = s"$root/batch"
+    IndexBuild.build(spark, corpus, batchDir, c)
+    val a = new Engine(new Index(spark, idxDir))
+      .searchByTerms(SparkEntry.FlagshipTerms, rows = 30).collect().map(_.toSeq).toSeq
+    val b = new Engine(new Index(spark, batchDir))
+      .searchByTerms(SparkEntry.FlagshipTerms, rows = 30).collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("mixed manifest schemas: old-format units keep their attestations (per-row synthesis)") {
     val root = Files.createTempDirectory("graft-mixed").toString
     val idxDir = s"$root/idx"
