@@ -216,21 +216,24 @@ object Dedup {
           else {
             counts.clear()
             terms.foreach(t => counts.merge(t, 1, Integer.sum(_, _)))
-            val sums = new Array[Int](bits)
+            // iterate only SET bits per term mask (≈half the adds): the
+            // signed sum per bit is exactly 2·Σ_set(tf) − Σ(tf) in ints
+            val setSums = new Array[Int](bits)
+            var total = 0
             val ei = counts.entrySet().iterator()
             while (ei.hasNext) {
               val e = ei.next()
-              val m = maskOf(e.getKey)
               val tf = e.getValue
-              var b = 0
-              while (b < bits) {
-                if ((m & (1L << b)) != 0) sums(b) += tf else sums(b) -= tf
-                b += 1
+              total += tf
+              var mm = maskOf(e.getKey)
+              while (mm != 0) {
+                setSums(java.lang.Long.numberOfTrailingZeros(mm)) += tf
+                mm &= mm - 1
               }
             }
             var sh = 0L
             var b = 0
-            while (b < bits) { if (sums(b) > 0) sh |= 1L << b; b += 1 }
+            while (b < bits) { if (2 * setSums(b) - total > 0) sh |= 1L << b; b += 1 }
             Iterator.single((docId, sh))
           }
         }

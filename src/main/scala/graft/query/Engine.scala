@@ -375,6 +375,12 @@ final class Engine(val index: Index) {
     * job latency. Each query's results are rank-identical to its
     * individual searchByTerms run (tested). No pruning/accuracy here:
     * callers pre-prune with [[prune]] if wanted.
+    *
+    * Routing mirrors [[searchByTerms]] per query: dense queries (their
+    * DOMINANT-weight terms blanket the corpus) would run the scalar
+    * exhaustive loop per segment inside the batch — they split off into
+    * ONE shared columnar pass ([[scanScoreMany]]); the rest run the
+    * batched WAND pass. Results union; both routes are exact.
     * Output: (query_id, rank, doc_id, score_q).
     */
   def searchManyByTerms(
@@ -392,9 +398,28 @@ final class Engine(val index: Index) {
         }
       }
     }.toMap
+    def isDense(weights: Map[String, Double]): Boolean = weights.nonEmpty && {
+      val maxW = weights.values.max
+      val domDf = weights.iterator
+        .filter { case (_, w) => w >= DominantWeightFraction * maxW }
+        .map { case (t, _) => dfs.getOrElse(t, 0L) }.sum
+      candidates >= rows && n > 0 && domDf.toDouble / n.toDouble >= HotScanFraction
+    }
+    val (dense, sparse) = weightsByQuery.filter(_._2.nonEmpty).partition(q => isDense(q._2))
+    val parts = Seq(
+      if (sparse.isEmpty) None else Some(wandMany(sparse, rows, candidates, avgdl)),
+      if (dense.isEmpty) None else Some(scanScoreMany(dense, rows, avgdl))).flatten
+    if (parts.isEmpty) Wand.topKPerQuery(spark, spark.emptyDataset[(Long, Scored)], rows)
+    else parts.reduce(_ unionAll _)
+  }
+
+  /** Batched WAND pass: all queries share one traversal of the segment
+    * files (each segment's hit rows are materialized once and re-scored
+    * per query against the bounded heap).
+    */
+  private def wandMany(weightsByQuery: Map[Long, Map[String, Double]],
+                       rows: Int, candidates: Int, avgdl: Double): DataFrame = {
     val liveTerms = weightsByQuery.values.flatMap(_.keys).toSeq.distinct
-    if (liveTerms.isEmpty)
-      return Wand.topKPerQuery(spark, spark.emptyDataset[(Long, Scored)], rows)
     val ids = liveTerms.map(TermHash.hash)
     val hits = index.segments
       .where(col("term_id").isin(ids: _*) && col("term").isin(liveTerms: _*))
@@ -410,6 +435,41 @@ final class Engine(val index: Index) {
           heapSize, cfg, null, useWand = true).map(s => (qid, s))
       }
     }
+    Wand.topKPerQuery(spark, scored, rows)
+  }
+
+  /** Batched dense-query columnar pass: postings of the UNION of the dense
+    * queries' terms are decoded ONCE (explode before the weight join), the
+    * broadcast (query_id, term, w) table fans each posting row out to the
+    * queries that contain its term, a codegen'd hash agg sums per
+    * (query_id, doc_id), and the bounded keyed heap takes per-query top-k.
+    * Exact, same quantized tie rule as every other route.
+    */
+  private[graft] def scanScoreMany(
+      weightsByQuery: Map[Long, Map[String, Double]],
+      rows: Int, avgdl: Double): DataFrame = {
+    import spark.implicits._
+    val cfg = index.cfg
+    val wRows = weightsByQuery.toSeq.flatMap { case (qid, ws) =>
+      ws.map { case (t, w) => (qid, t, w) } }
+    val terms = wRows.map(_._2).distinct
+    val ids = terms.map(TermHash.hash)
+    val wDf = wRows.toDF("query_id", "term", "w")
+    val scored = index.segments
+      .where(col("term_id").isin(ids: _*) && col("term").isin(terms: _*))
+      .select(col("seg_id"), col("term"),
+        explode(graft.functions.GraftFunctions.graft_postings(col("postings"))).as("p"))
+      .join(broadcast(wDf), Seq("term"))
+      .select(col("query_id"),
+        shiftleft(col("seg_id"), cfg.segShift)
+          .bitwiseOR(col("p.local").cast("long")).as("doc_id"),
+        (col("w") * Bm25.tfNormCol(col("p.tf").cast("double"),
+          col("p.dl").cast("double"), lit(avgdl))).as("part"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("part")).as("score"))
+      .select(col("query_id"), col("doc_id"), col("score"))
+      .as[(Long, Long, Double)]
+      .map { case (qid, d, s) => (qid, Scored(d, s)) }
     Wand.topKPerQuery(spark, scored, rows)
   }
 

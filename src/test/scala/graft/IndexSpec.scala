@@ -148,6 +148,26 @@ class IndexSpec extends SparkSpec {
     }
   }
 
+  test("batched search routes dense queries to the shared columnar pass, rank-identical") {
+    val hotTerms = engine.index.dictionary
+      .orderBy($"df".desc, $"term".asc).limit(3)
+      .select($"term").as[String].collect().toSeq.map(_ -> 1.0)
+    val mixed: Seq[(Long, Seq[(String, Double)])] = Seq(
+      1L -> hotTerms, // dense: must take scanScoreMany
+      2L -> SparkEntry.FlagshipTerms, // sparse: batched WAND
+      3L -> (hotTerms.take(2) ++ Seq("w:dup" -> 1.0))) // hot+rare: stays WAND
+    val df = engine.searchManyByTerms(mixed, rows = 20)
+    assert(df.queryExecution.executedPlan.toString.contains("graft_postings"),
+      "a dense query in the batch must engage the columnar pass")
+    val batch = df.as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._4)).toSeq).toMap
+    mixed.foreach { case (qid, terms) =>
+      val single = engine.searchByTerms(terms, rows = 20)
+        .as[(Long, Long, Long)].collect().map(r => (r._2, r._3)).toSeq
+      assert(batch.getOrElse(qid, Seq.empty) == single, s"query $qid")
+    }
+  }
+
   test("all-zero-df query returns empty result") {
     val r = engine.searchByTerms(Seq("w:zzz1" -> 1.0, "w:zzz2" -> 1.0), rows = 10)
     assert(r.count() == 0)
