@@ -249,6 +249,9 @@ object SparkEntry {
     // per-row min-max normalization (Utilities.java:43-52 analog)
     "q_minmax_norm" -> ((s, dir) =>
       ml.Features.minMaxNormalize(s.read.parquet(s"$dir/embeddings.parquet"))),
+    // symmetric int8 embedding quantization (training-pipeline storage op)
+    "q_quantize_int8" -> ((s, dir) =>
+      ml.Features.quantizeInt8(s.read.parquet(s"$dir/embeddings.parquet"))),
     // text analysis
     "q_lang_id" -> ((s, dir) => TextStats.langId(Corpus.fromDocuments(s, dir))),
     "q_quality" -> ((s, dir) => TextStats.quality(Corpus.fromDocuments(s, dir))),
@@ -363,6 +366,7 @@ object SparkEntry {
     "q_ann_ivf" -> OracleMl.annIvfSql(AnnQueryIds, 10, 32, 4),
     "q_topn_features" -> OracleMl.topNFeaturesSql(8, 0.5),
     "q_minmax_norm" -> OracleMl.minMaxSql,
+    "q_quantize_int8" -> OracleMl.quantizeInt8Sql,
     "q_lang_id" -> OracleMl.langIdSql,
     "q_quality" -> OracleMl.qualitySql,
     "q_token_count" -> OracleMl.tokenCountsSql,

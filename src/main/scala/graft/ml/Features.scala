@@ -86,4 +86,24 @@ object Features {
           round((col("w") - col("min_w")) / (col("max_w") - col("min_w")) * lit(1e6)))
           .otherwise(lit(0.0)).cast("long").as("norm_q"))
   }
+
+  /** Symmetric per-vector int8 quantization — the standard storage/compute
+    * compression for embedding columns at corpus scale (4x smaller than
+    * float32, dot products in integer SIMD): scale = max|w|, q8 =
+    * round(w·127/scale) ∈ [−127, 127], all-zero vectors quantize to 0.
+    * Per-row columnar (window keyed by vec_id — the natural bounded key);
+    * scale is emitted quantized so the inverse transform is recoverable.
+    * Output (vec_id, dim, q8, scale_q).
+    */
+  def quantizeInt8(vectors: DataFrame): DataFrame = {
+    val byVec = Window.partitionBy(col("vec_id"))
+    vectors
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "w")))
+      .withColumn("w", col("w").cast("double"))
+      .withColumn("maxabs", max(abs(col("w"))).over(byVec))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        when(col("maxabs") > 0, round(col("w") * lit(127.0) / col("maxabs")))
+          .otherwise(lit(0.0)).cast("long").as("q8"),
+        round(col("maxabs") * lit(1e6)).cast("long").as("scale_q"))
+  }
 }

@@ -313,6 +313,20 @@ object OracleMl {
        |                 ELSE 0.0 END AS BIGINT) AS norm_q
        |FROM r""".stripMargin
 
+  /** Symmetric int8 quantization (mirror of Features.quantizeInt8). */
+  def quantizeInt8Sql: String =
+    s"""WITH exploded AS (
+       |  SELECT vec_id, (i - 1)::BIGINT AS dim, embedding[i]::DOUBLE AS w
+       |  FROM embeddings, unnest(generate_series(1, len(embedding))) g(i)),
+       |r AS (
+       |  SELECT vec_id, dim, w, max(abs(w)) OVER (PARTITION BY vec_id) AS maxabs
+       |  FROM exploded)
+       |SELECT vec_id, dim,
+       |       CAST(CASE WHEN maxabs > 0 THEN round(w * 127.0 / maxabs)
+       |                 ELSE 0.0 END AS BIGINT) AS q8,
+       |       CAST(round(maxabs * 1000000.0) AS BIGINT) AS scale_q
+       |FROM r""".stripMargin
+
   // ---- text stats -------------------------------------------------------
 
   def langIdSql: String = {
