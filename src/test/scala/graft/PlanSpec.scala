@@ -137,6 +137,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("batched dense pass: postings decoded once, weights broadcast, heap agg") {
+    val hotTerms = engine.index.dictionary
+      .orderBy(col("df").desc, col("term").asc).limit(3)
+      .select(col("term")).as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().toSeq.map(_ -> 1.0)
+    val df = engine.searchManyByTerms(Seq(1L -> hotTerms, 2L -> hotTerms.take(2)), rows = 20)
+    val p = plan(df)
+    assert(p.contains("graft_postings"), s"dense batch not on the columnar pass:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"weight table not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"posting rows shuffled for the join:\n$p")
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("ObjectHashAggregate"), s"no bounded-heap top-k:\n$exec")
+  }
+
   test("two-phase re-rank broadcasts the candidate set (big side never shuffles)") {
     val emb = spark.read.parquet(s"$sfTiny/embeddings.parquet")
     val p = plan(engine.searchRerank(SparkEntry.FlagshipTerms, emb, 42L,
