@@ -325,9 +325,16 @@ object IndexBuild {
     * Retired unit directories are deleted AFTER the commit — pure GC; a
     * crash between commit and delete leaves shadowed dirs the next
     * [[liveUnits]] call ignores.
+    *
+    * `gc = false` defers the directory deletions entirely (both the sweep
+    * and this run's retirees): an `Index` opened BEFORE the compaction
+    * holds the old unit paths and would hit vanished files if GC ran under
+    * it — a long-query deployment compacts with gc=false and sweeps later
+    * (any subsequent compact(gc=true) reclaims everything shadowed).
     */
   def compact(spark: SparkSession, indexDir: String,
-              maxUnitDocs: Long = Long.MaxValue): CompactReport = {
+              maxUnitDocs: Long = Long.MaxValue,
+              gc: Boolean = true): CompactReport = {
     import spark.implicits._
     val committed = committedUnits(spark, indexDir)
     val live = (if (committed.isEmpty) Seq.empty[Long]
@@ -336,7 +343,7 @@ object IndexBuild {
     // commit and its delete loop leaves retired-but-undeleted unit dirs
     // (shadowed, so harmless — but an unbounded leak if never reclaimed)
     val gcFs = new Path(indexDir).getFileSystem(spark.sessionState.newHadoopConf())
-    (committed.toSet -- live).foreach { u =>
+    (if (gc) committed.toSet -- live else Set.empty[Long]).foreach { u =>
       Seq(segmentsDir(indexDir), docmetaDir(indexDir),
         filtersDir(indexDir), manifestDir(indexDir))
         .foreach(d => gcFs.delete(new Path(s"$d/range=$u"), true))
@@ -374,7 +381,7 @@ object IndexBuild {
       mergeUnits(spark, indexDir, batch, newId,
         withFilters = batch.forall(u => filterUnits.contains(u.id)))
       created += newId
-      batch.foreach { u => // GC of shadowed dirs (idempotent, non-atomic is fine)
+      (if (gc) batch else Seq.empty).foreach { u => // GC of shadowed dirs (idempotent, non-atomic is fine)
         Seq(segmentsDir(indexDir), docmetaDir(indexDir),
           filtersDir(indexDir), manifestDir(indexDir))
           .foreach(d => fs.delete(new Path(s"$d/range=${u.id}"), true))
