@@ -142,6 +142,22 @@ object SparkEntry {
       Engine.forDir(s, dir).index.manifest
         .agg(sum(col("n_docs")).cast("long").as("n_docs"),
           sum(col("sum_dl")).cast("long").as("sum_dl"))),
+    // compaction invariant, DuckDB-gated: a many-range index fully
+    // compacted must attest the SAME stats as the source corpus (built
+    // fresh with small ranges, merged to one unit, then read back from
+    // the compacted manifest alone; idempotent across reruns)
+    "q_compact_stats" -> ((s, dir) => {
+      import graft.index.{IndexBuild, IndexConfig}
+      import graft.query.Index
+      val key = dir.replaceAll("[^a-zA-Z0-9.]+", "_")
+      val d = s"${Engine.indexRoot}/v3-compacted-$key"
+      IndexBuild.build(s, Corpus.fromDocuments(s, dir), d,
+        IndexConfig(segShift = 5, rangeSegsShift = 1))
+      IndexBuild.compact(s, d)
+      new Index(s, d).manifest
+        .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+          sum(col("sum_dl")).cast("long").as("sum_dl"))
+    }),
     // T6: seeded deterministic sampling
     "q_random_sample" -> ((s, dir) =>
       Engine.forDir(s, dir).randomDocs("graft", 25)),
@@ -324,6 +340,8 @@ object SparkEntry {
     "q_mlt" -> Oracle.bm25Mlt(42L, 30),
     "q_dictionary_idx" -> Oracle.withPrelude("SELECT term, df FROM dict"),
     "q_manifest_stats" -> Oracle.withPrelude(
+      "SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dl"),
+    "q_compact_stats" -> Oracle.withPrelude(
       "SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dl"),
     "q_random_sample" -> Oracle.withPrelude(
       """SELECT doc_id, md5('graft:' || doc_id) AS rkey FROM corpus
