@@ -193,6 +193,20 @@ object Bench {
       time(engine.searchManyByTerms(many, rows = 60).count())._2).min
     val manyQps = batch.size / manySec
 
+    // maintenance throughput: merge the bench index's ranges into one unit
+    // (runs LAST — the old unit dirs are GC'd, so the cached engine above
+    // must not be used after this point). Post-compaction, a fresh engine
+    // must still answer the headline query.
+    val unitsBefore = IndexBuild.liveUnits(spark, benchIdx).size
+    val (compactRep, compactSec) = time(IndexBuild.compact(spark, benchIdx))
+    val postEngine = new Engine(new Index(spark, benchIdx))
+    require(postEngine.searchByTerms(hotRare, rows = 60).count() > 0,
+      "compacted bench index must still answer queries")
+    val compactJson =
+      s""""compact":{"sec":${f(compactSec)},""" +
+        s""""files_per_sec":${f(nFiles / compactSec)},""" +
+        s""""units_before":$unitsBefore,"units_after":${compactRep.unitsAfter.size}}"""
+
     val qJson = perQuery.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
     val curve = buildCores.map(c =>
       s""""cores_$c":{"sec":${f(builds(c)._1)},"files_per_sec":${f(thrOf(c))}}""").mkString(",")
@@ -206,7 +220,7 @@ object Bench {
         s""""draws_sec_c8":${samples(8).map(s => f(s._1)).reverse.mkString("[", ",", "]")},""" +
         s""""best_observed":${f(thrOf.values.max)},$curve},""" +
         s""""query_batch":{"n":${batch.size},"sec":${f(batchSec)},"qps":${f(qps)},""" +
-        s""""batched_sec":${f(manySec)},"batched_qps":${f(manyQps)}}}""")
+        s""""batched_sec":${f(manySec)},"batched_qps":${f(manyQps)}},$compactJson}""")
     Console.out.flush()
     spark.stop()
   }
