@@ -374,20 +374,36 @@ object IndexBuild {
       Option(fs.globStatus(new Path(s"${filtersDir(indexDir)}/range=*")))
         .getOrElse(Array.empty)
         .map(_.getPath.getName.stripPrefix("range=").toLong).toSet
-    var nextId = math.min(-1L, live.min - 1)
-    val created = scala.collection.mutable.ListBuffer[Long]()
-    for (batch <- batches if batch.size >= 2) {
-      val newId = nextId; nextId -= 1
-      mergeUnits(spark, indexDir, batch, newId,
-        withFilters = batch.forall(u => filterUnits.contains(u.id)))
-      created += newId
-      (if (gc) batch else Seq.empty).foreach { u => // GC of shadowed dirs (idempotent, non-atomic is fine)
-        Seq(segmentsDir(indexDir), docmetaDir(indexDir),
-          filtersDir(indexDir), manifestDir(indexDir))
-          .foreach(d => fs.delete(new Path(s"$d/range=${u.id}"), true))
+    // ids assigned deterministically by batch order BEFORE the (parallel)
+    // merges, so a crashed run's rerun overwrites the same target dirs
+    val firstId = math.min(-1L, live.min - 1)
+    val toMerge = batches.toSeq.filter(_.size >= 2).zipWithIndex
+      .map { case (b, i) => (b, firstId - i) }
+    // batches are independent jobs (disjoint inputs, disjoint outputs,
+    // each manifest-gated on its own) — overlap them on the driver exactly
+    // like the build's range pool so a many-batch maintenance pass uses
+    // the whole cluster instead of serializing per batch
+    if (toMerge.nonEmpty) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(4, toMerge.size))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val futures = toMerge.map { case (batch, newId) =>
+        scala.concurrent.Future {
+          mergeUnits(spark, indexDir, batch, newId,
+            withFilters = batch.forall(u => filterUnits.contains(u.id)))
+          (if (gc) batch else Seq.empty).foreach { u => // GC of shadowed dirs
+            Seq(segmentsDir(indexDir), docmetaDir(indexDir),
+              filtersDir(indexDir), manifestDir(indexDir))
+              .foreach(d => fs.delete(new Path(s"$d/range=${u.id}"), true))
+          }
+        }
       }
+      try futures.foreach(f =>
+        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+      finally pool.shutdown()
     }
-    CompactReport(live, liveUnits(spark, indexDir).sorted, created.toSeq)
+    CompactReport(live, liveUnits(spark, indexDir).sorted, toMerge.map(_._2))
   }
 
   /** Rewrite one batch of units into unit `newId`; manifest written last. */

@@ -340,6 +340,24 @@ class MlSpec extends SparkSpec {
     assert(repo == "carol", "uri-less author must fall back to the name")
   }
 
+  test("scale knobs: band specs cover 64 bits at every band count; lshBitsFor sizing") {
+    import graft.ml.{Ann, Dedup}
+    for (bands <- 1 to 64) {
+      val spec = Dedup.simhashBandSpec(bands)
+      assert(spec.size == bands)
+      assert(spec.map(_._2).sum == 64, s"bands=$bands must cover all 64 bits")
+      assert(spec.map(_._2).max - spec.map(_._2).min <= 1, s"bands=$bands widths uneven")
+      val covered = spec.flatMap { case (off, w) => off until (off + w) }
+      assert(covered == (0 until 64), s"bands=$bands not contiguous/disjoint")
+    }
+    assert(Dedup.simhashBandsFor(2) == 3)
+    assert(Ann.lshBitsFor(1000000000L, 1000L) == 20) // 10^9 rows, 1k buckets target
+    assert(Ann.lshBitsFor(1L, 1000L) == 1) // floor
+    assert(Ann.lshBitsFor(Long.MaxValue, 1L) == 62) // ceiling
+    // planes are prefix-stable: widening extends, never reshuffles
+    assert(Ann.lshPlane(3).toSeq == Ann.lshPlanes(3).toSeq)
+  }
+
   test("atom parser: foreign-namespace extensions (media:*) do not corrupt entry fields") {
     import graft.corpus.Atom
     val feed =
