@@ -197,8 +197,8 @@ object Bench {
     // (runs LAST — the old unit dirs are GC'd, so the cached engine above
     // must not be used after this point). Post-compaction, a fresh engine
     // must still answer the headline query.
-    val unitsBefore = IndexBuild.liveUnits(spark, benchIdx).size
     val (compactRep, compactSec) = time(IndexBuild.compact(spark, benchIdx))
+    val unitsBefore = compactRep.unitsBefore.size
     val postEngine = new Engine(new Index(spark, benchIdx))
     require(postEngine.searchByTerms(hotRare, rows = 60).count() > 0,
       "compacted bench index must still answer queries")

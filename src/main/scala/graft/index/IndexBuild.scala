@@ -319,12 +319,13 @@ object IndexBuild {
     *     must reproduce the constituents' summed row count and xor
     *     checksum, so a corrupted copy fails instead of committing.
     * New unit ids are negative (doc-range ids are ≥0 by construction),
-    * assigned deterministically below the current minimum live id: a
-    * crashed compaction rerun recomputes the same id and overwrites its
-    * own uncommitted partial output (idempotent redo, like the build).
+    * assigned below the current minimum live id. Crash safety does not
+    * depend on id reuse: a rerun first SWEEPS dead partials — any
+    * negative-id directory without a committed manifest is a crashed
+    * compaction's invisible output — then merges fresh (idempotent redo).
     * Retired unit directories are deleted AFTER the commit — pure GC; a
-    * crash between commit and delete leaves shadowed dirs the next
-    * [[liveUnits]] call ignores.
+    * crash between commit and delete leaves shadowed dirs the sweep
+    * reclaims on the next run.
     *
     * `gc = false` defers the directory deletions entirely (both the sweep
     * and this run's retirees): an `Index` opened BEFORE the compaction
@@ -343,10 +344,28 @@ object IndexBuild {
     // commit and its delete loop leaves retired-but-undeleted unit dirs
     // (shadowed, so harmless — but an unbounded leak if never reclaimed)
     val gcFs = new Path(indexDir).getFileSystem(spark.sessionState.newHadoopConf())
+    val stores = Seq(segmentsDir(indexDir), docmetaDir(indexDir),
+      filtersDir(indexDir), manifestDir(indexDir))
     (if (gc) committed.toSet -- live else Set.empty[Long]).foreach { u =>
-      Seq(segmentsDir(indexDir), docmetaDir(indexDir),
-        filtersDir(indexDir), manifestDir(indexDir))
-        .foreach(d => gcFs.delete(new Path(s"$d/range=$u"), true))
+      stores.foreach(d => gcFs.delete(new Path(s"$d/range=$u"), true))
+    }
+    if (gc) {
+      // dead-partial sweep: NEGATIVE unit ids are written only by
+      // compaction, so a negative dir without a committed manifest is a
+      // crashed run's partial output (invisible, but disk it holds never
+      // reclaims itself — out-of-order parallel commits mean a rerun may
+      // merge under different ids and never overwrite it). Safe under the
+      // design's standing assumption of one compaction at a time.
+      val committedSet = committed.toSet
+      stores.foreach { d =>
+        Option(gcFs.globStatus(new Path(s"$d/range=*"))).getOrElse(Array.empty)
+          .map(_.getPath)
+          .filter { p =>
+            val id = scala.util.Try(p.getName.stripPrefix("range=").toLong)
+            id.isSuccess && id.get < 0 && !committedSet.contains(id.get)
+          }
+          .foreach(p => gcFs.delete(p, true))
+      }
     }
     if (live.size <= 1) return CompactReport(live, live, Seq.empty)
     val rows = manifests(spark, indexDir, live)
@@ -374,8 +393,9 @@ object IndexBuild {
       Option(fs.globStatus(new Path(s"${filtersDir(indexDir)}/range=*")))
         .getOrElse(Array.empty)
         .map(_.getPath.getName.stripPrefix("range=").toLong).toSet
-    // ids assigned deterministically by batch order BEFORE the (parallel)
-    // merges, so a crashed run's rerun overwrites the same target dirs
+    // ids assigned by batch order before the (parallel) merges; a crashed
+    // run's uncommitted partials are reclaimed by the dead-partial sweep
+    // above, so rerun correctness does not depend on id reuse
     val firstId = math.min(-1L, live.min - 1)
     val toMerge = batches.toSeq.filter(_.size >= 2).zipWithIndex
       .map { case (b, i) => (b, firstId - i) }
@@ -393,15 +413,19 @@ object IndexBuild {
           mergeUnits(spark, indexDir, batch, newId,
             withFilters = batch.forall(u => filterUnits.contains(u.id)))
           (if (gc) batch else Seq.empty).foreach { u => // GC of shadowed dirs
-            Seq(segmentsDir(indexDir), docmetaDir(indexDir),
-              filtersDir(indexDir), manifestDir(indexDir))
-              .foreach(d => fs.delete(new Path(s"$d/range=${u.id}"), true))
+            stores.foreach(d => fs.delete(new Path(s"$d/range=${u.id}"), true))
           }
         }
       }
-      try futures.foreach(f =>
-        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
-      finally pool.shutdown()
+      // wait for EVERY future to settle before propagating the first
+      // failure: throwing early would leave sibling merge jobs running
+      // detached, and a caller's retry (e.g. Structured Streaming's batch
+      // redo) would then race two overwrite writers on the same target dirs
+      val settled =
+        try futures.map(f => scala.util.Try(
+          scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)))
+        finally pool.shutdown()
+      settled.collectFirst { case scala.util.Failure(e) => throw e }
     }
     CompactReport(live, liveUnits(spark, indexDir).sorted, toMerge.map(_._2))
   }

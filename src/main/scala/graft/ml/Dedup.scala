@@ -118,8 +118,9 @@ object Dedup {
           val toks = Tokenizer.tokenizeScala(content)
           if (toks.length < 2) Iterator.empty
           else {
+            // mins(f) holds the winning concatenated-digest array; fn f's
+            // digest always lives at offset f*16 inside it
             val mins = new Array[Array[Byte]](h)
-            val minOff = new Array[Int](h)
             seen.clear()
             var i = 0
             while (i < toks.length - 1) {
@@ -128,16 +129,14 @@ object Dedup {
                 val d = digestsOf(sh)
                 var f = 0
                 while (f < h) {
-                  if (mins(f) == null || less(d, f * 16, mins(f), minOff(f))) {
-                    mins(f) = d; minOff(f) = f * 16
-                  }
+                  if (mins(f) == null || less(d, f * 16, mins(f), f * 16)) mins(f) = d
                   f += 1
                 }
               }
               i += 1
             }
             val hexes = (0 until h).map(f => Tokenizer.hexOf(
-              java.util.Arrays.copyOfRange(mins(f), minOff(f), minOff(f) + 16)))
+              java.util.Arrays.copyOfRange(mins(f), f * 16, f * 16 + 16)))
             Iterator.single((docId, hexes))
           }
         }
@@ -233,7 +232,8 @@ object Dedup {
             }
             var sh = 0L
             var b = 0
-            while (b < bits) { if (2 * setSums(b) - total > 0) sh |= 1L << b; b += 1 }
+            // long arithmetic: 2*set can exceed Int for >2^30-token docs
+            while (b < bits) { if (2L * setSums(b) - total > 0) sh |= 1L << b; b += 1 }
             Iterator.single((docId, sh))
           }
         }

@@ -161,6 +161,21 @@ final class Engine(val index: Index) {
   val HotScanFraction = 0.5
   val DominantWeightFraction = 0.5
 
+  /** THE routing rule — one definition shared by [[searchByTerms]] and
+    * [[searchManyByTerms]] so single and batched routing can never diverge
+    * (the round-2 regression came from a routing rule applied to the wrong
+    * term set; a copy-pasted rule would reintroduce it on one path only).
+    */
+  private def isDenseQuery(weights: Map[String, Double], dfOf: String => Long,
+                           n: Long, rows: Int, candidates: Int): Boolean =
+    weights.nonEmpty && candidates >= rows && n > 0 && {
+      val maxW = weights.values.max
+      val domDf = weights.iterator
+        .filter { case (_, w) => w >= DominantWeightFraction * maxW }
+        .map { case (t, _) => dfOf(t) }.sum
+      domDf.toDouble / n.toDouble >= HotScanFraction
+    }
+
   /** Primary programmatic API (reference `hashes` verb, SURVEY.md §3.2).
     * Returns (rank, doc_id, score_q), k=`rows`.
     *
@@ -204,13 +219,10 @@ final class Engine(val index: Index) {
     // density over DOMINANT terms only (weight within half of the max):
     // a rare high-idf term keeps WAND pruning effective no matter how many
     // corpus-wide terms ride along (see HotScanFraction scaladoc)
-    val maxW = weights.values.max
-    val dominantDf = kept.iterator
-      .distinctBy(_._1)
-      .filter { case (t, _, _) => weights(t) >= DominantWeightFraction * maxW }
-      .map(_._3).sum
+    val dfByTerm: Map[String, Long] =
+      kept.iterator.map { case (t, _, df) => t -> df }.toMap
     if (bitmapFq.isEmpty &&
-        candidates >= rows && n > 0 && dominantDf.toDouble / n.toDouble >= HotScanFraction)
+        isDenseQuery(weights, t => dfByTerm.getOrElse(t, 0L), n, rows, candidates))
       scanScore(weights, rows, avgdl, pred)
     else
       daatScore(weights, rows, math.min(candidates, rows), avgdl,
@@ -398,14 +410,9 @@ final class Engine(val index: Index) {
         }
       }
     }.toMap
-    def isDense(weights: Map[String, Double]): Boolean = weights.nonEmpty && {
-      val maxW = weights.values.max
-      val domDf = weights.iterator
-        .filter { case (_, w) => w >= DominantWeightFraction * maxW }
-        .map { case (t, _) => dfs.getOrElse(t, 0L) }.sum
-      candidates >= rows && n > 0 && domDf.toDouble / n.toDouble >= HotScanFraction
+    val (dense, sparse) = weightsByQuery.filter(_._2.nonEmpty).partition { case (_, w) =>
+      isDenseQuery(w, t => dfs.getOrElse(t, 0L), n, rows, candidates)
     }
-    val (dense, sparse) = weightsByQuery.filter(_._2.nonEmpty).partition(q => isDense(q._2))
     val parts = Seq(
       if (sparse.isEmpty) None else Some(wandMany(sparse, rows, candidates, avgdl)),
       if (dense.isEmpty) None else Some(scanScoreMany(dense, rows, avgdl))).flatten

@@ -45,11 +45,18 @@ object StreamIndexer {
     * per-query reader fan-out bounded no matter how many micro-batches
     * have landed. Compaction is idempotent and manifest-atomic, so a
     * retry-after-crash re-enters safely mid-stream.
+    *
+    * `compactGc = false` defers retired-directory deletion during
+    * maintenance (see IndexBuild.compact's gc flag): required when queries
+    * are served concurrently from Index instances opened over this
+    * indexDir — their cached unit paths must outlive the merge; reclaim
+    * later with a periodic compact(gc = true).
     */
   def start(spark: SparkSession, inputDir: String, indexDir: String,
             checkpointDir: String, cfg: IndexConfig,
             readOptions: Map[String, String] = Map.empty,
-            maxLiveUnits: Int = 0): StreamingQuery = {
+            maxLiveUnits: Int = 0,
+            compactGc: Boolean = true): StreamingQuery = {
     spark.readStream
       .schema(corpusSchema)
       .options(readOptions)
@@ -79,7 +86,7 @@ object StreamIndexer {
               // bounded (terminates: budget -> Long.Max -> one unit)
               var budget = math.max(1L, (totalDocs + maxLiveUnits - 1) / maxLiveUnits)
               while (live.size > maxLiveUnits) {
-                val rep = IndexBuild.compact(spark, indexDir, budget)
+                val rep = IndexBuild.compact(spark, indexDir, budget, gc = compactGc)
                 if (rep.unitsAfter.size >= live.size)
                   budget = if (budget > Long.MaxValue / 2) Long.MaxValue else budget * 2
                 live = rep.unitsAfter

@@ -117,9 +117,10 @@ class StreamingSpec extends SparkSpec {
     val c = IndexConfig(segShift = 4, rangeSegsShift = 1)
     val corpus = Corpus.fromDocuments(spark, sfTiny)
       .select("doc_id", "repo", "path", "commit", "lang", "content", "sha").cache()
-    (0 until 16).foreach { i =>
+    (0 until 16).foreach { i => // coalesce(1): a multi-file chunk could
+      // straddle maxFilesPerTrigger micro-batches and trip the verifier
       corpus.where($"doc_id" >= i * 32 && $"doc_id" < (i + 1) * 32)
-        .write.parquet(s"$inDir/chunk$i")
+        .coalesce(1).write.parquet(s"$inDir/chunk$i")
     }
     val q1 = StreamIndexer.start(spark, s"$inDir/chunk*", idxDir, s"$root/ck", c,
       readOptions = Map("maxFilesPerTrigger" -> "1"))
@@ -215,9 +216,10 @@ class StreamingSpec extends SparkSpec {
     val c = IndexConfig(segShift = 4, rangeSegsShift = 1) // 32-doc ranges
     val corpus = Corpus.fromDocuments(spark, sfTiny)
       .select("doc_id", "repo", "path", "commit", "lang", "content", "sha").cache()
-    (0 until 16).foreach { i =>
+    (0 until 16).foreach { i => // coalesce(1): a multi-file chunk could
+      // straddle maxFilesPerTrigger micro-batches and trip the verifier
       corpus.where($"doc_id" >= i * 32 && $"doc_id" < (i + 1) * 32)
-        .write.parquet(s"$inDir/chunk$i")
+        .coalesce(1).write.parquet(s"$inDir/chunk$i")
     }
     val q = StreamIndexer.start(spark, s"$inDir/chunk*", idxDir, s"$root/ck", c,
       readOptions = Map("maxFilesPerTrigger" -> "4"), maxLiveUnits = 3)
