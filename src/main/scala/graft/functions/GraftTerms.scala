@@ -74,12 +74,16 @@ case class GraftPostings(child: Expression)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_postings"
   override def nullSafeEval(input: Any): Any = {
-    val ps = graft.index.Codec.decodeAll(input.asInstanceOf[Array[Byte]])
-    val out = new Array[Any](ps.length)
+    // decode straight off the block iterator into InternalRows — no
+    // intermediate Posting objects (this expression feeds the dense scan
+    // plan, where a hot term decodes ~N postings per query)
+    val it = new graft.index.Codec.Iter(input.asInstanceOf[Array[Byte]])
+    val out = new Array[Any](it.numEntries)
     var i = 0
-    while (i < ps.length) {
-      out(i) = org.apache.spark.sql.catalyst.InternalRow(ps(i).local, ps(i).tf, ps(i).dl)
+    while (!it.exhausted) {
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(it.curLocal, it.curTf, it.curDl)
       i += 1
+      it.next()
     }
     new GenericArrayData(out)
   }
