@@ -108,4 +108,38 @@ class WandPropertySpec extends SparkSpec {
     val nGroups = idx.segments.where($"term" === "w:license").count()
     assert(nGroups > 1, "hot term should be split across segments")
   }
+
+  test("batched search == per-query across random dense/sparse mixes (property)") {
+    val corpus = Corpus.synthesize(spark, 2000, seed = 11, partitions = 8).cache()
+    val dir = Files.createTempDirectory("graft-batchprop").toString
+    IndexBuild.build(spark, corpus, dir, IndexConfig(segShift = 8, rangeSegsShift = 1))
+    val engine = new Engine(new Index(spark, dir))
+    val vocabDf = engine.index.dictionary
+      .select($"term", $"df").as[(String, Long)].collect().sortBy(-_._2)
+    val hot = vocabDf.take(5).map(_._1)
+    val mid = vocabDf.slice(vocabDf.length / 2, vocabDf.length / 2 + 40).map(_._1)
+    val rare = vocabDf.takeRight(40).map(_._1)
+    val rnd = new Random(42)
+    for (round <- 0 until 3) {
+      val queries: Seq[(Long, Seq[(String, Double)])] = (0 until 8).map { i =>
+        val pool = rnd.nextInt(3) match {
+          case 0 => Seq.fill(2 + rnd.nextInt(2))(hot(rnd.nextInt(hot.length))) // dense
+          case 1 => Seq.fill(3)(mid(rnd.nextInt(mid.length))) ++
+            Seq(rare(rnd.nextInt(rare.length))) // sparse
+          case _ => Seq(hot(rnd.nextInt(hot.length)),
+            rare(rnd.nextInt(rare.length))) // hot+rare mix
+        }
+        (round * 100L + i) -> pool.distinct.map(_ -> (0.5 + rnd.nextDouble())).toSeq
+      }
+      val batch = engine.searchManyByTerms(queries, rows = 15)
+        .as[(Long, Long, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._4)).toSeq).toMap
+      queries.foreach { case (qid, terms) =>
+        val single = engine.searchByTerms(terms, rows = 15)
+          .as[(Long, Long, Long)].collect().map(r => (r._2, r._3)).toSeq
+        assert(batch.getOrElse(qid, Seq.empty) == single,
+          s"round=$round qid=$qid terms=$terms")
+      }
+    }
+  }
 }
