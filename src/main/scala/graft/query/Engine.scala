@@ -221,10 +221,16 @@ final class Engine(val index: Index) {
     // corpus-wide terms ride along (see HotScanFraction scaladoc)
     val dfByTerm: Map[String, Long] =
       kept.iterator.map { case (t, _, df) => t -> df }.toMap
-    if (bitmapFq.isEmpty &&
-        isDenseQuery(weights, t => dfByTerm.getOrElse(t, 0L), n, rows, candidates))
-      scanScore(weights, rows, avgdl, pred)
-    else
+    if (isDenseQuery(weights, t => dfByTerm.getOrElse(t, 0L), n, rows, candidates)) {
+      // a bitmap fq would force the scalar loop on a dense query; its
+      // docmeta semi-join predicate form is result-identical (pinned in
+      // IndexSpec), so convert and keep the columnar plan
+      val scanPred = bitmapFq match {
+        case Some((c, v)) => Some(col(c) === lit(v)) // pred is None here by construction
+        case None => pred
+      }
+      scanScore(weights, rows, avgdl, scanPred)
+    } else
       daatScore(weights, rows, math.min(candidates, rows), avgdl,
         useWand = accuracy < 0.9, pred, bitmapFq)
   }

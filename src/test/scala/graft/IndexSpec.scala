@@ -244,6 +244,18 @@ class IndexSpec extends SparkSpec {
     val got2 = api2.as[(Long, Long, Long)].collect().toSeq
     val exp2 = BruteScorer.topK(docs, boostedHot, 30)
     assert(got2.map(_._2) == exp2.map(_.docId))
+    // dense + bitmap fq: the filter converts to its predicate form and the
+    // query KEEPS the columnar plan; results == the DAAT bitmap path
+    val api3 = engine.searchByTerms(hotTerms, rows = 30, docFilter = Some(("lang", "en")))
+    assert(api3.queryExecution.executedPlan.toString.contains("graft_postings"),
+      "dense + bitmap fq must stay on the columnar plan (predicate form)")
+    val viaDaat = engine.daatScore(
+      hotTerms.map { case (t, b) =>
+        t -> b * Bm25.idf(engine.index.dfOf(Seq(t))(t).toDouble, n.toDouble) }.toMap,
+      30, 30, avgdl, useWand = true, None, bitmapFq = Some(("lang", "en")))
+      .collect().map(_.toSeq).toSeq
+    assert(api3.collect().map(_.toSeq).toSeq == viaDaat,
+      "dense+fq scan route must equal the DAAT bitmap route")
   }
 
   test("two-phase searchRerank == oracle-shaped recompute (candidates bound honored)") {
