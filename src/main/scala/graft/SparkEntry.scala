@@ -314,6 +314,10 @@ object SparkEntry {
         .select(
           date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
           col("event_type"), col("n"), col("sum_value_q"))),
+    // gap-based sessionization (batch twin of the flatMapGroupsWithState
+    // stateful streaming operator; streamed==batch pinned in StreamingSpec)
+    "q_event_sessions" -> ((s, dir) =>
+      graft.streaming.StreamIndexer.sessionize(s.read.parquet(s"$dir/events.parquet"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -407,5 +411,16 @@ object SparkEntry {
         |       event_type, count(*)::BIGINT AS n,
         |       CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_q
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_event_sessions" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, value,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events),
+        |s AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 28800000000 THEN 1 ELSE 0 END AS ns FROM l),
+        |i AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                              ROWS UNBOUNDED PRECEDING) AS sid FROM s)
+        |SELECT user_id, min(us)::BIGINT AS session_start_us, count(*)::BIGINT AS n,
+        |       CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_q
+        |FROM i GROUP BY user_id, sid""".stripMargin,
   )
 }

@@ -125,6 +125,105 @@ object StreamIndexer {
           "append batches must use fresh doc_id ranges")
   }
 
+  /** Gap-based sessionization, BATCH form — the oracle-checked semantics:
+    * consecutive events of a user with inter-event gaps ≤ `gapMinutes`
+    * form one session. Gaps-and-islands: lag over (user, time) marks
+    * session starts, a running sum numbers them, one aggregation emits
+    * (user_id, session_start_us, n, sum_value_q). Times compare in integer
+    * MICROSECONDS (unix_micros / epoch_us) so both engines cut sessions at
+    * exactly the same boundary. The window keys on user_id — the natural
+    * bounded key (one user's events per partition slice), never a global
+    * window. [[sessionizeStream]] is the streaming twin.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 480): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"), col("value"))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .withColumn("ns",
+        when(col("prev").isNull || col("us") - col("prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("ns")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("us")).as("session_start_us"),
+        count(lit(1)).as("n"),
+        round(sum(col("value")) * 100).cast("long").as("sum_value_q"))
+      .select("user_id", "session_start_us", "n", "sum_value_q")
+  }
+
+  final case class OpenSession(start: Long, last: Long, n: Long, sum: Double)
+  final case class SessionRow(user_id: Long, session_start_us: Long, n: Long, sum_value_q: Long)
+
+  /** Gap-based sessionization, STREAMING form: the custom-state operator
+    * family the reference (batch/request-response) has no analog for —
+    * `flatMapGroupsWithState` keyed by user with an EVENT-TIME timeout.
+    * Each micro-batch folds its (sorted) events into the user's open
+    * session, emitting sessions closed by a gap; the open session stays in
+    * the state store with a timeout at last+gap, so the watermark passing
+    * that instant emits it with no further input — exactly the batch
+    * semantics of [[sessionize]] for every session whose close precedes
+    * the final watermark (tested against it).
+    */
+  def sessionizeStream(spark: SparkSession, events: DataFrame,
+                       gapMinutes: Int = 480): org.apache.spark.sql.Dataset[SessionRow] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val gapUs = gapMinutes * 60L * 1000000L
+    def close(uid: Long, s: OpenSession): SessionRow =
+      SessionRow(uid, s.start, s.n, math.round(s.sum * 100))
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "10 minutes")
+      // ts must survive the projection: the event-time-timeout checker
+      // looks for the watermarked attribute in flatMapGroupsWithState's child
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"), col("ts"))
+      .as[(Long, Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (uid: Long, it: Iterator[(Long, Long, Double, java.sql.Timestamp)],
+         state: org.apache.spark.sql.streaming.GroupState[OpenSession]) => {
+          if (state.hasTimedOut) {
+            // watermark passed last+gap: the open session is final
+            val out = state.getOption.map(s => close(uid, s))
+            state.remove()
+            out.iterator
+          } else {
+            val evs = it.toArray.sortBy(_._2)
+            var open = state.getOption
+            val closed = scala.collection.mutable.ListBuffer[SessionRow]()
+            evs.foreach { case (_, us, v, _) =>
+              open match {
+                case Some(s) if us - s.last <= gapUs =>
+                  open = Some(OpenSession(s.start, math.max(s.last, us), s.n + 1, s.sum + v))
+                case Some(s) =>
+                  closed += close(uid, s)
+                  open = Some(OpenSession(us, us, 1L, v))
+                case None =>
+                  open = Some(OpenSession(us, us, 1L, v))
+              }
+            }
+            open.foreach { s =>
+              val timeoutMs = (s.last + gapUs) / 1000L + 1L
+              if (timeoutMs <= state.getCurrentWatermarkMs()) {
+                // replaying history: the gap horizon already passed the
+                // watermark — the session is final now (a timeout in the
+                // past is also illegal to register)
+                closed += close(uid, s)
+                if (state.exists) state.remove()
+              } else {
+                state.update(s)
+                // fires once the event-time watermark passes the gap horizon
+                state.setTimeoutTimestamp(timeoutMs)
+              }
+            }
+            closed.iterator
+          }
+        })
+  }
+
   /** Watermarked tumbling-window event counts (streaming-capable plan:
     * append mode with a 10-minute watermark). Works identically over a
     * bounded read for the batch oracle.

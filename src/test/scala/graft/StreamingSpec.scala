@@ -267,6 +267,41 @@ class StreamingSpec extends SparkSpec {
     assert(r.rangesBuilt.isEmpty, s"mixed schema caused re-ingest: ${r.rangesBuilt}")
   }
 
+  test("stateful sessionization: streamed (flatMapGroupsWithState) == batch gaps-and-islands") {
+    val eventsPath = s"$sfTiny/events.parquet"
+    val batch = StreamIndexer.sessionize(spark.read.parquet(eventsPath))
+      .collect().map(_.toSeq).toSet
+    val nUsers = spark.read.parquet(eventsPath)
+      .select("user_id").distinct().count().toInt
+    // chronological weekly chunks so the watermark advances between
+    // micro-batches and event-time timeouts actually fire
+    val evDir = Files.createTempDirectory("graft-sess").toString
+    val ev = spark.read.parquet(eventsPath)
+    Seq(("chunk0", "ts < '2024-01-08'"),
+      ("chunk1", "ts >= '2024-01-08' AND ts < '2024-01-16'"),
+      ("chunk2", "ts >= '2024-01-16' AND ts < '2024-01-24'"),
+      ("chunk3", "ts >= '2024-01-24'")).foreach { case (name, predicate) =>
+      ev.where(predicate).coalesce(1).write.parquet(s"$evDir/$name")
+    }
+    val schema = ev.schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$evDir/chunk*")
+    val q = StreamIndexer.sessionizeStream(spark, src)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("sessions").collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch),
+      s"streamed sessions must match batch; extras: ${(streamed -- batch).take(3)}")
+    // only each user's final (still-open at the last watermark) session may
+    // be withheld
+    assert(streamed.size >= batch.size - nUsers,
+      s"streamed ${streamed.size} of ${batch.size} (nUsers=$nUsers)")
+  }
+
   test("prune budget == the reference clamp rule (accuracy*len in [3, len])") {
     // StatsUtils.clamp(acc * len, 3, len) (LireRequestHandler.java:488-490)
     // vs Engine.prune's max(3, floor(n*acc)) capped by take() at list size
