@@ -104,6 +104,7 @@ object IndexBuild {
   def docmetaDir(indexDir: String) = s"$indexDir/docmeta"
   def manifestDir(indexDir: String) = s"$indexDir/manifest"
   def filtersDir(indexDir: String) = s"$indexDir/filters"
+  def tombstonesDir(indexDir: String) = s"$indexDir/tombstones"
 
   /** Pack (local, tf, dl) into one long — the shuffle row stays (String,
     * Long, Long), primitive-heavy, to keep the 49M-rows/200k-docs build
@@ -345,7 +346,7 @@ object IndexBuild {
     // (shadowed, so harmless — but an unbounded leak if never reclaimed)
     val gcFs = new Path(indexDir).getFileSystem(spark.sessionState.newHadoopConf())
     val stores = Seq(segmentsDir(indexDir), docmetaDir(indexDir),
-      filtersDir(indexDir), manifestDir(indexDir))
+      filtersDir(indexDir), tombstonesDir(indexDir), manifestDir(indexDir))
     (if (gc) committed.toSet -- live else Set.empty[Long]).foreach { u =>
       stores.foreach(d => gcFs.delete(new Path(s"$d/range=$u"), true))
     }
@@ -367,7 +368,22 @@ object IndexBuild {
           .foreach(p => gcFs.delete(p, true))
       }
     }
-    if (live.size <= 1) return CompactReport(live, live, Seq.empty)
+    if (live.isEmpty) return CompactReport(live, live, Seq.empty)
+    // Solr-update tombstones: reclaim pass. Which doc ranges have pending
+    // kills? (a kill bitmap row is per seg_id; seg >> rangeSegsShift is the
+    // doc range it targets — one driver-side distinct over a tiny table)
+    val tombUnits = live.filter(tombstoneUnits(spark, indexDir).contains)
+    val killTargetRanges: Set[Long] =
+      if (tombUnits.isEmpty) Set.empty
+      else {
+        import spark.implicits._
+        val rs = cfgOfIndex(spark, indexDir, live).rangeSegsShift
+        spark.read.parquet(tombUnits.map(u => s"${tombstonesDir(indexDir)}/range=$u"): _*)
+          .select(shiftrightunsigned(col("seg_id"), rs).as("r"))
+          .distinct().as[Long].collect().toSet
+      }
+    if (live.size <= 1 && killTargetRanges.isEmpty)
+      return CompactReport(live, live, Seq.empty)
     val rows = manifests(spark, indexDir, live)
       .select(col("range_id").as("id"), col("n_docs").cast("long").as("nDocs"),
         col("sum_dl").cast("long").as("sumDl"), col("n_rows").cast("long").as("nRows"),
@@ -397,8 +413,17 @@ object IndexBuild {
     // run's uncommitted partials are reclaimed by the dead-partial sweep
     // above, so rerun correctness does not depend on id reuse
     val firstId = math.min(-1L, live.min - 1)
-    val toMerge = batches.toSeq.filter(_.size >= 2).zipWithIndex
+    // a batch is rewritten when it consolidates (≥2 units) OR when pending
+    // kills target its doc ranges (reclaim — the Lucene merge that drops
+    // deleted docs even from a lone segment)
+    def targeted(b: Vector[UnitRow]): Boolean =
+      b.exists(_.docRanges.exists(dr => killTargetRanges.contains(dr.range_id)))
+    val toMerge = batches.toSeq.filter(b => b.size >= 2 || targeted(b)).zipWithIndex
       .map { case (b, i) => (b, firstId - i) }
+    // doc ranges rewritten ANYWHERE this run: kills targeting them are
+    // applied by their owning batch, so no new unit carries them forward
+    val mergedDocRanges: Set[Long] =
+      toMerge.flatMap(_._1.flatMap(_.docRanges.map(_.range_id))).toSet
     // batches are independent jobs (disjoint inputs, disjoint outputs,
     // each manifest-gated on its own) — overlap them on the driver exactly
     // like the build's range pool so a many-batch maintenance pass uses
@@ -411,10 +436,9 @@ object IndexBuild {
       val futures = toMerge.map { case (batch, newId) =>
         scala.concurrent.Future {
           mergeUnits(spark, indexDir, batch, newId,
-            withFilters = batch.forall(u => filterUnits.contains(u.id)))
-          (if (gc) batch else Seq.empty).foreach { u => // GC of shadowed dirs
-            stores.foreach(d => fs.delete(new Path(s"$d/range=${u.id}"), true))
-          }
+            withFilters = batch.forall(u => filterUnits.contains(u.id)),
+            tombUnits = tombUnits, mergedDocRanges = mergedDocRanges)
+          batch
         }
       }
       // wait for EVERY future to settle before propagating the first
@@ -425,31 +449,140 @@ object IndexBuild {
         try futures.map(f => scala.util.Try(
           scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)))
         finally pool.shutdown()
+      // GC only after EVERY batch settled: a sibling batch may read kill
+      // bitmaps that live in THIS batch's retired units (tombstones target
+      // docs across batch boundaries) — deleting mid-run would race it
+      if (gc) settled.foreach {
+        case scala.util.Success(batch) => batch.foreach { u =>
+          stores.foreach(d => fs.delete(new Path(s"$d/range=${u.id}"), true))
+        }
+        case _ => ()
+      }
       settled.collectFirst { case scala.util.Failure(e) => throw e }
     }
     CompactReport(live, liveUnits(spark, indexDir).sorted, toMerge.map(_._2))
   }
 
-  /** Rewrite one batch of units into unit `newId`; manifest written last. */
+  /** Rewrite one batch of units into unit `newId`; manifest written last.
+    *
+    * Reclaim (Lucene merge semantics): when kill bitmaps target this
+    * batch's doc ranges, the rewrite drops killed docs physically —
+    * postings decoded, filtered, re-encoded (df/max_tf/min_dl refreshed,
+    * empty terms dropped), docmeta rows removed, filter bitmaps andNot'ed —
+    * and the new manifest's stats reflect LIVE docs only, so (N, avgdl,
+    * df) refresh at merge exactly as Lucene's do. Attestation algebra:
+    * checksums are order-independent XORs, so removing the killed rows'
+    * hashes from the constituents' combined checksum gives the exact
+    * expected live checksum — the Observation on the rewritten docmeta
+    * must reproduce it (end-to-end copy attestation preserved under
+    * reclaim). `doc_ranges` INGEST attestations stay verbatim: they gate
+    * streamed replays, which re-offer the original batch content.
+    */
   private def mergeUnits(spark: SparkSession, indexDir: String,
                          batch: Seq[UnitRow], newId: Long,
-                         withFilters: Boolean): Unit = {
+                         withFilters: Boolean,
+                         tombUnits: Seq[Long] = Seq.empty,
+                         mergedDocRanges: Set[Long] = Set.empty): Unit = {
     import spark.implicits._
     val t0 = System.nanoTime()
     val ids = batch.map(_.id)
+    val rs = batch.head.rangeSegsShift
     def paths(dir: String): Seq[String] = ids.map(u => s"$dir/range=$u")
     // no basePath: these reads must NOT infer a range partition column —
     // the rewrite would bake it into the data files and clash with the
     // partition column the query-side basePath readers derive
     val segParts = math.max(1, spark.sparkContext.defaultParallelism)
-    spark.read.parquet(paths(segmentsDir(indexDir)): _*)
+
+    // kill bitmaps (from EVERY live tombstone-carrying unit — kills cross
+    // batch boundaries) restricted to this batch's doc ranges, OR-merged
+    // per segment
+    val batchRanges: Seq[Long] = batch.flatMap(_.docRanges.map(_.range_id)).distinct
+    val kills: Option[DataFrame] =
+      if (tombUnits.isEmpty || batchRanges.isEmpty) None
+      else {
+        val kb = spark.read
+          .parquet(tombUnits.map(u => s"${tombstonesDir(indexDir)}/range=$u"): _*)
+          .where(shiftrightunsigned(col("seg_id"), rs).isin(batchRanges: _*))
+          .select(col("seg_id"), col("bitmap")).as[(Long, Array[Byte])]
+          .groupByKey(_._1)
+          .mapGroups { (seg, it) =>
+            val bm = Bitmaps.deserialize(it.next()._2)
+            it.foreach(r => bm.or(Bitmaps.deserialize(r._2)))
+            (seg, Bitmaps.serialize(bm))
+          }
+          .toDF("seg_id", "kill")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (kb.limit(1).isEmpty) { kb.unpersist(blocking = false); None } else Some(kb)
+      }
+
+    val segSrc = spark.read.parquet(paths(segmentsDir(indexDir)): _*)
+    val segOut = kills match {
+      case None => segSrc
+      case Some(kb) =>
+        segSrc.join(kb, Seq("seg_id"), "left")
+          .select(col("seg_id"), col("term_id"), col("term"), col("df"),
+            col("max_tf"), col("min_dl"), col("postings"), col("kill"))
+          .as[(Long, Long, String, Int, Int, Int, Array[Byte], Array[Byte])]
+          .mapPartitions { it =>
+            // one deserialized kill bitmap per segment, cached across the
+            // partition's (term) rows
+            val cache = new java.util.HashMap[Long, org.roaringbitmap.RoaringBitmap]()
+            it.flatMap { case (seg, tid, term, df, mtf, mdl, post, killBytes) =>
+              if (killBytes == null)
+                Iterator.single(SegTermRow(seg, tid, term, df, mtf, mdl, post))
+              else {
+                val bm = cache.computeIfAbsent(seg, _ => Bitmaps.deserialize(killBytes))
+                val kept = Codec.decodeAll(post).filterNot(p => bm.contains(p.local))
+                if (kept.isEmpty) Iterator.empty
+                else {
+                  var maxTf = 0
+                  var minDl = Int.MaxValue
+                  kept.foreach { p =>
+                    if (p.tf > maxTf) maxTf = p.tf
+                    if (p.dl < minDl) minDl = p.dl
+                  }
+                  Iterator.single(SegTermRow(seg, tid, term, kept.length,
+                    maxTf, minDl, Codec.encode(kept)))
+                }
+              }
+            }
+          }.toDF()
+    }
+    segOut
       .repartition(segParts, col("seg_id"))
       .sortWithinPartitions(col("term_id"), col("seg_id"))
       .write.mode("overwrite").parquet(s"${segmentsDir(indexDir)}/range=$newId")
-    val expN = batch.map(_.nRows).sum
-    val expCk = batch.map(_.checksum).reduce(_ ^ _)
+
+    // killed-row aggregates for the attestation/stat patch (independent of
+    // the copy: ids come from the bitmaps, values from a separate source
+    // read — a corrupted copy still fails the Observation check below)
+    val killedIds: Option[DataFrame] = kills.map { kb =>
+      val shift = batch.head.segShift
+      kb.select(col("seg_id"), col("kill")).as[(Long, Array[Byte])]
+        .flatMap { case (seg, bytes) =>
+          Bitmaps.deserialize(bytes).toArray.iterator.map(l => (seg << shift) | l.toLong)
+        }.toDF("doc_id")
+    }
+    val metaSrc = spark.read.parquet(paths(docmetaDir(indexDir)): _*)
+    val (killedRows, killedDocs, killedSumDl, killedCk) = killedIds match {
+      case None => (0L, 0L, 0L, 0L)
+      case Some(k) =>
+        val r = metaSrc.join(k, Seq("doc_id"), "left_semi")
+          .agg(count(lit(1)).cast("long"),
+            sum(when(col("dl") > 0, 1L).otherwise(0L)).cast("long"),
+            coalesce(sum(when(col("dl") > 0, col("dl").cast("long")).otherwise(0L)), lit(0L)),
+            coalesce(expr("bit_xor(xxhash64(concat_ws('|', doc_id, sha)))"), lit(0L)))
+          .as[(Long, Long, Long, Long)].head()
+        r
+    }
+    val expN = batch.map(_.nRows).sum - killedRows
+    val expCk = batch.map(_.checksum).reduce(_ ^ _) ^ killedCk
+    val liveMeta = killedIds match {
+      case Some(k) => metaSrc.join(k, Seq("doc_id"), "left_anti")
+      case None => metaSrc
+    }
     val obs = org.apache.spark.sql.Observation(s"graft-compact-$newId-${System.nanoTime()}")
-    spark.read.parquet(paths(docmetaDir(indexDir)): _*)
+    liveMeta
       .observe(obs,
         count(lit(1)).as("n_rows"),
         coalesce(expr("bit_xor(xxhash64(concat_ws('|', doc_id, sha)))"), lit(0L)).as("checksum"))
@@ -458,10 +591,42 @@ object IndexBuild {
     require(om("n_rows") == expN && om("checksum") == expCk,
       s"compaction re-attestation failed for unit $newId: wrote " +
         s"(${om("n_rows")}, ${om("checksum")}), manifests say ($expN, $expCk)")
-    if (withFilters)
-      spark.read.parquet(paths(filtersDir(indexDir)): _*)
-        .write.mode("overwrite").parquet(s"${filtersDir(indexDir)}/range=$newId")
-    Seq((newId, batch.map(_.nDocs).sum, batch.map(_.sumDl).sum, expN, expCk,
+    if (withFilters) {
+      val fSrc = spark.read.parquet(paths(filtersDir(indexDir)): _*)
+      val fOut = kills match {
+        case None => fSrc
+        case Some(kb) =>
+          fSrc.join(kb, Seq("seg_id"), "left")
+            .select(col("seg_id"), col("fcol"), col("value"), col("bitmap"), col("kill"))
+            .as[(Long, String, String, Array[Byte], Array[Byte])]
+            .map { case (seg, fc, v, bm, killBytes) =>
+              if (killBytes == null) (seg, fc, v, bm)
+              else {
+                val b = Bitmaps.deserialize(bm)
+                b.andNot(Bitmaps.deserialize(killBytes))
+                (seg, fc, v, Bitmaps.serialize(b))
+              }
+            }.toDF("seg_id", "fcol", "value", "bitmap")
+      }
+      fOut.write.mode("overwrite").parquet(s"${filtersDir(indexDir)}/range=$newId")
+    }
+    // carry forward kills CREATED by this batch's units that target doc
+    // ranges NOT rewritten in this run (they stay pending; stale entries
+    // for already-reclaimed docs are harmless — doc_ids never recycle)
+    val batchTombUnits = ids.filter(tombUnits.contains)
+    if (batchTombUnits.nonEmpty) {
+      val carry = spark.read
+        .parquet(batchTombUnits.map(u => s"${tombstonesDir(indexDir)}/range=$u"): _*)
+        .where(!shiftrightunsigned(col("seg_id"), rs)
+          .isin(mergedDocRanges.toSeq: _*))
+        .select(col("seg_id"), col("bitmap"))
+      if (!carry.limit(1).isEmpty)
+        carry.write.mode("overwrite")
+          .parquet(s"${tombstonesDir(indexDir)}/range=$newId")
+    }
+    kills.foreach(_.unpersist(blocking = false))
+    Seq((newId, batch.map(_.nDocs).sum - killedDocs,
+      batch.map(_.sumDl).sum - killedSumDl, expN, expCk,
       batch.head.segShift, batch.head.rangeSegsShift,
       (System.nanoTime() - t0) / 1000000L,
       batch.flatMap(_.docRanges), ids))
@@ -496,6 +661,175 @@ object IndexBuild {
       finally pool.shutdown()
     BuildReport(todo.toSeq, skip.toSeq,
       results.map(_._1).sum, results.map(_._2).sum, (System.nanoTime() - t0) / 1000000L)
+  }
+
+  // ---- Solr update semantics: upsert / delete via tombstones ------------
+  //
+  // The reference rides on Solr's uniqueKey replace (managed-schema
+  // `<uniqueKey>id</uniqueKey>`: re-adding a doc with an existing id
+  // replaces it) which Lucene implements as a tombstone in the segment's
+  // liveDocs bitset, reclaimed physically at segment merge. The analog
+  // here: a per-segment RoaringBitmap kill-bitmap side-file under
+  // tombstones/range=<unit>, committed atomically by the unit's manifest
+  // gate; every query path excludes killed docs; compaction reclaims them
+  // physically and refreshes stats. Until then corpus stats (N, avgdl) and
+  // term dfs stay STALE — exactly Lucene's deleted-docs behavior
+  // (deleted docs count toward docFreq/norms until merge).
+
+  /** Units that carry a tombstone side-file — ONE globStatus listing. */
+  def tombstoneUnits(spark: SparkSession, indexDir: String): Set[Long] = {
+    val fs = new Path(indexDir).getFileSystem(spark.sessionState.newHadoopConf())
+    Option(fs.globStatus(new Path(s"${tombstonesDir(indexDir)}/range=*")))
+      .getOrElse(Array.empty)
+      .map(_.getPath.getName.stripPrefix("range=").toLong).toSet
+  }
+
+  /** (seg_id, bitmap) kill bitmaps of the given units (None if tombstone-free). */
+  def killBitmaps(spark: SparkSession, indexDir: String,
+                  units: Seq[Long]): Option[DataFrame] = {
+    val present = units.filter(tombstoneUnits(spark, indexDir).contains)
+    if (present.isEmpty) None
+    else Some(spark.read
+      .option("basePath", tombstonesDir(indexDir))
+      .parquet(present.map(u => s"${tombstonesDir(indexDir)}/range=$u"): _*)
+      .select(col("seg_id"), col("bitmap")))
+  }
+
+  /** Distinct killed global doc_ids of the given units. */
+  def killDocIds(spark: SparkSession, indexDir: String, units: Seq[Long],
+                 cfg: IndexConfig): Option[DataFrame] = {
+    import spark.implicits._
+    killBitmaps(spark, indexDir, units).map { bms =>
+      bms.as[(Long, Array[Byte])]
+        .flatMap { case (seg, bytes) =>
+          Bitmaps.deserialize(bytes).toArray.iterator.map(cfg.globalOf(seg, _))
+        }
+        .distinct().toDF("doc_id")
+    }
+  }
+
+  /** Docmeta of the given units minus already-killed docs (the LIVE view
+    * kill resolution runs against — makes upsert/delete replay-idempotent).
+    */
+  private def liveDocmeta(spark: SparkSession, indexDir: String,
+                          units: Seq[Long], cfg: IndexConfig): DataFrame = {
+    val meta = spark.read.parquet(units.map(u => s"${docmetaDir(indexDir)}/range=$u"): _*)
+    // no join-strategy hint: kill sets are usually broadcast-small but a
+    // backlogged index could hold billions — AQE picks at runtime
+    killDocIds(spark, indexDir, units, cfg) match {
+      case Some(k) => meta.join(k, Seq("doc_id"), "left_anti")
+      case None => meta
+    }
+  }
+
+  private def cfgOfIndex(spark: SparkSession, indexDir: String, live: Seq[Long]): IndexConfig = {
+    import spark.implicits._
+    val (s, rs) = manifests(spark, indexDir, live)
+      .select(col("seg_shift").cast("int"), col("range_segs_shift").cast("int"))
+      .as[(Int, Int)].head()
+    IndexConfig(segShift = s, rangeSegsShift = rs)
+  }
+
+  /** Aggregate killed doc_ids into per-segment kill bitmaps and write them
+    * under tombstones/range=`unit` (overwrite-idempotent).
+    */
+  private def writeTombstones(spark: SparkSession, indexDir: String, unit: Long,
+                              kills: DataFrame, cfg: IndexConfig): Unit = {
+    import spark.implicits._
+    kills.select(col("doc_id")).as[Long]
+      .groupByKey(cfg.segOf)
+      .mapGroups { (seg, it) =>
+        val bm = new org.roaringbitmap.RoaringBitmap()
+        it.foreach(d => bm.add(cfg.localOf(d)))
+        (seg, Bitmaps.serialize(bm))
+      }
+      .toDF("seg_id", "bitmap")
+      .write.mode("overwrite").parquet(s"${tombstonesDir(indexDir)}/range=$unit")
+  }
+
+  /** Index `batch` (fresh doc_ids in uncommitted ranges) as new committed
+    * units AND tombstone every live doc whose `keyCols` identity matches a
+    * batch row — the Solr uniqueKey-replace analog (see block comment
+    * above). The tombstone file is written BEFORE the build under the
+    * batch's first range id, so the batch's manifest gate commits docs and
+    * kills atomically: a crashed run leaves both invisible.
+    *
+    * Retry-safe: kills resolve against live non-tombstoned docmeta and
+    * exclude the batch's own ranges, so a replay after success finds the
+    * old versions already tombstoned and recomputes nothing.
+    */
+  def upsert(spark: SparkSession, batch: DataFrame, indexDir: String,
+             cfg: IndexConfig = IndexConfig(),
+             keyCols: Seq[String] = Seq("path")): BuildReport = {
+    import spark.implicits._
+    val batchRanges = batch
+      .select(shiftrightunsigned(col("doc_id"), cfg.rangeShift).as("r"))
+      .distinct().as[Long].collect().toSet
+    require(batchRanges.nonEmpty, "upsert batch is empty")
+    val live = committedUnits(spark, indexDir) match {
+      case c if c.nonEmpty => liveUnits(spark, indexDir)
+      case _ => Seq.empty[Long]
+    }
+    if (live.nonEmpty) {
+      val idxCfg = cfgOfIndex(spark, indexDir, live)
+      require(idxCfg.segShift == cfg.segShift && idxCfg.rangeSegsShift == cfg.rangeSegsShift,
+        s"upsert cfg $cfg does not match index geometry $idxCfg")
+      val keys = batch.select(keyCols.map(col): _*).distinct()
+      val kills = liveDocmeta(spark, indexDir, live, cfg)
+        .join(keys, keyCols, "left_semi")
+        .where(!shiftrightunsigned(col("doc_id"), cfg.rangeShift)
+          .isin(batchRanges.toSeq: _*))
+        .select(col("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (kills.limit(1).count() > 0)
+          writeTombstones(spark, indexDir, batchRanges.min, kills, cfg)
+      } finally kills.unpersist(blocking = false)
+    }
+    build(spark, batch, indexDir, cfg)
+  }
+
+  /** Delete live docs matching `keys` on `keyCols` (Solr deleteById /
+    * deleteByQuery analog): commits a tombstone-only unit — kill bitmaps +
+    * empty segments/docmeta (+ empty filters so the fq side-index stays
+    * complete) under a fresh negative id, manifest written last (same
+    * atomic gate; a crashed run's partials are invisible and swept by the
+    * next compaction). Returns the number of docs deleted (0 = no-op,
+    * nothing written — which also makes replays idempotent).
+    */
+  def deleteByKeys(spark: SparkSession, keys: DataFrame, indexDir: String,
+                   keyCols: Seq[String] = Seq("path")): Long = {
+    import spark.implicits._
+    val committed = committedUnits(spark, indexDir)
+    require(committed.nonEmpty, s"no committed units under $indexDir")
+    val live = liveUnits(spark, indexDir)
+    val cfg = cfgOfIndex(spark, indexDir, live)
+    val kills = liveDocmeta(spark, indexDir, live, cfg)
+      .join(keys.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
+      .select(col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = kills.count()
+      if (n == 0L) return 0L
+      val unit = math.min(-1L, committed.min - 1)
+      writeTombstones(spark, indexDir, unit, kills, cfg)
+      // schema-correct empty stores so every reader's per-unit path exists
+      val tmpl = live.head
+      spark.read.parquet(s"${segmentsDir(indexDir)}/range=$tmpl").limit(0)
+        .write.mode("overwrite").parquet(s"${segmentsDir(indexDir)}/range=$unit")
+      spark.read.parquet(s"${docmetaDir(indexDir)}/range=$tmpl").limit(0)
+        .write.mode("overwrite").parquet(s"${docmetaDir(indexDir)}/range=$unit")
+      val fs = new Path(indexDir).getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(new Path(s"${filtersDir(indexDir)}/range=$tmpl")))
+        spark.read.parquet(s"${filtersDir(indexDir)}/range=$tmpl").limit(0)
+          .write.mode("overwrite").parquet(s"${filtersDir(indexDir)}/range=$unit")
+      Seq((unit, 0L, 0L, 0L, 0L, cfg.segShift, cfg.rangeSegsShift, 0L,
+        Seq.empty[DocRangeStat], Seq.empty[Long]))
+        .toDF("range_id", "n_docs", "sum_dl", "n_rows", "checksum",
+          "seg_shift", "range_segs_shift", "build_ms", "doc_ranges", "retires")
+        .coalesce(1).write.mode("overwrite").parquet(s"${manifestDir(indexDir)}/range=$unit")
+      n
+    } finally kills.unpersist(blocking = false)
   }
 
   /** Build one checkpoint range; returns (n_docs, sum_dl). */

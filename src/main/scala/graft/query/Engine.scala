@@ -34,6 +34,13 @@ final class Index(val spark: SparkSession, val indexDir: String) {
 
   /** (N, avgdl): pure sums over per-range manifest rows — no global build
     * pass exists anywhere (SURVEY.md O4; stats are associative).
+    *
+    * Lucene-faithful staleness contract: docs tombstoned by an upsert /
+    * delete still count here (and in per-term dfs) until a compaction
+    * physically reclaims them — exactly how Lucene's deleted docs keep
+    * contributing to docFreq/norms until segment merge. Pinned in
+    * UpsertSpec; the q_upsert oracle mirrors it (stats over ALL versions,
+    * results over live docs only).
     */
   lazy val stats: (Long, Double) = {
     val (n, sdl) = manifest
@@ -69,9 +76,58 @@ final class Index(val spark: SparkSession, val indexDir: String) {
     if (!hasFilters) Set.empty
     else filters.select(col("fcol")).distinct().as[String].collect().toSet
 
-  lazy val docmeta: DataFrame = spark.read
-    .option("basePath", IndexBuild.docmetaDir(indexDir))
-    .parquet(ranges.map(r => s"${IndexBuild.docmetaDir(indexDir)}/range=$r"): _*)
+  /** Live units carrying a tombstone side-file (Solr-update kills) — ONE
+    * globStatus listing, same contract as [[hasFilters]].
+    */
+  lazy val tombstoneRanges: Seq[Long] = {
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val present = Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+      s"${IndexBuild.tombstonesDir(indexDir)}/range=*")))
+      .getOrElse(Array.empty)
+      .map(_.getPath.getName.stripPrefix("range=").toLong).toSet
+    ranges.filter(present.contains)
+  }
+
+  lazy val hasTombstones: Boolean = tombstoneRanges.nonEmpty
+
+  /** (seg_id, bitmap) kill bitmaps across live units; a segment may appear
+    * once per killing unit — consumers OR them.
+    */
+  lazy val killBitmaps: DataFrame = spark.read
+    .option("basePath", IndexBuild.tombstonesDir(indexDir))
+    .parquet(tombstoneRanges.map(r =>
+      s"${IndexBuild.tombstonesDir(indexDir)}/range=$r"): _*)
+    .select(col("seg_id"), col("bitmap"))
+
+  /** Kill bitmaps as a typed dataset, None when the index is tombstone-free
+    * (the common case — callers keep their exact pre-upsert plans).
+    */
+  def killBitmapsOpt: Option[org.apache.spark.sql.Dataset[(Long, Array[Byte])]] =
+    if (hasTombstones) Some(killBitmaps.as[(Long, Array[Byte])]) else None
+
+  /** Distinct killed global doc_ids (scan-path / docmeta exclusion side). */
+  lazy val killedDocIds: DataFrame = {
+    val c = cfg
+    killBitmaps.as[(Long, Array[Byte])]
+      .flatMap { case (seg, bytes) =>
+        graft.index.Bitmaps.deserialize(bytes).toArray.iterator
+          .map(c.globalOf(seg, _))
+      }
+      .distinct().toDF("doc_id")
+  }
+
+  /** Doc metadata of LIVE docs only: Solr-update tombstones are excluded
+    * here, so every docmeta consumer (point lookup, random sample, fq
+    * predicates, field projection) sees post-update reality. Tombstone-free
+    * indexes (the common case) skip the anti-join entirely.
+    */
+  lazy val docmeta: DataFrame = {
+    val raw = spark.read
+      .option("basePath", IndexBuild.docmetaDir(indexDir))
+      .parquet(ranges.map(r => s"${IndexBuild.docmetaDir(indexDir)}/range=$r"): _*)
+    if (hasTombstones) raw.join(killedDocIds, Seq("doc_id"), "left_anti") else raw
+  }
 
   /** Cached term dictionary (term, term_id, df): aggregated once from the
     * segments (global df = Σ per-segment df) and kept in-memory columnar —
@@ -252,29 +308,46 @@ final class Engine(val index: Index) {
       .as[SegHit]
     val cfg = index.cfg
     val wB = spark.sparkContext.broadcast(weights)
+    // Solr-update tombstones: kill bitmaps ride the SAME per-segment
+    // cogroup as the fq bitmaps (tagged rows), so exclusion happens inside
+    // the segment task BEFORE any top-k heap — a dead doc can never occupy
+    // a result slot. Tombstone-free indexes keep the exact pre-upsert plans.
+    val kills = index.killBitmapsOpt
+    def orAll(bs: Iterable[Array[Byte]]): RoaringBitmap = {
+      val it = bs.iterator
+      val bm = graft.index.Bitmaps.deserialize(it.next())
+      while (it.hasNext) bm.or(graft.index.Bitmaps.deserialize(it.next()))
+      bm
+    }
     val scored: org.apache.spark.sql.Dataset[Scored] = (bitmapFq, docPred) match {
       case (Some((c, v)), _) =>
         // persisted filter side-index: the per-segment bitmaps were built
         // once at index time, so a repeated fq (lang='en') cogroups a
         // KB-sized bitmap table with the hits — no docmeta scan, no
         // per-query doc_id shuffle (VERDICT r01 "What's wrong" #6)
-        val bms = index.filters
+        val fq = index.filters
           .where(col("fcol") === lit(c) && col("value") === lit(v))
-          .select(col("seg_id"), col("bitmap")).as[(Long, Array[Byte])]
+          .select(col("seg_id"), col("bitmap"), lit(0).as("tag"))
+        val bms = (kills match {
+          case Some(k) => fq.unionAll(k.toDF("seg_id", "bitmap")
+            .select(col("seg_id"), col("bitmap"), lit(1).as("tag")))
+          case None => fq
+        }).as[(Long, Array[Byte], Int)]
         hits.groupByKey(_.seg_id).cogroup(bms.groupByKey(_._1)) { (seg, hitIt, bmIt) =>
-          val bs = bmIt.toArray
-          if (bs.isEmpty) Iterator.empty
+          val (fqBs, killBs) = bmIt.toArray.partition(_._3 == 0)
+          if (fqBs.isEmpty) Iterator.empty
           else {
-            val bm = graft.index.Bitmaps.deserialize(bs(0)._2)
-            var i = 1 // defensive: a segment has exactly one bitmap per value
-            while (i < bs.length) { bm.or(graft.index.Bitmaps.deserialize(bs(i)._2)); i += 1 }
-            Wand.scoreSegment(seg, hitIt, wB.value, avgdl, heapSize, cfg, bm, useWand)
+            val bm = orAll(fqBs.map(_._2)) // defensive OR: one bitmap/value expected
+            if (killBs.nonEmpty) bm.andNot(orAll(killBs.map(_._2)))
+            if (bm.isEmpty) Iterator.empty
+            else Wand.scoreSegment(seg, hitIt, wB.value, avgdl, heapSize, cfg, bm, useWand)
           }
         }
       case (None, Some(pred)) =>
         // arbitrary-predicate fq: per-segment allowed-bitmap built from a
         // docmeta scan, cogrouped with the hits — the bitmap never leaves
-        // its segment task (SURVEY.md P2)
+        // its segment task (SURVEY.md P2). index.docmeta already excludes
+        // tombstoned docs, so the allow set is kill-free by construction.
         val allowedBySeg = index.docmeta.where(pred)
           .select(col("doc_id")).as[Long]
           .groupByKey(d => cfg.segOf(d))
@@ -285,8 +358,23 @@ final class Engine(val index: Index) {
           else Wand.scoreSegment(seg, hitIt, wB.value, avgdl, heapSize, cfg, bm, useWand)
         }
       case (None, None) =>
-        hits.groupByKey(_.seg_id).flatMapGroups { (seg, it) =>
-          Wand.scoreSegment(seg, it, wB.value, avgdl, heapSize, cfg, null, useWand)
+        kills match {
+          case None =>
+            hits.groupByKey(_.seg_id).flatMapGroups { (seg, it) =>
+              Wand.scoreSegment(seg, it, wB.value, avgdl, heapSize, cfg, null, useWand)
+            }
+          case Some(k) =>
+            // allow = ¬kill within the segment's local-id capacity: flip
+            // compresses to a handful of runs, and docs that never existed
+            // simply never appear in postings
+            val cap = 1L << cfg.segShift
+            hits.groupByKey(_.seg_id).cogroup(k.groupByKey(_._1)) { (seg, hitIt, bmIt) =>
+              val bs = bmIt.toArray
+              val allow =
+                if (bs.isEmpty) null
+                else RoaringBitmap.flip(orAll(bs.map(_._2)), 0L, cap)
+              Wand.scoreSegment(seg, hitIt, wB.value, avgdl, heapSize, cfg, allow, useWand)
+            }
         }
     }
     Wand.topK(spark, scored, rows)
@@ -320,10 +408,19 @@ final class Engine(val index: Index) {
     val base = docPred match {
       case None => exploded
       case Some(pred) =>
+        // index.docmeta excludes tombstoned docs, so this semi-join is
+        // also the kill filter when a predicate is present
         exploded.join(index.docmeta.where(pred).select("doc_id"), Seq("doc_id"), "left_semi")
     }
-    base.groupBy(col("doc_id"))
+    val agg = base.groupBy(col("doc_id"))
       .agg(sum(col("part")).as("score"))
+    // Solr-update tombstones: exclude dead docs BEFORE the top-k limit so
+    // they never occupy result slots (no-op join skipped when none exist)
+    val live0 =
+      if (index.hasTombstones && docPred.isEmpty)
+        agg.join(broadcast(index.killedDocIds), Seq("doc_id"), "left_anti")
+      else agg
+    live0
       .withColumn("score_q", round(col("score") * lit(Bm25.Quant)).cast("long"))
       .orderBy(col("score_q").desc, col("doc_id").asc)
       .limit(rows)
@@ -441,12 +538,34 @@ final class Engine(val index: Index) {
     val cfg = index.cfg
     val wB = spark.sparkContext.broadcast(weightsByQuery)
     val heapSize = math.min(candidates, rows)
-    val scored = hits.groupByKey(_.seg_id).flatMapGroups { (seg, it) =>
-      val segRows = it.toArray // shared once, re-traversed per query (≤|q| rows)
-      wB.value.iterator.flatMap { case (qid, weights) =>
-        Wand.scoreSegment(seg, segRows.iterator, weights, avgdl,
-          heapSize, cfg, null, useWand = true).map(s => (qid, s))
-      }
+    val scored = index.killBitmapsOpt match {
+      case None =>
+        hits.groupByKey(_.seg_id).flatMapGroups { (seg, it) =>
+          val segRows = it.toArray // shared once, re-traversed per query (≤|q| rows)
+          wB.value.iterator.flatMap { case (qid, weights) =>
+            Wand.scoreSegment(seg, segRows.iterator, weights, avgdl,
+              heapSize, cfg, null, useWand = true).map(s => (qid, s))
+          }
+        }
+      case Some(k) =>
+        // tombstoned index: allow = ¬kill per segment (see daatScore)
+        val cap = 1L << cfg.segShift
+        hits.groupByKey(_.seg_id).cogroup(k.groupByKey(_._1)) { (seg, hitIt, bmIt) =>
+          val bs = bmIt.toArray
+          val allow =
+            if (bs.isEmpty) null
+            else {
+              val bm = graft.index.Bitmaps.deserialize(bs(0)._2)
+              var i = 1
+              while (i < bs.length) { bm.or(graft.index.Bitmaps.deserialize(bs(i)._2)); i += 1 }
+              RoaringBitmap.flip(bm, 0L, cap)
+            }
+          val segRows = hitIt.toArray
+          wB.value.iterator.flatMap { case (qid, weights) =>
+            Wand.scoreSegment(seg, segRows.iterator, weights, avgdl,
+              heapSize, cfg, allow, useWand = true).map(s => (qid, s))
+          }
+        }
     }
     Wand.topKPerQuery(spark, scored, rows)
   }
@@ -480,10 +599,15 @@ final class Engine(val index: Index) {
           col("p.dl").cast("double"), lit(avgdl))).as("part"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("part")).as("score"))
+    val live0 =
+      if (index.hasTombstones)
+        scored.join(broadcast(index.killedDocIds), Seq("doc_id"), "left_anti")
+      else scored
+    val typed = live0
       .select(col("query_id"), col("doc_id"), col("score"))
       .as[(Long, Long, Double)]
       .map { case (qid, d, s) => (qid, Scored(d, s)) }
-    Wand.topKPerQuery(spark, scored, rows)
+    Wand.topKPerQuery(spark, typed, rows)
   }
 
   /** Textual query front-end: parse the reference's `hashes`-verb string
