@@ -65,6 +65,58 @@ object SparkEntry {
     math.max(3, math.floor(n * ExtractAccuracy).toInt)
   }
 
+  /** Upsert gate parameters: every 17th doc is re-posted with appended
+    * content under a lifted doc_id (same `path` identity key — the Solr
+    * uniqueKey replace), every (31k+5)th non-updated doc is deleted. The
+    * lift is range-aligned for every geometry in use and beyond any test
+    * corpus' id space, so the oracle can reproduce the id assignment as a
+    * pure column function.
+    */
+  val UpsertLift = 8388608L // 1 << 23
+
+  private def upsertSetup(s: SparkSession, dir: String, compacted: Boolean): String = {
+    import graft.index.{IndexBuild, IndexConfig}
+    val key = dir.replaceAll("[^a-zA-Z0-9.]+", "_")
+    val d = s"${Engine.indexRoot}/v3-upsert${if (compacted) "c" else ""}-$key"
+    val cfg = IndexConfig(segShift = 5, rangeSegsShift = 1)
+    val base = Corpus.fromDocuments(s, dir)
+    IndexBuild.build(s, base, d, cfg)
+    val updates = base.where(col("doc_id") % 17 === 0)
+      .withColumn("doc_id", col("doc_id") + UpsertLift)
+      .withColumn("content", concat(col("content"), lit(" zzupserted")))
+      .withColumn("sha", sha2(col("content"), 256))
+      .withColumn("content_len", length(col("content")).cast("long"))
+    IndexBuild.upsert(s, updates, d, cfg, keyCols = Seq("path"))
+    IndexBuild.deleteByKeys(s,
+      base.where(col("doc_id") % 31 === 5 && col("doc_id") % 17 =!= 0).select("path"),
+      d, keyCols = Seq("path"))
+    if (compacted) IndexBuild.compact(s, d)
+    d
+  }
+
+  /** Oracle corpus CTE chain for the upsert gates: corpus0 = the standard
+    * derivation, updates = the re-posted versions, corpus = all versions
+    * (stale-stats form) or live docs only (post-compaction form).
+    */
+  private def upsertCorpusCtes(liveOnly: Boolean): String = {
+    val filter = if (liveOnly) " WHERE doc_id % 17 <> 0 AND doc_id % 31 <> 5" else ""
+    s"""corpus0 AS (
+       |${Oracle.corpusBody}),
+       |updates AS (
+       |  SELECT doc_id + $UpsertLift AS doc_id, repo, path, "commit", lang,
+       |         content || ' zzupserted' AS content
+       |  FROM corpus0 WHERE doc_id % 17 = 0),
+       |corpus AS (
+       |  SELECT * FROM corpus0$filter
+       |  UNION ALL SELECT * FROM updates)""".stripMargin
+  }
+
+  /** Live-doc predicate for the stale-stats upsert gate (over the
+    * all-versions corpus): new versions plus untouched originals.
+    */
+  private def upsertLivePred: String =
+    s"doc_id >= $UpsertLift OR (doc_id % 17 <> 0 AND doc_id % 31 <> 5)"
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Bm25.scoreTopK(spark, Corpus.fromDocuments(spark, "/root/testdata/sf0.001"),
@@ -318,6 +370,23 @@ object SparkEntry {
     // stateful streaming operator; streamed==batch pinned in StreamingSpec)
     "q_event_sessions" -> ((s, dir) =>
       graft.streaming.StreamIndexer.sessionize(s.read.parquet(s"$dir/events.parquet"))),
+    // Solr update semantics end to end, PRE-compaction: upsert + delete via
+    // tombstones; results exclude dead docs while stats/dfs stay STALE
+    // (Lucene deleted-docs behavior) — the oracle scores over ALL versions
+    // and filters dead ids from the ranking only
+    "q_upsert" -> ((s, dir) => {
+      import graft.query.Index
+      new Engine(new Index(s, upsertSetup(s, dir, compacted = false)))
+        .searchByTerms(FlagshipTerms, rows = 60)
+    }),
+    // POST-compaction: the merge physically reclaims dead docs and
+    // refreshes stats — the same search must now match a fresh oracle over
+    // the effective (live-only) corpus
+    "q_upsert_compact" -> ((s, dir) => {
+      import graft.query.Index
+      new Engine(new Index(s, upsertSetup(s, dir, compacted = true)))
+        .searchByTerms(FlagshipTerms, rows = 60)
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -422,5 +491,9 @@ object SparkEntry {
         |SELECT user_id, min(us)::BIGINT AS session_start_us, count(*)::BIGINT AS n,
         |       CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_q
         |FROM i GROUP BY user_id, sid""".stripMargin,
+    "q_upsert" -> Oracle.bm25TopKOver(upsertCorpusCtes(liveOnly = false),
+      FlagshipTerms, 60, Some(upsertLivePred)),
+    "q_upsert_compact" -> Oracle.bm25TopKOver(upsertCorpusCtes(liveOnly = true),
+      FlagshipTerms, 60),
   )
 }

@@ -26,16 +26,22 @@ object Oracle {
     * gated corpora never containing one. `post0` (raw tf) exists for
     * consumers that mirror raw-count semantics (simhash weights).
     */
-  val prelude: String =
-    """corpus AS (
-      |  SELECT doc_id,
+  /** The standard corpus derivation (mirrors Corpus.fromDocuments). */
+  val corpusBody: String =
+    """  SELECT doc_id,
       |         source AS repo,
       |         'repo/' || source || '/doc_' || doc_id || '.txt' AS path,
       |         substr(md5(source || ':' || doc_id), 1, 12) AS "commit",
       |         lang,
       |         coalesce(text, '') AS content
-      |  FROM documents),
-      |toks AS (
+      |  FROM documents""".stripMargin
+
+  /** Everything downstream of corpus(doc_id, repo, path, "commit", lang,
+    * content) — reusable over a caller-supplied corpus CTE chain (the
+    * upsert gates feed an all-versions / live-only corpus here).
+    */
+  val preludeTail: String =
+    """toks AS (
       |  SELECT doc_id, lang,
       |         list_filter(regexp_split_to_array(lower(content), '[^a-z0-9]+'), x -> x <> '') AS ts
       |  FROM corpus),
@@ -50,7 +56,23 @@ object Oracle {
       |stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl),
       |dict AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS total_tf FROM post GROUP BY 1)""".stripMargin
 
+  val prelude: String = s"corpus AS (\n$corpusBody),\n$preludeTail"
+
   def withPrelude(body: String): String = s"WITH $prelude\n$body"
+
+  /** Prelude over a caller-supplied corpus CTE chain — `corpusCtes` must
+    * end by defining corpus(doc_id, repo, path, "commit", lang, content).
+    */
+  def withCorpusCtes(corpusCtes: String, body: String): String =
+    s"WITH $corpusCtes,\n$preludeTail\n$body"
+
+  /** Full top-k over a caller-supplied corpus CTE chain. */
+  def bm25TopKOver(corpusCtes: String, terms: Seq[(String, Double)], k: Int,
+                   docPred: Option[String] = None): String =
+    withCorpusCtes(corpusCtes,
+      s"""     , ${qFromValues(terms)},
+         |${bm25Body(docPred)}
+         |${topKSelect(k)}""".stripMargin)
 
   /** VALUES list for a weighted term list. */
   def termValues(terms: Seq[(String, Double)]): String =
