@@ -100,6 +100,22 @@ class PlanSpec extends SparkSpec {
       s"fcol/value not pushed into the filters scan:\n$p")
   }
 
+  test("tombstone-free index keeps pre-upsert plans: no kill anti-join, no tombstone scan") {
+    // the common case must not pay for the Solr-update machinery: neither
+    // the WAND route nor the dense scan route may read the tombstones dir
+    // or add an exclusion join when none exist
+    val wand = plan(engine.searchByTerms(SparkEntry.FlagshipTerms, rows = 30))
+    val hotTerms = engine.index.dictionary
+      .orderBy(col("df").desc, col("term").asc).limit(3)
+      .select(col("term")).as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().toSeq.map(_ -> 1.0)
+    val scan = plan(engine.searchByTerms(hotTerms, rows = 30))
+    Seq("wand" -> wand, "scan" -> scan).foreach { case (name, p) =>
+      assert(!p.contains("tombstones"), s"$name route scans tombstones:\n$p")
+      assert(!p.toLowerCase.contains("leftanti"), s"$name route anti-joins:\n$p")
+    }
+  }
+
   test("bucketed dedup and multi-probe ANN plans contain no cartesian product") {
     val emb = spark.read.parquet(s"$sfTiny/embeddings.parquet")
     val p1 = plan(graft.ml.Dedup.embCosBucketedPairs(emb, 4000L))
