@@ -413,17 +413,22 @@ object IndexBuild {
     // run's uncommitted partials are reclaimed by the dead-partial sweep
     // above, so rerun correctness does not depend on id reuse
     val firstId = math.min(-1L, live.min - 1)
-    // a batch is rewritten when it consolidates (≥2 units) OR when pending
+    // a batch is rewritten when it consolidates (≥2 units), when pending
     // kills target its doc ranges (reclaim — the Lucene merge that drops
-    // deleted docs even from a lone segment)
+    // deleted docs even from a lone segment), or when a unit in it carries
+    // a tombstone file (so applied/duplicate kill entries drain instead of
+    // keeping hasTombstones true forever)
     def targeted(b: Vector[UnitRow]): Boolean =
       b.exists(_.docRanges.exists(dr => killTargetRanges.contains(dr.range_id)))
-    val toMerge = batches.toSeq.filter(b => b.size >= 2 || targeted(b)).zipWithIndex
+    val toMerge = batches.toSeq
+      .filter(b => b.size >= 2 || targeted(b) || b.exists(u => tombUnits.contains(u.id)))
+      .zipWithIndex
       .map { case (b, i) => (b, firstId - i) }
-    // doc ranges rewritten ANYWHERE this run: kills targeting them are
-    // applied by their owning batch, so no new unit carries them forward
-    val mergedDocRanges: Set[Long] =
-      toMerge.flatMap(_._1.flatMap(_.docRanges.map(_.range_id))).toSet
+    // which live unit owns each doc range (for the carry-forward drain
+    // check: a carried kill survives only while its target doc still
+    // exists in the PRE-RUN snapshot of the owning unit)
+    val rangeOwner: Map[Long, Long] =
+      rows.flatMap(u => u.docRanges.map(dr => dr.range_id -> u.id)).toMap
     // batches are independent jobs (disjoint inputs, disjoint outputs,
     // each manifest-gated on its own) — overlap them on the driver exactly
     // like the build's range pool so a many-batch maintenance pass uses
@@ -437,7 +442,7 @@ object IndexBuild {
         scala.concurrent.Future {
           mergeUnits(spark, indexDir, batch, newId,
             withFilters = batch.forall(u => filterUnits.contains(u.id)),
-            tombUnits = tombUnits, mergedDocRanges = mergedDocRanges)
+            tombUnits = tombUnits, rangeOwner = rangeOwner)
           batch
         }
       }
@@ -482,11 +487,12 @@ object IndexBuild {
                          batch: Seq[UnitRow], newId: Long,
                          withFilters: Boolean,
                          tombUnits: Seq[Long] = Seq.empty,
-                         mergedDocRanges: Set[Long] = Set.empty): Unit = {
+                         rangeOwner: Map[Long, Long] = Map.empty): Unit = {
     import spark.implicits._
     val t0 = System.nanoTime()
     val ids = batch.map(_.id)
     val rs = batch.head.rangeSegsShift
+    val cfg0 = IndexConfig(segShift = batch.head.segShift, rangeSegsShift = rs)
     def paths(dir: String): Seq[String] = ids.map(u => s"$dir/range=$u")
     // no basePath: these reads must NOT infer a range partition column —
     // the rewrite would bake it into the data files and clash with the
@@ -557,10 +563,9 @@ object IndexBuild {
     // the copy: ids come from the bitmaps, values from a separate source
     // read — a corrupted copy still fails the Observation check below)
     val killedIds: Option[DataFrame] = kills.map { kb =>
-      val shift = batch.head.segShift
       kb.select(col("seg_id"), col("kill")).as[(Long, Array[Byte])]
         .flatMap { case (seg, bytes) =>
-          Bitmaps.deserialize(bytes).toArray.iterator.map(l => (seg << shift) | l.toLong)
+          Bitmaps.deserialize(bytes).toArray.iterator.map(cfg0.globalOf(seg, _))
         }.toDF("doc_id")
     }
     val metaSrc = spark.read.parquet(paths(docmetaDir(indexDir)): _*)
@@ -569,7 +574,7 @@ object IndexBuild {
       case Some(k) =>
         val r = metaSrc.join(k, Seq("doc_id"), "left_semi")
           .agg(count(lit(1)).cast("long"),
-            sum(when(col("dl") > 0, 1L).otherwise(0L)).cast("long"),
+            coalesce(sum(when(col("dl") > 0, 1L).otherwise(0L)), lit(0L)).cast("long"),
             coalesce(sum(when(col("dl") > 0, col("dl").cast("long")).otherwise(0L)), lit(0L)),
             coalesce(expr("bit_xor(xxhash64(concat_ws('|', doc_id, sha)))"), lit(0L)))
           .as[(Long, Long, Long, Long)].head()
@@ -610,19 +615,49 @@ object IndexBuild {
       }
       fOut.write.mode("overwrite").parquet(s"${filtersDir(indexDir)}/range=$newId")
     }
-    // carry forward kills CREATED by this batch's units that target doc
-    // ranges NOT rewritten in this run (they stay pending; stale entries
-    // for already-reclaimed docs are harmless — doc_ids never recycle)
+    // Carry forward kills CREATED by this batch's units that target doc
+    // ranges OUTSIDE this batch. Deliberately pessimistic per batch (a
+    // sibling batch that would apply a kill may fail after we commit, so
+    // we may not assume it): duplicates are harmless — doc_ids never
+    // recycle and exclusion of a gone id is a no-op. Drain instead comes
+    // from the existence check below: a carried kill whose target doc is
+    // already gone from the PRE-RUN snapshot of its owning unit (applied
+    // in an earlier run) is dropped, so tombstone files empty out within
+    // a couple of compactions instead of pinning hasTombstones forever.
     val batchTombUnits = ids.filter(tombUnits.contains)
     if (batchTombUnits.nonEmpty) {
-      val carry = spark.read
+      val carried0 = spark.read
         .parquet(batchTombUnits.map(u => s"${tombstonesDir(indexDir)}/range=$u"): _*)
-        .where(!shiftrightunsigned(col("seg_id"), rs)
-          .isin(mergedDocRanges.toSeq: _*))
+        .where(!shiftrightunsigned(col("seg_id"), rs).isin(batchRanges: _*))
         .select(col("seg_id"), col("bitmap"))
-      if (!carry.limit(1).isEmpty)
-        carry.write.mode("overwrite")
-          .parquet(s"${tombstonesDir(indexDir)}/range=$newId")
+      val carriedIds = carried0.as[(Long, Array[Byte])]
+        .flatMap { case (seg, bytes) =>
+          Bitmaps.deserialize(bytes).toArray.iterator.map(cfg0.globalOf(seg, _))
+        }.toDF("doc_id").distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val targetRanges = carriedIds
+          .select(shiftrightunsigned(col("doc_id"), cfg0.rangeShift).as("r"))
+          .distinct().as[Long].collect()
+        val ownerUnits = targetRanges.flatMap(rangeOwner.get).distinct.toSeq
+        val surviving =
+          if (ownerUnits.isEmpty) carriedIds.limit(0)
+          else carriedIds.join(
+            spark.read.parquet(ownerUnits.map(u => s"${docmetaDir(indexDir)}/range=$u"): _*)
+              .select(col("doc_id")),
+            Seq("doc_id"), "left_semi")
+        val carryBms = surviving.select(col("doc_id")).as[Long]
+          .groupByKey(cfg0.segOf)
+          .mapGroups { (seg, it) =>
+            val bm = new org.roaringbitmap.RoaringBitmap()
+            it.foreach(d => bm.add(cfg0.localOf(d)))
+            (seg, Bitmaps.serialize(bm))
+          }
+          .toDF("seg_id", "bitmap")
+        if (!carryBms.limit(1).isEmpty)
+          carryBms.write.mode("overwrite")
+            .parquet(s"${tombstonesDir(indexDir)}/range=$newId")
+      } finally carriedIds.unpersist(blocking = false)
     }
     kills.foreach(_.unpersist(blocking = false))
     Seq((newId, batch.map(_.nDocs).sum - killedDocs,
@@ -750,9 +785,13 @@ object IndexBuild {
   /** Index `batch` (fresh doc_ids in uncommitted ranges) as new committed
     * units AND tombstone every live doc whose `keyCols` identity matches a
     * batch row — the Solr uniqueKey-replace analog (see block comment
-    * above). The tombstone file is written BEFORE the build under the
-    * batch's first range id, so the batch's manifest gate commits docs and
-    * kills atomically: a crashed run leaves both invisible.
+    * above). Kill files are written BEFORE the build, SHARDED BY THE
+    * REPLACING DOC'S RANGE: each range's manifest commit atomically
+    * activates exactly the kills its own docs caused, so a crash that
+    * commits only some ranges of a multi-range batch never shows both
+    * versions of a doc — an old version stays served until the range
+    * holding its replacement commits (per-doc replace atomicity, like
+    * Solr's per-document updates).
     *
     * Retry-safe: kills resolve against live non-tombstoned docmeta and
     * exclude the batch's own ranges, so a replay after success finds the
@@ -774,16 +813,24 @@ object IndexBuild {
       val idxCfg = cfgOfIndex(spark, indexDir, live)
       require(idxCfg.segShift == cfg.segShift && idxCfg.rangeSegsShift == cfg.rangeSegsShift,
         s"upsert cfg $cfg does not match index geometry $idxCfg")
-      val keys = batch.select(keyCols.map(col): _*).distinct()
+      // (old doc_id, replacing doc's range); a key matched by several batch
+      // rows kills once, attributed to the smallest replacing id
+      val newKeys = batch
+        .groupBy(keyCols.map(col): _*)
+        .agg(min(col("doc_id")).as("new_doc_id"))
       val kills = liveDocmeta(spark, indexDir, live, cfg)
-        .join(keys, keyCols, "left_semi")
+        .join(newKeys, keyCols)
         .where(!shiftrightunsigned(col("doc_id"), cfg.rangeShift)
           .isin(batchRanges.toSeq: _*))
-        .select(col("doc_id"))
+        .select(col("doc_id"),
+          shiftrightunsigned(col("new_doc_id"), cfg.rangeShift).as("target_unit"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        if (kills.limit(1).count() > 0)
-          writeTombstones(spark, indexDir, batchRanges.min, kills, cfg)
+        val units = kills.select(col("target_unit")).distinct().as[Long].collect()
+        units.foreach { u =>
+          writeTombstones(spark, indexDir, u,
+            kills.where(col("target_unit") === u).select("doc_id"), cfg)
+        }
       } finally kills.unpersist(blocking = false)
     }
     build(spark, batch, indexDir, cfg)

@@ -79,15 +79,8 @@ final class Index(val spark: SparkSession, val indexDir: String) {
   /** Live units carrying a tombstone side-file (Solr-update kills) — ONE
     * globStatus listing, same contract as [[hasFilters]].
     */
-  lazy val tombstoneRanges: Seq[Long] = {
-    val fs = new org.apache.hadoop.fs.Path(indexDir)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    val present = Option(fs.globStatus(new org.apache.hadoop.fs.Path(
-      s"${IndexBuild.tombstonesDir(indexDir)}/range=*")))
-      .getOrElse(Array.empty)
-      .map(_.getPath.getName.stripPrefix("range=").toLong).toSet
-    ranges.filter(present.contains)
-  }
+  lazy val tombstoneRanges: Seq[Long] =
+    ranges.filter(IndexBuild.tombstoneUnits(spark, indexDir).contains)
 
   lazy val hasTombstones: Boolean = tombstoneRanges.nonEmpty
 
@@ -313,12 +306,6 @@ final class Engine(val index: Index) {
     // the segment task BEFORE any top-k heap — a dead doc can never occupy
     // a result slot. Tombstone-free indexes keep the exact pre-upsert plans.
     val kills = index.killBitmapsOpt
-    def orAll(bs: Iterable[Array[Byte]]): RoaringBitmap = {
-      val it = bs.iterator
-      val bm = graft.index.Bitmaps.deserialize(it.next())
-      while (it.hasNext) bm.or(graft.index.Bitmaps.deserialize(it.next()))
-      bm
-    }
     val scored: org.apache.spark.sql.Dataset[Scored] = (bitmapFq, docPred) match {
       case (Some((c, v)), _) =>
         // persisted filter side-index: the per-segment bitmaps were built
@@ -337,8 +324,8 @@ final class Engine(val index: Index) {
           val (fqBs, killBs) = bmIt.toArray.partition(_._3 == 0)
           if (fqBs.isEmpty) Iterator.empty
           else {
-            val bm = orAll(fqBs.map(_._2)) // defensive OR: one bitmap/value expected
-            if (killBs.nonEmpty) bm.andNot(orAll(killBs.map(_._2)))
+            val bm = Engine.orAll(fqBs.map(_._2)) // defensive OR: one bitmap/value expected
+            if (killBs.nonEmpty) bm.andNot(Engine.orAll(killBs.map(_._2)))
             if (bm.isEmpty) Iterator.empty
             else Wand.scoreSegment(seg, hitIt, wB.value, avgdl, heapSize, cfg, bm, useWand)
           }
@@ -364,15 +351,9 @@ final class Engine(val index: Index) {
               Wand.scoreSegment(seg, it, wB.value, avgdl, heapSize, cfg, null, useWand)
             }
           case Some(k) =>
-            // allow = ¬kill within the segment's local-id capacity: flip
-            // compresses to a handful of runs, and docs that never existed
-            // simply never appear in postings
-            val cap = 1L << cfg.segShift
+            val segShift = cfg.segShift
             hits.groupByKey(_.seg_id).cogroup(k.groupByKey(_._1)) { (seg, hitIt, bmIt) =>
-              val bs = bmIt.toArray
-              val allow =
-                if (bs.isEmpty) null
-                else RoaringBitmap.flip(orAll(bs.map(_._2)), 0L, cap)
+              val allow = Engine.flipAllow(bmIt.map(_._2).toSeq, segShift)
               Wand.scoreSegment(seg, hitIt, wB.value, avgdl, heapSize, cfg, allow, useWand)
             }
         }
@@ -416,9 +397,11 @@ final class Engine(val index: Index) {
       .agg(sum(col("part")).as("score"))
     // Solr-update tombstones: exclude dead docs BEFORE the top-k limit so
     // they never occupy result slots (no-op join skipped when none exist)
+    // no join-strategy hint: the kill set is usually broadcast-small but a
+    // long-uncompacted index could hold billions — AQE picks at runtime
     val live0 =
       if (index.hasTombstones && docPred.isEmpty)
-        agg.join(broadcast(index.killedDocIds), Seq("doc_id"), "left_anti")
+        agg.join(index.killedDocIds, Seq("doc_id"), "left_anti")
       else agg
     live0
       .withColumn("score_q", round(col("score") * lit(Bm25.Quant)).cast("long"))
@@ -549,17 +532,9 @@ final class Engine(val index: Index) {
         }
       case Some(k) =>
         // tombstoned index: allow = ¬kill per segment (see daatScore)
-        val cap = 1L << cfg.segShift
+        val segShift = cfg.segShift
         hits.groupByKey(_.seg_id).cogroup(k.groupByKey(_._1)) { (seg, hitIt, bmIt) =>
-          val bs = bmIt.toArray
-          val allow =
-            if (bs.isEmpty) null
-            else {
-              val bm = graft.index.Bitmaps.deserialize(bs(0)._2)
-              var i = 1
-              while (i < bs.length) { bm.or(graft.index.Bitmaps.deserialize(bs(i)._2)); i += 1 }
-              RoaringBitmap.flip(bm, 0L, cap)
-            }
+          val allow = Engine.flipAllow(bmIt.map(_._2).toSeq, segShift)
           val segRows = hitIt.toArray
           wB.value.iterator.flatMap { case (qid, weights) =>
             Wand.scoreSegment(seg, segRows.iterator, weights, avgdl,
@@ -601,7 +576,7 @@ final class Engine(val index: Index) {
       .agg(sum(col("part")).as("score"))
     val live0 =
       if (index.hasTombstones)
-        scored.join(broadcast(index.killedDocIds), Seq("doc_id"), "left_anti")
+        scored.join(index.killedDocIds, Seq("doc_id"), "left_anti")
       else scored
     val typed = live0
       .select(col("query_id"), col("doc_id"), col("score"))
@@ -675,6 +650,22 @@ final class Engine(val index: Index) {
 
 object Engine {
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, Engine]()
+
+  /** OR-merge serialized bitmaps; callers guarantee nonEmpty. */
+  private[query] def orAll(bs: Iterable[Array[Byte]]): RoaringBitmap = {
+    val it = bs.iterator
+    val bm = graft.index.Bitmaps.deserialize(it.next())
+    while (it.hasNext) bm.or(graft.index.Bitmaps.deserialize(it.next()))
+    bm
+  }
+
+  /** allow = ¬(OR of kill bitmaps) over the segment's local-id capacity —
+    * flip compresses the dense complement to runs; docs that never existed
+    * simply never appear in postings. Null (= no filter) when no kills.
+    */
+  private[query] def flipAllow(bs: Seq[Array[Byte]], segShift: Int): RoaringBitmap =
+    if (bs.isEmpty) null
+    else RoaringBitmap.flip(orAll(bs), 0L, 1L << segShift)
 
   /** "t1 t2^0.83" -> Seq(("t1", 1.0), ("t2", 0.83)). A trailing `^boost`
     * must parse as a double; otherwise the token is taken verbatim with

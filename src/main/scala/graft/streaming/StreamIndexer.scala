@@ -171,9 +171,18 @@ object StreamIndexer {
                        gapMinutes: Int = 480): org.apache.spark.sql.Dataset[SessionRow] = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    // late events ≤ the 10-minute watermark allowance must fall within the
+    // session gap for the out-of-order merge below to be chronologically
+    // exact (a non-dropped event is always ≥ watermark ≥ lastSeen − 10min)
+    require(gapMinutes >= 10,
+      s"gapMinutes ($gapMinutes) must cover the 10-minute watermark delay")
     val gapUs = gapMinutes * 60L * 1000000L
     def close(uid: Long, s: OpenSession): SessionRow =
-      SessionRow(uid, s.start, s.n, math.round(s.sum * 100))
+      // same HALF_UP (away from zero) rule as Spark SQL round() in the
+      // batch twin — math.round would differ on negative .5 halves
+      SessionRow(uid, s.start, s.n,
+        java.math.BigDecimal.valueOf(s.sum * 100)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue())
     events
       .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", "10 minutes")
@@ -197,7 +206,11 @@ object StreamIndexer {
             evs.foreach { case (_, us, v, _) =>
               open match {
                 case Some(s) if us - s.last <= gapUs =>
-                  open = Some(OpenSession(s.start, math.max(s.last, us), s.n + 1, s.sum + v))
+                  // a late (out-of-order across micro-batches) event may
+                  // precede the open session's start — extend it backward,
+                  // exactly what the batch gaps-and-islands twin computes
+                  open = Some(OpenSession(math.min(s.start, us),
+                    math.max(s.last, us), s.n + 1, s.sum + v))
                 case Some(s) =>
                   closed += close(uid, s)
                   open = Some(OpenSession(us, us, 1L, v))

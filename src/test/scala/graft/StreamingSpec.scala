@@ -302,6 +302,37 @@ class StreamingSpec extends SparkSpec {
       s"streamed ${streamed.size} of ${batch.size} (nUsers=$nUsers)")
   }
 
+  test("stateful sessionization merges late cross-batch events (backward start extension)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val df = ms.toDF().toDF("user_id", "ts", "value")
+    val q = StreamIndexer.sessionizeStream(spark, df)
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append").start()
+    def t(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    try {
+      // batch 1: on-time event at minute 60
+      ms.addData((1L, t(60), 1.0)); q.processAllAvailable()
+      // batch 2: a LATE event at minute 55 (within the 10-min watermark
+      // allowance — must extend the open session backward) + one at 65.
+      // The negative-value event also pins the HALF_UP rounding parity.
+      ms.addData((1L, t(55), -2.355), (1L, t(65), 4.0)); q.processAllAvailable()
+      // push the watermark past the session's gap horizon, then one more
+      // batch so the event-time timeout actually fires
+      ms.addData((2L, t(60 + 480 + 60), 0.5)); q.processAllAvailable()
+      ms.addData((2L, t(60 + 480 + 120), 0.5)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("late_sessions").where(col("user_id") === 1L)
+      .collect().map(_.toSeq).toSet
+    val batchTwin = StreamIndexer.sessionize(
+      Seq((1L, 1L, t(60), 1.0), (2L, 1L, t(55), -2.355), (3L, 1L, t(65), 4.0))
+        .toDF("event_id", "user_id", "ts", "value"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batchTwin, s"streamed $streamed != batch $batchTwin")
+  }
+
   test("prune budget == the reference clamp rule (accuracy*len in [3, len])") {
     // StatsUtils.clamp(acc * len, 3, len) (LireRequestHandler.java:488-490)
     // vs Engine.prune's max(3, floor(n*acc)) capped by take() at list size

@@ -194,6 +194,65 @@ class UpsertSpec extends SparkSpec {
     assert(again.unitsCreated.isEmpty, s"second compact re-merged ${again.unitsCreated}")
   }
 
+  test("budgeted compact keeps kills visible across batch boundaries, then drains") {
+    // owner unit (tombstones) and target units land in DIFFERENT merge
+    // batches: the per-batch pessimistic carry must keep exclusion intact
+    // even though the targets' batch applied the kills (a sibling commit
+    // may not be assumed), and the existence-based drain must empty the
+    // tombstone files within two runs instead of pinning hasTombstones
+    val dir = upserted()
+    IndexBuild.compact(spark, dir, maxUnitDocs = 300)
+    val e1 = new Engine(new Index(spark, dir))
+    assert(IndexBuild.liveUnits(spark, dir).size > 1, "budget too big for the scenario")
+    val got = rows(e1.searchByTerms(SparkEntry.FlagshipTerms, rows = 60))
+    got.foreach(r => assert(!dead.contains(r(1).asInstanceOf[Long]), s"dead doc: $r"))
+    val p = base.where(col("doc_id") === 0).select("path").as[String].head()
+    assert(e1.index.docmeta.where(col("path") === p)
+      .select("doc_id").as[Long].collect().toSeq == Seq(Lift))
+    // second compact: carried kills' targets are gone from the pre-run
+    // snapshot now — tombstone files must drain
+    IndexBuild.compact(spark, dir, maxUnitDocs = 300)
+    val e2 = new Engine(new Index(spark, dir))
+    assert(!e2.index.hasTombstones,
+      s"tombstones failed to drain: ${IndexBuild.tombstoneUnits(spark, dir)}")
+    // stats fresh post-reclaim, results unchanged
+    assert(rows(e2.searchByTerms(SparkEntry.FlagshipTerms, rows = 60)).nonEmpty)
+    e2.searchByTerms(SparkEntry.FlagshipTerms, rows = 60)
+      .select("doc_id").as[Long].collect()
+      .foreach(d => assert(!dead.contains(d)))
+  }
+
+  test("partially committed multi-range upsert never shows two versions of a doc") {
+    // the kill shards are gated per replacing range: simulate a crash that
+    // committed only SOME ranges of the batch by dropping one new range's
+    // manifest — every key must resolve to exactly one version
+    val dir = Files.createTempDirectory("graft-partial").toString
+    IndexBuild.build(spark, base, dir, cfg)
+    IndexBuild.upsert(spark, updates, dir, cfg, keyCols = Seq("path"))
+    val newRanges = updates
+      .select(shiftrightunsigned(col("doc_id"), cfg.rangeShift)).distinct()
+      .as[Long].collect().sorted
+    assert(newRanges.length >= 2, s"need a multi-range batch, got ${newRanges.toSeq}")
+    val dropped = newRanges.last
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"${IndexBuild.manifestDir(dir)}/range=$dropped"), true)
+    val idx = new Index(spark, dir)
+    val byPath = idx.docmeta.select("path", "doc_id").as[(String, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    val updatedPaths = base.where(col("doc_id") % 17 === 0)
+      .select("path", "doc_id").as[(String, Long)].collect()
+    updatedPaths.foreach { case (path, oldId) =>
+      val newId = oldId + Lift
+      val want =
+        if ((newId >> cfg.rangeShift) == dropped) Seq(oldId) // replacement lost → old stays
+        else Seq(newId) // replacement committed → old killed
+      assert(byPath.getOrElse(path, Seq.empty) == want,
+        s"path $path: visible=${byPath.get(path)}, want $want")
+    }
+  }
+
   test("reclaim re-attestation catches a tampered docmeta copy") {
     val dir = upserted()
     // corrupt one LIVE docmeta row before compaction: the Observation on
