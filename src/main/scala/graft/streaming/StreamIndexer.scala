@@ -51,12 +51,21 @@ object StreamIndexer {
     * are served concurrently from Index instances opened over this
     * indexDir — their cached unit paths must outlive the merge; reclaim
     * later with a periodic compact(gc = true).
+    *
+    * `upsertKeys` nonempty turns the stream into a CDC-style UPSERT feed
+    * (Solr's uniqueKey replace, continuously): each micro-batch indexes
+    * its docs AND tombstones every live doc matching a batch row on those
+    * key columns ([[IndexBuild.upsert]] — kill shards commit atomically
+    * with their range's manifest, replays recompute empty kill sets, so
+    * the exactly-once property is unchanged). With inline maintenance on,
+    * compaction reclaims the dead versions as the stream runs.
     */
   def start(spark: SparkSession, inputDir: String, indexDir: String,
             checkpointDir: String, cfg: IndexConfig,
             readOptions: Map[String, String] = Map.empty,
             maxLiveUnits: Int = 0,
-            compactGc: Boolean = true): StreamingQuery = {
+            compactGc: Boolean = true,
+            upsertKeys: Seq[String] = Seq.empty): StreamingQuery = {
     spark.readStream
       .schema(corpusSchema)
       .options(readOptions)
@@ -72,7 +81,10 @@ object StreamIndexer {
         // its manifest, so a non-range-aligned batch whose ids collide with
         // committed ranges fails loudly instead of silently losing docs.
         if (!batch.isEmpty) {
-          val report = IndexBuild.build(spark, batch, indexDir, cfg)
+          val report =
+            if (upsertKeys.nonEmpty)
+              IndexBuild.upsert(spark, batch, indexDir, cfg, upsertKeys)
+            else IndexBuild.build(spark, batch, indexDir, cfg)
           if (report.rangesSkipped.nonEmpty)
             verifySkippedRanges(spark, batch, indexDir, cfg, report.rangesSkipped)
           if (maxLiveUnits > 0) {

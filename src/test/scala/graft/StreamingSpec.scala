@@ -51,6 +51,45 @@ class StreamingSpec extends SparkSpec {
     assert(mtimes == mtimes2, "replayed ranges must not be rebuilt")
   }
 
+  test("CDC-style upsert stream: re-posted keys replace, inline maintenance reclaims") {
+    val root = Files.createTempDirectory("graft-upstream").toString
+    val inDir = s"$root/in"; val idxDir = s"$root/idx"; val ckDir = s"$root/ck"
+    new java.io.File(inDir).mkdirs()
+    val corpus = Corpus.fromDocuments(spark, sfTiny)
+      .select("doc_id", "repo", "path", "commit", "lang", "content", "sha").cache()
+    corpus.where($"doc_id" < 256).write.parquet(s"$inDir/chunk0")
+    corpus.where($"doc_id" >= 256).write.parquet(s"$inDir/chunk1")
+    // chunk2 re-posts every 50th doc with new content under lifted ids
+    val lift = 1024L
+    val updates = corpus.where($"doc_id" % 50 === 0)
+      .withColumn("doc_id", $"doc_id" + lift)
+      .withColumn("content", concat($"content", lit(" zzstreamup")))
+      .withColumn("sha", sha2($"content", 256))
+    updates.write.parquet(s"$inDir/chunk2")
+    val q = StreamIndexer.start(spark, s"$inDir/chunk*", idxDir, ckDir, cfg,
+      readOptions = Map("maxFilesPerTrigger" -> "1"),
+      maxLiveUnits = 2, upsertKeys = Seq("path"))
+    q.awaitTermination()
+    val idx = new Index(spark, idxDir)
+    val nUpdated = updates.count()
+    // every re-posted key resolves to exactly its new version
+    val p = corpus.where($"doc_id" === 0).select("path").as[String].head()
+    assert(idx.docmeta.where($"path" === p).select("doc_id").as[Long]
+      .collect().toSeq == Seq(lift))
+    val hits = new Engine(idx).searchByContent("zzstreamup", rows = 100)
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits.size == nUpdated && hits.forall(_ >= lift), s"got $hits")
+    // inline maintenance compacted AND reclaimed along the way
+    assert(idx.ranges.size <= 2, s"maintenance left ${idx.ranges}")
+    // replay with a fresh checkpoint: everything committed -> full no-op
+    val q2 = StreamIndexer.start(spark, s"$inDir/chunk*", idxDir, s"$root/ck2", cfg,
+      upsertKeys = Seq("path"))
+    q2.awaitTermination()
+    val idx2 = new Index(spark, idxDir)
+    assert(idx2.docmeta.where($"path" === p).select("doc_id").as[Long]
+      .collect().toSeq == Seq(lift), "replay disturbed the upsert")
+  }
+
   test("watermarked windowed event counts: streaming result == batch oracle") {
     val eventsPath = s"$sfTiny/events.parquet"
     val batch = StreamIndexer.eventCounts(
