@@ -207,6 +207,32 @@ object Bench {
         s""""files_per_sec":${f(nFiles / compactSec)},""" +
         s""""units_before":$unitsBefore,"units_after":${compactRep.unitsAfter.size}}"""
 
+    // update-path maintenance: re-post ~1% of the corpus (Solr uniqueKey
+    // replace -> kill bitmaps), query with the exclusion path active, then
+    // a reclaim merge. Measures the full CDC cycle on the built index.
+    import org.apache.spark.sql.functions.{col, concat, lit, sha2}
+    val upN = math.min(math.max(1000L, nFiles / 100), 65536L)
+    val upLift = 1L << 40 // range-aligned beyond any synthetic id space
+    val upBatch = corpus.where(col("doc_id") < upN)
+      .withColumn("doc_id", col("doc_id") + upLift)
+      .withColumn("content", concat(col("content"), lit(" zzrev2")))
+      .withColumn("sha", sha2(col("content"), 256))
+    val (_, upsertSec) = time(IndexBuild.upsert(spark, upBatch, benchIdx, cfg, Seq("path")))
+    val upEngine = new Engine(new Index(spark, benchIdx))
+    require(upEngine.index.hasTombstones, "bench upsert produced no tombstones")
+    upEngine.searchByTerms(hotRare, rows = 60).count() // warm
+    val tombQuerySec = (1 to 3).map(_ =>
+      time(upEngine.searchByTerms(hotRare, rows = 60).count())._2).min
+    val (_, reclaimSec) = time(IndexBuild.compact(spark, benchIdx))
+    val postUp = new Engine(new Index(spark, benchIdx))
+    require(!postUp.index.hasTombstones && postUp.index.stats._1 == nDocs,
+      "reclaim must drain tombstones and restore live-doc stats")
+    val upsertJson =
+      s""""upsert":{"n":$upN,"sec":${f(upsertSec)},""" +
+        s""""docs_per_sec":${f(upN / upsertSec)},""" +
+        s""""query_sec_tombstoned":${f(tombQuerySec)},""" +
+        s""""reclaim_sec":${f(reclaimSec)}}"""
+
     val qJson = perQuery.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
     val curve = buildCores.map(c =>
       s""""cores_$c":{"sec":${f(builds(c)._1)},"files_per_sec":${f(thrOf(c))}}""").mkString(",")
@@ -220,7 +246,7 @@ object Bench {
         s""""draws_sec_c8":${samples(8).map(s => f(s._1)).reverse.mkString("[", ",", "]")},""" +
         s""""best_observed":${f(thrOf.values.max)},$curve},""" +
         s""""query_batch":{"n":${batch.size},"sec":${f(batchSec)},"qps":${f(qps)},""" +
-        s""""batched_sec":${f(manySec)},"batched_qps":${f(manyQps)}},$compactJson}""")
+        s""""batched_sec":${f(manySec)},"batched_qps":${f(manyQps)}},$compactJson,$upsertJson}""")
     Console.out.flush()
     spark.stop()
   }
