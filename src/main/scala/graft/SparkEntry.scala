@@ -256,6 +256,17 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(Dedup.minhashBands(
         Dedup.minhashSignatures(Dedup.withDups(Corpus.fromDocuments(s, dir)))))),
+    // pairs -> clusters: connected components by min-label propagation
+    // (the step that turns candidate pairs into dedup decisions)
+    "q_dedup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(Dedup.minhashPairs(Dedup.minhashBands(
+        Dedup.minhashSignatures(Dedup.withDups(Corpus.fromDocuments(s, dir))))))),
+    // full per-doc decision table: cluster + keep(min-of-cluster)/drop
+    "q_dedup_decisions" -> ((s, dir) => {
+      val c = Dedup.withDups(Corpus.fromDocuments(s, dir))
+      Dedup.dedupDecisions(c,
+        Dedup.minhashPairs(Dedup.minhashBands(Dedup.minhashSignatures(c))))
+    }),
     // exact n-gram Jaccard verification over the LSH candidates
     "q_dedup_jaccard" -> ((s, dir) => {
       val c = Dedup.withDups(Corpus.fromDocuments(s, dir))
@@ -441,6 +452,8 @@ object SparkEntry {
         |FROM corpus c JOIN embeddings e ON e.vec_id = c.doc_id""".stripMargin),
     "q_dedup_exact" -> OracleMl.exactDupsSql,
     "q_dedup_minhash" -> OracleMl.minhashPairsSql,
+    "q_dedup_clusters" -> OracleMl.dedupClustersSql,
+    "q_dedup_decisions" -> OracleMl.dedupDecisionsSql,
     "q_dedup_jaccard" -> OracleMl.jaccardPairsSql,
     "q_dedup_simhash" -> OracleMl.simhashSql,
     "q_simhash_pairs" -> OracleMl.simhashPairsSql(2),

@@ -168,6 +168,70 @@ object Dedup {
       .agg(count(lit(1)).as("shared_bands"))
   }
 
+  /** Connected components over undirected candidate pairs (doc_a, doc_b) —
+    * the clustering step that turns near-dup PAIRS into dedup decisions.
+    * Returns (doc_id, cluster_id) for every doc appearing in a pair;
+    * cluster_id = min doc_id of the component.
+    *
+    * Algorithm: iterative min-label propagation to a fixpoint. One round =
+    * one equi-join (edges ⋈ labels) + one min-aggregation — both shuffle
+    * on doc ids, no driver-side graph. Near-dup components are
+    * near-cliques by construction (members collide in shared LSH buckets),
+    * so the propagation distance — and round count — stays small (2-3);
+    * a pathological long-chain graph would want the large-star/small-star
+    * variant (O(log n) rounds, same join shape per round). Convergence is
+    * detected by Σ labels (labels only ever decrease, so an unchanged sum
+    * IS the fixpoint — one cheap aggregate, no change-join). Lineage is
+    * truncated per round (localCheckpoint) so the plan does not grow with
+    * iterations.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("cluster_id", col("doc_id"))
+        .localCheckpoint()
+      var prevSum = labels.agg(sum(col("cluster_id"))).head().getLong(0)
+      var converged = false
+      while (!converged) {
+        val neighborMin = edges
+          .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("nl")),
+            Seq("dst"))
+          .groupBy(col("src").as("doc_id"))
+          .agg(min(col("nl")).as("nmin"))
+        val next = labels.join(neighborMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
+              .as("cluster_id"))
+          .localCheckpoint()
+        val s = next.agg(sum(col("cluster_id"))).head().getLong(0)
+        converged = s == prevSum
+        prevSum = s
+        labels = next
+      }
+      labels
+    } finally edges.unpersist(blocking = false)
+  }
+
+  /** Full dedup decision table: every corpus doc with its cluster and
+    * keep/drop flag — keep the component's min doc_id, drop the rest;
+    * docs in no candidate pair are their own singleton cluster and kept.
+    * THE output a training-data pipeline feeds downstream.
+    */
+  def dedupDecisions(corpus: DataFrame, pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(pairs)
+    corpus.select(col("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep",
+        (col("doc_id") === col("cluster_id")).cast("long"))
+  }
+
   /** Exact n-gram Jaccard over candidate pairs only (verification step of
     * the MinHash pipeline): J = |A∩B| / |A∪B|, quantized.
     */

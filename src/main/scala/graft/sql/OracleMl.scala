@@ -62,6 +62,46 @@ object OracleMl {
        |            AND a.doc_id < b.doc_id
        |GROUP BY 1, 2""".stripMargin)
 
+  /** Shared CTE chain: minhash candidate pairs -> undirected edges ->
+    * recursive min-label walk -> cc(doc_id, cluster_id). Needs the WITH
+    * RECURSIVE prefix, so callers compose manually (not via withPrelude).
+    */
+  private def ccCtes: String =
+    s"""$dupCtes,
+       |$shingleCtes,
+       |$minhashCtes,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a
+       |  JOIN bands b ON a.band_j = b.band_j AND a.band_hash = b.band_hash
+       |              AND a.doc_id < b.doc_id),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |walk(node, label) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
+       |cc AS (
+       |  SELECT node AS doc_id, min(label)::BIGINT AS cluster_id
+       |  FROM walk GROUP BY node)""".stripMargin
+
+  /** Connected components of the minhash candidate-pair graph. */
+  def dedupClustersSql: String =
+    s"""WITH RECURSIVE ${Oracle.prelude},
+       |$ccCtes
+       |SELECT doc_id, cluster_id FROM cc""".stripMargin
+
+  /** Full per-doc dedup decision table (cluster + keep flag). */
+  def dedupDecisionsSql: String =
+    s"""WITH RECURSIVE ${Oracle.prelude},
+       |$ccCtes
+       |SELECT c2.doc_id,
+       |       coalesce(cc.cluster_id, c2.doc_id)::BIGINT AS cluster_id,
+       |       (CASE WHEN coalesce(cc.cluster_id, c2.doc_id) = c2.doc_id
+       |             THEN 1 ELSE 0 END)::BIGINT AS keep
+       |FROM corpus2 c2 LEFT JOIN cc ON cc.doc_id = c2.doc_id""".stripMargin
+
   def jaccardPairsSql: String = withPrelude(
     s"""     , $dupCtes,
        |$shingleCtes,

@@ -32,6 +32,32 @@ class MlSpec extends SparkSpec {
     }
   }
 
+  test("connected components: chains, multiple components, convergence") {
+    // a 6-hop chain (min label must propagate hop by hop — exercises the
+    // multi-round fixpoint the near-clique gated corpora never need),
+    // a separate triangle, and an isolated pair
+    val pairs = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L), (15L, 16L),
+      (30L, 31L), (31L, 32L), (30L, 32L),
+      (50L, 51L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    (10L to 16L).foreach(d => assert(cc(d) == 10L, s"chain node $d -> ${cc(d)}"))
+    (30L to 32L).foreach(d => assert(cc(d) == 30L))
+    assert(cc(50L) == 50L && cc(51L) == 50L)
+    assert(cc.size == 12)
+    // decision table: singletons kept, one survivor per cluster
+    val corpus = (1L to 60L).toDF("doc_id")
+    val dec = Dedup.dedupDecisions(corpus, pairs)
+      .select("doc_id", "cluster_id", "keep").as[(Long, Long, Long)].collect()
+    val kept = dec.filter(_._3 == 1L).map(_._1).toSet
+    assert(kept.contains(10L) && !kept.contains(11L) && !kept.contains(16L))
+    assert(kept.contains(30L) && !kept.contains(32L))
+    assert(kept.contains(50L) && !kept.contains(51L))
+    // every doc outside any pair is its own kept singleton
+    assert(dec.filter(d => d._1 < 10 || d._1 > 51).forall(d => d._3 == 1L && d._2 == d._1))
+  }
+
   test("jaccard: 1.0 for exact dups, (0,1) for near dups") {
     val pairs = Dedup.minhashPairs(Dedup.minhashBands(Dedup.minhashSignatures(dupped)))
     val j = Dedup.jaccardPairs(dupped, pairs).as[(Long, Long, Long)].collect().toSeq
