@@ -159,6 +159,14 @@ object SparkEntry {
     // must hash-match q_wand_boosted's oracle
     "q_query_string" -> ((s, dir) =>
       Engine.forDir(s, dir).searchByQueryString(BoostedQueryString, rows = 60)),
+    // Solr `start` offset: page 2 of the flagship query — global ranks
+    // (20, 50], exact result-window semantics
+    "q_wand_paged" -> ((s, dir) =>
+      Engine.forDir(s, dir).searchPage(FlagshipTerms, start = 20, rows = 30)),
+    // Solr facet.field over the query's FULL match set (Boolean-OR match,
+    // not the top-k window)
+    "q_facet_lang" -> ((s, dir) =>
+      Engine.forDir(s, dir).facet(FlagshipTerms, "lang")),
     // fq via the PERSISTED per-segment bitmap side-index (built at index
     // time; no docmeta scan per query)
     "q_wand_filtered" -> ((s, dir) =>
@@ -415,6 +423,8 @@ object SparkEntry {
     "q_bm25_boosted" -> Oracle.bm25TopK(BoostedTerms, 60),
     "q_bm25_filtered" -> Oracle.bm25TopK(FlagshipTerms, 60, Some("lang = 'en'")),
     "q_wand_topk" -> Oracle.bm25TopK(FlagshipTerms, 60),
+    "q_wand_paged" -> Oracle.bm25Page(FlagshipTerms, 20, 30),
+    "q_facet_lang" -> Oracle.facetSql(FlagshipTerms, "lang"),
     "q_wand_boosted" -> Oracle.bm25TopK(BoostedTerms, 60),
     "q_query_string" -> Oracle.bm25TopK(BoostedTerms, 60),
     "q_wand_filtered" -> Oracle.bm25TopK(FlagshipTerms, 60, Some("lang = 'en'")),

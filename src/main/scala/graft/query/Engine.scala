@@ -585,6 +585,43 @@ final class Engine(val index: Index) {
     Wand.topKPerQuery(spark, typed, rows)
   }
 
+  /** Paged search — Solr's `start` offset (every Solr handler takes
+    * start/rows; the reference's README queries page with it). Computes
+    * the exact top-(start+rows) and returns ranks (start, start+rows] with
+    * their GLOBAL rank, exactly Solr's result-window semantics. The heap
+    * budget grows by the offset — deep paging costs what it costs
+    * everywhere (Solr's cursorMark exists for that reason; same trade
+    * here).
+    */
+  def searchPage(terms: Seq[(String, Double)], start: Int, rows: Int = 60,
+                 accuracy: Double = 1.0, candidates: Int = 10000): DataFrame =
+    searchByTerms(terms, rows = start + rows, accuracy = accuracy,
+      candidates = math.max(candidates, start + rows))
+      .where(col("rank") > start)
+
+  /** Facet counts over the query's FULL match set (docs containing any
+    * query term — Boolean-OR match semantics, not the top-k window):
+    * Solr's `facet=true&facet.field=<f>` on the same request. One postings
+    * scan for the match set (distinct doc ids), one semi-join into
+    * docmeta, one count per value — no sort, no window.
+    */
+  def facet(terms: Seq[(String, Double)], field: String): DataFrame = {
+    val names = terms.map(_._1).distinct
+    val ids = names.map(TermHash.hash)
+    val cfg = index.cfg
+    val matching = index.segments
+      .where(col("term_id").isin(ids: _*) && col("term").isin(names: _*))
+      .select(col("seg_id"),
+        explode(graft.functions.GraftFunctions.graft_postings(col("postings"))).as("p"))
+      .select(shiftleft(col("seg_id"), cfg.segShift)
+        .bitwiseOR(col("p.local").cast("long")).as("doc_id"))
+      .distinct()
+    index.docmeta
+      .join(matching, Seq("doc_id"), "left_semi")
+      .groupBy(col(field).as("value"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Textual query front-end: parse the reference's `hashes`-verb string
     * form and search. Grammar (the WhitespaceAnalyzer + QueryParser surface
     * of LireRequestHandler.java:494-506, boosted MetricSpaces terms

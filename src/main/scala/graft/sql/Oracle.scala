@@ -143,6 +143,24 @@ object Oracle {
   private def topKSelect(k: Int): String =
     s"SELECT rank, doc_id, score_q FROM ranked WHERE rank <= $k ORDER BY rank"
 
+  /** Result window (start, start+k] with global ranks — Solr start/rows. */
+  def bm25Page(terms: Seq[(String, Double)], start: Int, k: Int): String =
+    withPrelude(
+      s"""     , ${qFromValues(terms)},
+         |${bm25Body(None)}
+         |SELECT rank, doc_id, score_q FROM ranked
+         |WHERE rank > $start AND rank <= ${start + k} ORDER BY rank""".stripMargin)
+
+  /** Facet counts over the full Boolean-OR match set of the terms. */
+  def facetSql(terms: Seq[(String, Double)], field: String): String = {
+    val inList = terms.map(_._1).distinct.map(t => s"'$t'").mkString(", ")
+    withPrelude(
+      s"""     , matchset AS (SELECT DISTINCT doc_id FROM post WHERE term IN ($inList))
+         |SELECT c.$field AS value, count(*)::BIGINT AS n
+         |FROM corpus c JOIN matchset m ON m.doc_id = c.doc_id
+         |GROUP BY 1""".stripMargin)
+  }
+
   /** Full top-k query from literal terms. */
   def bm25TopK(terms: Seq[(String, Double)], k: Int, docPred: Option[String] = None): String =
     withPrelude(
