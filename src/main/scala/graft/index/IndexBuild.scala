@@ -783,19 +783,27 @@ object IndexBuild {
   }
 
   /** Index `batch` (fresh doc_ids in uncommitted ranges) as new committed
-    * units AND tombstone every live doc whose `keyCols` identity matches a
-    * batch row — the Solr uniqueKey-replace analog (see block comment
-    * above). Kill files are written BEFORE the build, SHARDED BY THE
-    * REPLACING DOC'S RANGE: each range's manifest commit atomically
-    * activates exactly the kills its own docs caused, so a crash that
-    * commits only some ranges of a multi-range batch never shows both
-    * versions of a doc — an old version stays served until the range
-    * holding its replacement commits (per-doc replace atomicity, like
-    * Solr's per-document updates).
+    * units with Solr uniqueKey-replace semantics: per key, THE HIGHEST
+    * doc_id among (live versions ∪ batch rows) survives; every other
+    * version is tombstoned. doc_id is the version order — ingest allocates
+    * monotonically increasing ranges, so arrival order and id order agree —
+    * which makes the rule safe under ANY delivery order and ANY replay:
+    *  - a replayed old chunk can never kill a newer committed version
+    *    (its ids are lower — it loses and is tombstoned dead-on-arrival,
+    *    which it already was);
+    *  - several versions of one key inside one batch resolve to the max
+    *    (losers are indexed then excluded, like a same-segment Lucene
+    *    update);
+    *  - out-of-order chunk delivery leaves the max alive whichever chunk
+    *    lands first, and even heals pre-existing duplicate versions.
     *
-    * Retry-safe: kills resolve against live non-tombstoned docmeta and
-    * exclude the batch's own ranges, so a replay after success finds the
-    * old versions already tombstoned and recomputes nothing.
+    * Kill files are written BEFORE the build, sharded so atomicity holds
+    * per range: a killed BATCH doc commits with its OWN range
+    * (dead-on-arrival), a killed LIVE doc with the surviving batch doc's
+    * range — a crash that commits only some ranges of a multi-range batch
+    * never shows two versions of a key. A shard attributed to an
+    * already-committed unit merges with that unit's existing kills
+    * (overwrite would silently resurrect them).
     */
   def upsert(spark: SparkSession, batch: DataFrame, indexDir: String,
              cfg: IndexConfig = IndexConfig(),
@@ -809,30 +817,53 @@ object IndexBuild {
       case c if c.nonEmpty => liveUnits(spark, indexDir)
       case _ => Seq.empty[Long]
     }
-    if (live.nonEmpty) {
-      val idxCfg = cfgOfIndex(spark, indexDir, live)
-      require(idxCfg.segShift == cfg.segShift && idxCfg.rangeSegsShift == cfg.rangeSegsShift,
-        s"upsert cfg $cfg does not match index geometry $idxCfg")
-      // (old doc_id, replacing doc's range); a key matched by several batch
-      // rows kills once, attributed to the smallest replacing id
-      val newKeys = batch
-        .groupBy(keyCols.map(col): _*)
-        .agg(min(col("doc_id")).as("new_doc_id"))
-      val kills = liveDocmeta(spark, indexDir, live, cfg)
-        .join(newKeys, keyCols)
-        .where(!shiftrightunsigned(col("doc_id"), cfg.rangeShift)
-          .isin(batchRanges.toSeq: _*))
-        .select(col("doc_id"),
-          shiftrightunsigned(col("new_doc_id"), cfg.rangeShift).as("target_unit"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val units = kills.select(col("target_unit")).distinct().as[Long].collect()
-        units.foreach { u =>
-          writeTombstones(spark, indexDir, u,
-            kills.where(col("target_unit") === u).select("doc_id"), cfg)
-        }
-      } finally kills.unpersist(blocking = false)
-    }
+    val keyColsC = keyCols.map(col)
+    val liveVers =
+      if (live.isEmpty) None
+      else {
+        val idxCfg = cfgOfIndex(spark, indexDir, live)
+        require(idxCfg.segShift == cfg.segShift && idxCfg.rangeSegsShift == cfg.rangeSegsShift,
+          s"upsert cfg $cfg does not match index geometry $idxCfg")
+        // live versions of the batch's keys OUTSIDE the batch's ranges — a
+        // replayed batch's own committed docs enter via the batch side
+        Some(liveDocmeta(spark, indexDir, live, cfg)
+          .join(batch.select(keyColsC: _*).distinct(), keyCols, "left_semi")
+          .where(!shiftrightunsigned(col("doc_id"), cfg.rangeShift)
+            .isin(batchRanges.toSeq: _*))
+          .select(keyColsC :+ col("doc_id").as("vid"): _*)
+          .withColumn("from_batch", lit(false)))
+      }
+    val batchVers = batch.select(keyColsC :+ col("doc_id").as("vid"): _*)
+      .withColumn("from_batch", lit(true))
+    val all = liveVers.fold(batchVers)(batchVers.unionByName(_))
+    val wins = all.groupBy(keyColsC: _*).agg(max(col("vid")).as("win"))
+    val kills = all.join(wins, keyCols)
+      .where(col("vid") =!= col("win"))
+      .select(col("vid").as("doc_id"),
+        when(col("from_batch"), shiftrightunsigned(col("vid"), cfg.rangeShift))
+          .otherwise(shiftrightunsigned(col("win"), cfg.rangeShift))
+          .as("target_unit"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val units = kills.select(col("target_unit")).distinct().as[Long].collect()
+      val committedTomb =
+        if (units.isEmpty) Set.empty[Long]
+        else live.toSet.intersect(tombstoneUnits(spark, indexDir)).intersect(units.toSet)
+      units.foreach { u =>
+        val mine = kills.where(col("target_unit") === u).select("doc_id")
+        val merged =
+          if (committedTomb.contains(u))
+            // committed unit with an existing kill shard: MERGE — those
+            // kills are active, overwriting would resurrect their targets.
+            // localCheckpoint materializes the union BEFORE the overwrite
+            // of the very files the existing-kills read plan points at.
+            mine.unionByName(
+              killDocIds(spark, indexDir, Seq(u), cfg).get).distinct()
+              .localCheckpoint()
+          else mine // fresh or crashed-partial shard: deterministic recompute
+        writeTombstones(spark, indexDir, u, merged, cfg)
+      }
+    } finally kills.unpersist(blocking = false)
     build(spark, batch, indexDir, cfg)
   }
 

@@ -195,8 +195,13 @@ object Dedup {
       var labels = edges.select(col("src").as("doc_id")).distinct()
         .withColumn("cluster_id", col("doc_id"))
         .localCheckpoint()
-      var prevSum = labels.agg(sum(col("cluster_id"))).head().getLong(0)
-      var converged = false
+      // sum() over zero rows is NULL: a pair-free graph is already converged
+      def labelSum(df: DataFrame): Option[Long] = {
+        val r = df.agg(sum(col("cluster_id"))).head()
+        if (r.isNullAt(0)) None else Some(r.getLong(0))
+      }
+      var prevSum = labelSum(labels)
+      var converged = prevSum.isEmpty
       while (!converged) {
         val neighborMin = edges
           .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("nl")),
@@ -208,8 +213,11 @@ object Dedup {
             least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
               .as("cluster_id"))
           .localCheckpoint()
-        val s = next.agg(sum(col("cluster_id"))).head().getLong(0)
+        val s = labelSum(next)
         converged = s == prevSum
+        // release the superseded round's checkpoint blocks — only the
+        // newest labels stay pinned for the caller
+        labels.unpersist(blocking = false)
         prevSum = s
         labels = next
       }

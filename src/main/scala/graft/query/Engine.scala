@@ -210,6 +210,13 @@ final class Engine(val index: Index) {
   val HotScanFraction = 0.5
   val DominantWeightFraction = 0.5
 
+  /** Global doc id from exploded-posting (seg_id, local) columns — the ONE
+    * definition of the packing (IndexConfig.globalOf as a Column); every
+    * exploded-postings plan (scanScore, scanScoreMany, facet) must use it.
+    */
+  private def packedDocId(seg: Column, local: Column): Column =
+    shiftleft(seg, index.cfg.segShift).bitwiseOR(local.cast("long"))
+
   /** THE routing rule — one definition shared by [[searchByTerms]] and
     * [[searchManyByTerms]] so single and batched routing can never diverge
     * (the round-2 regression came from a routing rule applied to the wrong
@@ -382,8 +389,7 @@ final class Engine(val index: Index) {
       .select(col("seg_id"), col("w"),
         explode(graft.functions.GraftFunctions.graft_postings(col("postings"))).as("p"))
       .select(
-        shiftleft(col("seg_id"), cfg.segShift)
-          .bitwiseOR(col("p.local").cast("long")).as("doc_id"),
+        packedDocId(col("seg_id"), col("p.local")).as("doc_id"),
         (col("w") * Bm25.tfNormCol(col("p.tf").cast("double"),
           col("p.dl").cast("double"), lit(avgdl))).as("part"))
     val base = docPred match {
@@ -568,8 +574,7 @@ final class Engine(val index: Index) {
         explode(graft.functions.GraftFunctions.graft_postings(col("postings"))).as("p"))
       .join(broadcast(wDf), Seq("term"))
       .select(col("query_id"),
-        shiftleft(col("seg_id"), cfg.segShift)
-          .bitwiseOR(col("p.local").cast("long")).as("doc_id"),
+        packedDocId(col("seg_id"), col("p.local")).as("doc_id"),
         (col("w") * Bm25.tfNormCol(col("p.tf").cast("double"),
           col("p.dl").cast("double"), lit(avgdl))).as("part"))
       .groupBy(col("query_id"), col("doc_id"))
@@ -613,8 +618,7 @@ final class Engine(val index: Index) {
       .where(col("term_id").isin(ids: _*) && col("term").isin(names: _*))
       .select(col("seg_id"),
         explode(graft.functions.GraftFunctions.graft_postings(col("postings"))).as("p"))
-      .select(shiftleft(col("seg_id"), cfg.segShift)
-        .bitwiseOR(col("p.local").cast("long")).as("doc_id"))
+      .select(packedDocId(col("seg_id"), col("p.local")).as("doc_id"))
       .distinct()
     index.docmeta
       .join(matching, Seq("doc_id"), "left_semi")

@@ -56,6 +56,11 @@ class MlSpec extends SparkSpec {
     assert(kept.contains(50L) && !kept.contains(51L))
     // every doc outside any pair is its own kept singleton
     assert(dec.filter(d => d._1 < 10 || d._1 > 51).forall(d => d._3 == 1L && d._2 == d._1))
+    // a pair-free corpus (clean data) is all singletons, not a crash
+    val none = Dedup.dedupDecisions(corpus,
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
+      .as[(Long, Long, Long)].collect()
+    assert(none.length == 60 && none.forall(d => d._3 == 1L && d._2 == d._1))
   }
 
   test("jaccard: 1.0 for exact dups, (0,1) for near dups") {

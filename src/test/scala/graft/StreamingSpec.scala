@@ -81,13 +81,52 @@ class StreamingSpec extends SparkSpec {
     assert(hits.size == nUpdated && hits.forall(_ >= lift), s"got $hits")
     // inline maintenance compacted AND reclaimed along the way
     assert(idx.ranges.size <= 2, s"maintenance left ${idx.ranges}")
-    // replay with a fresh checkpoint: everything committed -> full no-op
+    // replay with a fresh checkpoint AND chunked batches: each old chunk
+    // re-arrives ALONE, so its rows race the committed newer versions —
+    // the max-doc_id winner rule must leave the replacements untouched
+    // (the old optimistic kill rule tombstoned the NEWER version here)
     val q2 = StreamIndexer.start(spark, s"$inDir/chunk*", idxDir, s"$root/ck2", cfg,
+      readOptions = Map("maxFilesPerTrigger" -> "1"),
       upsertKeys = Seq("path"))
     q2.awaitTermination()
     val idx2 = new Index(spark, idxDir)
     assert(idx2.docmeta.where($"path" === p).select("doc_id").as[Long]
-      .collect().toSeq == Seq(lift), "replay disturbed the upsert")
+      .collect().toSeq == Seq(lift), "chunked replay disturbed the upsert")
+    val hits2 = new Engine(idx2).searchByContent("zzstreamup", rows = 100)
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits2.size == nUpdated && hits2.forall(_ >= lift), s"got $hits2")
+  }
+
+  test("CDC upsert stream: out-of-order delivery (update chunk first) converges to the max") {
+    val root = Files.createTempDirectory("graft-ooo").toString
+    val idxDir = s"$root/idx"
+    val corpus = Corpus.fromDocuments(spark, sfTiny)
+      .select("doc_id", "repo", "path", "commit", "lang", "content", "sha")
+      .where($"doc_id" < 256).cache()
+    val lift = 1024L
+    val updates = corpus.where($"doc_id" % 50 === 0)
+      .withColumn("doc_id", $"doc_id" + lift)
+      .withColumn("content", concat($"content", lit(" zzooo")))
+      .withColumn("sha", sha2($"content", 256))
+    // the UPDATE chunk lands before the originals it supersedes
+    new java.io.File(s"$root/up").mkdirs(); new java.io.File(s"$root/orig").mkdirs()
+    updates.write.parquet(s"$root/up/chunk")
+    corpus.write.parquet(s"$root/orig/chunk")
+    StreamIndexer.start(spark, s"$root/up/*", idxDir, s"$root/ck1", cfg,
+      upsertKeys = Seq("path")).awaitTermination()
+    StreamIndexer.start(spark, s"$root/orig/*", idxDir, s"$root/ck2", cfg,
+      upsertKeys = Seq("path")).awaitTermination()
+    val idx = new Index(spark, idxDir)
+    // the late-arriving ORIGINAL of an updated key is dead on arrival
+    val p = corpus.where($"doc_id" === 0).select("path").as[String].head()
+    assert(idx.docmeta.where($"path" === p).select("doc_id").as[Long]
+      .collect().toSeq == Seq(lift),
+      "late original displaced the newer version")
+    // non-updated keys resolve to their only version
+    val p7 = corpus.where($"doc_id" === 7).select("path").as[String].head()
+    assert(idx.docmeta.where($"path" === p7).select("doc_id").as[Long]
+      .collect().toSeq == Seq(7L))
+    assert(idx.docmeta.count() == corpus.count(), "one live version per key")
   }
 
   test("watermarked windowed event counts: streaming result == batch oracle") {

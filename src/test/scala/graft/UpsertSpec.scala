@@ -253,6 +253,45 @@ class UpsertSpec extends SparkSpec {
     }
   }
 
+  test("winner rule: replayed OLD versions can never kill the newer committed version") {
+    // re-offering the original rows of already-updated keys (a replayed
+    // old chunk) must be a harmless no-op: their ids are LOWER than the
+    // live replacements, so they lose the max-doc_id race
+    val dir = upserted()
+    val replayOldVersions = base.where(col("doc_id") % 17 === 0)
+    IndexBuild.upsert(spark, replayOldVersions, dir, cfg, keyCols = Seq("path"))
+    val idx = new Index(spark, dir)
+    val p = base.where(col("doc_id") === 0).select("path").as[String].head()
+    assert(idx.docmeta.where(col("path") === p).select("doc_id").as[Long]
+      .collect().toSeq == Seq(Lift),
+      "replay of the old version displaced the newer one")
+    // and the search surface is unchanged
+    val e = new Engine(idx)
+    val got = rows(e.searchByTerms(SparkEntry.FlagshipTerms, rows = 60))
+    got.foreach(r => assert(!dead.contains(r(1).asInstanceOf[Long])))
+  }
+
+  test("winner rule: several versions of one key in ONE batch resolve to the max") {
+    val dir = Files.createTempDirectory("graft-intra").toString
+    IndexBuild.build(spark, base, dir, cfg)
+    // two new versions of doc 3's key in the same upsert batch
+    val v1 = base.where(col("doc_id") === 3)
+      .withColumn("doc_id", col("doc_id") + Lift)
+      .withColumn("content", concat(col("content"), lit(" v1")))
+    val v2 = base.where(col("doc_id") === 3)
+      .withColumn("doc_id", col("doc_id") + 2 * Lift)
+      .withColumn("content", concat(col("content"), lit(" v2")))
+    val batch = v1.unionByName(v2)
+      .withColumn("sha", sha2(col("content"), 256))
+      .withColumn("content_len", length(col("content")).cast("long"))
+    IndexBuild.upsert(spark, batch, dir, cfg, keyCols = Seq("path"))
+    val idx = new Index(spark, dir)
+    val p = base.where(col("doc_id") === 3).select("path").as[String].head()
+    assert(idx.docmeta.where(col("path") === p).select("doc_id").as[Long]
+      .collect().toSeq == Seq(3L + 2 * Lift),
+      "intra-batch duplicate keys must resolve to the highest doc_id")
+  }
+
   test("reclaim re-attestation catches a tampered docmeta copy") {
     val dir = upserted()
     // corrupt one LIVE docmeta row before compaction: the Observation on
