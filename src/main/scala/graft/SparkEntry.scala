@@ -275,6 +275,10 @@ object SparkEntry {
       Dedup.dedupDecisions(c,
         Dedup.minhashPairs(Dedup.minhashBands(Dedup.minhashSignatures(c))))
     }),
+    // THE composed pipeline: quality gate -> near-dup clustering among
+    // survivors -> one decision row per doc (stage order is the contract)
+    "q_curation" -> ((s, dir) =>
+      ml.Curation.curate(Dedup.withDups(Corpus.fromDocuments(s, dir)))),
     // exact n-gram Jaccard verification over the LSH candidates
     "q_dedup_jaccard" -> ((s, dir) => {
       val c = Dedup.withDups(Corpus.fromDocuments(s, dir))
@@ -463,6 +467,7 @@ object SparkEntry {
     "q_dedup_exact" -> OracleMl.exactDupsSql,
     "q_dedup_minhash" -> OracleMl.minhashPairsSql,
     "q_dedup_clusters" -> OracleMl.dedupClustersSql,
+    "q_curation" -> OracleMl.curationSql,
     "q_dedup_decisions" -> OracleMl.dedupDecisionsSql,
     "q_dedup_jaccard" -> OracleMl.jaccardPairsSql,
     "q_dedup_simhash" -> OracleMl.simhashSql,

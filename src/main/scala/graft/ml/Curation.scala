@@ -1,0 +1,54 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data curation pipeline — the composition the
+  * individual operators exist for, as ONE declarative DataFrame program:
+  *
+  *   stage 1: quality gate (TextStats.quality composite ≥ threshold)
+  *   stage 2: near-dup clustering among the SURVIVORS
+  *            (minhash → LSH bands → candidate pairs → connected
+  *            components → keep component min)
+  *   output:  one decision row per input doc.
+  *
+  * Ordering matters and is part of the contract: dedup runs AFTER the
+  * quality filter (industry-standard curation order — low-quality docs
+  * must not become cluster survivors), which the DuckDB oracle twin
+  * reproduces stage for stage (OracleMl.curationSql).
+  *
+  * Scale shape: stage 1 is per-row column expressions (no shuffle);
+  * stage 2 shuffles only survivor signatures on (band, hash) and the
+  * candidate-pair graph — everything inherits the gated operators' plans.
+  */
+object Curation {
+
+  /** Default quality cut: keeps roughly half the synthetic corpus at
+    * every test SF (distribution checked in DuckDB; the gate only needs
+    * both engines to agree, but a degenerate all/none split would weaken
+    * what it proves).
+    */
+  val QualityThreshold = 900000L
+
+  /** (doc_id, quality_q, passed_quality, cluster_id, kept) per input doc:
+    * kept = passed the quality gate AND is its dedup cluster's survivor
+    * (component min; quality-filtered docs are 0 with their own id as
+    * cluster_id, singleton survivors are 1).
+    */
+  def curate(corpus: DataFrame,
+             qualityThreshold: Long = QualityThreshold): DataFrame = {
+    val q = TextStats.quality(corpus).select(col("doc_id"), col("quality_q"))
+    val surv = corpus.join(
+      q.where(col("quality_q") >= qualityThreshold), Seq("doc_id"), "left_semi")
+    val pairs = Dedup.minhashPairs(Dedup.minhashBands(Dedup.minhashSignatures(surv)))
+    val dec = Dedup.dedupDecisions(surv, pairs)
+    corpus.select(col("doc_id"))
+      .join(q, Seq("doc_id"))
+      .join(dec.select(col("doc_id"), col("cluster_id"), col("keep")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("quality_q"),
+        (col("quality_q") >= qualityThreshold).cast("long").as("passed_quality"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        coalesce(col("keep"), lit(0L)).as("kept"))
+  }
+}

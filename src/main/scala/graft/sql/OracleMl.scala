@@ -19,15 +19,17 @@ object OracleMl {
       |  UNION ALL
       |  SELECT doc_id + 2000000, content || ' spark' FROM corpus WHERE doc_id % 101 = 0)""".stripMargin
 
-  /** Distinct bigram shingles of corpus2: sh2(doc_id, sh). */
-  val shingleCtes: String =
-    """toks2 AS (
-      |  SELECT doc_id,
-      |         list_filter(regexp_split_to_array(lower(content), '[^a-z0-9]+'), x -> x <> '') AS ts
-      |  FROM corpus2),
-      |sh2 AS (
-      |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i + 1] AS sh
-      |  FROM toks2, unnest(generate_series(1, len(ts) - 1)) AS g(i))""".stripMargin
+  /** Distinct bigram shingles of `src`(doc_id, content): sh2(doc_id, sh). */
+  def shingleCtesOver(src: String): String =
+    s"""toks2 AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_split_to_array(lower(content), '[^a-z0-9]+'), x -> x <> '') AS ts
+       |  FROM $src),
+       |sh2 AS (
+       |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i + 1] AS sh
+       |  FROM toks2, unnest(generate_series(1, len(ts) - 1)) AS g(i))""".stripMargin
+
+  val shingleCtes: String = shingleCtesOver("corpus2")
 
   def exactDupsSql: String = withPrelude(
     s"""     , $dupCtes
@@ -62,15 +64,13 @@ object OracleMl {
        |            AND a.doc_id < b.doc_id
        |GROUP BY 1, 2""".stripMargin)
 
-  /** Shared CTE chain: minhash candidate pairs -> undirected edges ->
-    * recursive min-label walk -> cc(doc_id, cluster_id). Needs the WITH
-    * RECURSIVE prefix, so callers compose manually (not via withPrelude).
+  /** Graph chain over bands(doc_id, band_j, band_hash): candidate pairs ->
+    * undirected edges -> recursive min-label walk -> cc(doc_id,
+    * cluster_id). Needs the WITH RECURSIVE prefix, so callers compose
+    * manually (not via withPrelude).
     */
-  private def ccCtes: String =
-    s"""$dupCtes,
-       |$shingleCtes,
-       |$minhashCtes,
-       |pairs AS (
+  private def ccGraphCtes: String =
+    s"""pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a
        |  JOIN bands b ON a.band_j = b.band_j AND a.band_hash = b.band_hash
@@ -85,6 +85,57 @@ object OracleMl {
        |cc AS (
        |  SELECT node AS doc_id, min(label)::BIGINT AS cluster_id
        |  FROM walk GROUP BY node)""".stripMargin
+
+  private def ccCtes: String =
+    s"""$dupCtes,
+       |$shingleCtes,
+       |$minhashCtes,
+       |$ccGraphCtes""".stripMargin
+
+  /** End-to-end curation pipeline (mirror of Curation.curate): quality
+    * gate over the dup-injected corpus, then near-dup clustering among
+    * the SURVIVORS only — stage order is part of the contract.
+    */
+  def curationSql: String = {
+    val stops = TextStats.QualityStops.map(w => s"'$w'").mkString(", ")
+    val t = graft.ml.Curation.QualityThreshold
+    s"""WITH RECURSIVE ${Oracle.prelude},
+       |$dupCtes,
+       |toksc AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_split_to_array(lower(content), '[^a-z0-9]+'), x -> x <> '') AS ts
+       |  FROM corpus2),
+       |qfeats AS (
+       |  SELECT c.doc_id,
+       |         length(c.content)::DOUBLE AS n_chars,
+       |         len(t.ts)::DOUBLE AS n_toks,
+       |         (length(c.content) - length(regexp_replace(c.content, '${TextStats.PunctRe}', '', 'g')))::DOUBLE AS n_punct,
+       |         len(list_filter(t.ts, x -> x IN ($stops)))::DOUBLE AS n_stop
+       |  FROM corpus2 c JOIN toksc t ON t.doc_id = c.doc_id),
+       |qual AS (
+       |  SELECT doc_id,
+       |         CAST(round((0.5 * least(1.0, n_toks / 40.0)
+       |               + 0.3 * (1.0 - CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0 END)
+       |               + 0.2 * least(1.0, 10.0 * (CASE WHEN n_toks > 0 THEN n_stop / n_toks ELSE 0 END)))
+       |              * 1000000.0) AS BIGINT) AS quality_q
+       |  FROM qfeats),
+       |surv AS (
+       |  SELECT c2.doc_id, c2.content
+       |  FROM corpus2 c2 JOIN qual q ON q.doc_id = c2.doc_id
+       |  WHERE q.quality_q >= $t),
+       |${shingleCtesOver("surv")},
+       |$minhashCtes,
+       |$ccGraphCtes
+       |SELECT c2.doc_id, q.quality_q,
+       |       (CASE WHEN q.quality_q >= $t THEN 1 ELSE 0 END)::BIGINT AS passed_quality,
+       |       coalesce(cc.cluster_id, c2.doc_id)::BIGINT AS cluster_id,
+       |       (CASE WHEN q.quality_q >= $t
+       |             AND coalesce(cc.cluster_id, c2.doc_id) = c2.doc_id
+       |             THEN 1 ELSE 0 END)::BIGINT AS kept
+       |FROM corpus2 c2
+       |JOIN qual q ON q.doc_id = c2.doc_id
+       |LEFT JOIN cc ON cc.doc_id = c2.doc_id""".stripMargin
+  }
 
   /** Connected components of the minhash candidate-pair graph. */
   def dedupClustersSql: String =
