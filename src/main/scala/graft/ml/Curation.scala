@@ -37,7 +37,12 @@ object Curation {
     */
   def curate(corpus: DataFrame,
              qualityThreshold: Long = QualityThreshold): DataFrame = {
+    // the quality projection feeds three independent subtrees (the
+    // survivor semi-join, the decision join, the final output join);
+    // persist the tiny (doc_id, quality_q) relation so the corpus is
+    // tokenized for quality once, not once per subtree
     val q = TextStats.quality(corpus).select(col("doc_id"), col("quality_q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val surv = corpus.join(
       q.where(col("quality_q") >= qualityThreshold), Seq("doc_id"), "left_semi")
     val pairs = Dedup.minhashPairs(Dedup.minhashBands(Dedup.minhashSignatures(surv)))

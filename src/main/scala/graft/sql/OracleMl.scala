@@ -97,7 +97,6 @@ object OracleMl {
     * the SURVIVORS only — stage order is part of the contract.
     */
   def curationSql: String = {
-    val stops = TextStats.QualityStops.map(w => s"'$w'").mkString(", ")
     val t = graft.ml.Curation.QualityThreshold
     s"""WITH RECURSIVE ${Oracle.prelude},
        |$dupCtes,
@@ -105,20 +104,11 @@ object OracleMl {
        |  SELECT doc_id,
        |         list_filter(regexp_split_to_array(lower(content), '[^a-z0-9]+'), x -> x <> '') AS ts
        |  FROM corpus2),
-       |qfeats AS (
-       |  SELECT c.doc_id,
-       |         length(c.content)::DOUBLE AS n_chars,
-       |         len(t.ts)::DOUBLE AS n_toks,
-       |         (length(c.content) - length(regexp_replace(c.content, '${TextStats.PunctRe}', '', 'g')))::DOUBLE AS n_punct,
-       |         len(list_filter(t.ts, x -> x IN ($stops)))::DOUBLE AS n_stop
-       |  FROM corpus2 c JOIN toksc t ON t.doc_id = c.doc_id),
+       |${qualityCtesOver("corpus2", "toksc")},
        |qual AS (
        |  SELECT doc_id,
-       |         CAST(round((0.5 * least(1.0, n_toks / 40.0)
-       |               + 0.3 * (1.0 - CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0 END)
-       |               + 0.2 * least(1.0, 10.0 * (CASE WHEN n_toks > 0 THEN n_stop / n_toks ELSE 0 END)))
-       |              * 1000000.0) AS BIGINT) AS quality_q
-       |  FROM qfeats),
+       |         CAST(round($qualityExpr * 1000000.0) AS BIGINT) AS quality_q
+       |  FROM ratios),
        |surv AS (
        |  SELECT c2.doc_id, c2.content
        |  FROM corpus2 c2 JOIN qual q ON q.doc_id = c2.doc_id
@@ -435,33 +425,46 @@ object OracleMl {
          |FROM toks""".stripMargin)
   }
 
-  def qualitySql: String = {
+  /** Quality feature chain over `src`(doc_id, content) and `toksSrc`
+    * (doc_id, ts) — ONE definition of the composite, shared by qualitySql
+    * and curationSql (a weight/stops change edits exactly one place plus
+    * TextStats.quality). Emits feats -> ratios(doc_id, n_chars, n_toks,
+    * punct_ratio, stop_ratio, mean_tok_len).
+    */
+  def qualityCtesOver(src: String, toksSrc: String): String = {
     val stops = TextStats.QualityStops.map(w => s"'$w'").mkString(", ")
+    s"""feats AS (
+       |  SELECT c.doc_id,
+       |         length(c.content)::DOUBLE AS n_chars,
+       |         len(t.ts)::DOUBLE AS n_toks,
+       |         (length(c.content) - length(regexp_replace(c.content, '${TextStats.PunctRe}', '', 'g')))::DOUBLE AS n_punct,
+       |         len(list_filter(t.ts, x -> x IN ($stops)))::DOUBLE AS n_stop,
+       |         coalesce(list_sum(list_transform(t.ts, x -> length(x))), 0)::DOUBLE AS tok_chars
+       |  FROM $src c JOIN $toksSrc t ON t.doc_id = c.doc_id),
+       |ratios AS (
+       |  SELECT doc_id, n_chars, n_toks,
+       |         CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0 END AS punct_ratio,
+       |         CASE WHEN n_toks > 0 THEN n_stop / n_toks ELSE 0 END AS stop_ratio,
+       |         CASE WHEN n_toks > 0 THEN tok_chars / n_toks ELSE 0 END AS mean_tok_len
+       |  FROM feats)""".stripMargin
+  }
+
+  /** The composite as a SQL expression over a `ratios` row. */
+  val qualityExpr: String =
+    """(0.5 * least(1.0, n_toks / 40.0) + 0.3 * (1.0 - punct_ratio)
+      |             + 0.2 * least(1.0, 10.0 * stop_ratio))""".stripMargin
+
+  def qualitySql: String =
     withPrelude(
-      s"""     , feats AS (
-         |  SELECT c.doc_id,
-         |         length(c.content)::DOUBLE AS n_chars,
-         |         len(t.ts)::DOUBLE AS n_toks,
-         |         (length(c.content) - length(regexp_replace(c.content, '${TextStats.PunctRe}', '', 'g')))::DOUBLE AS n_punct,
-         |         len(list_filter(t.ts, x -> x IN ($stops)))::DOUBLE AS n_stop,
-         |         coalesce(list_sum(list_transform(t.ts, x -> length(x))), 0)::DOUBLE AS tok_chars
-         |  FROM corpus c JOIN toks t ON t.doc_id = c.doc_id),
-         |ratios AS (
-         |  SELECT doc_id, n_chars, n_toks,
-         |         CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0 END AS punct_ratio,
-         |         CASE WHEN n_toks > 0 THEN n_stop / n_toks ELSE 0 END AS stop_ratio,
-         |         CASE WHEN n_toks > 0 THEN tok_chars / n_toks ELSE 0 END AS mean_tok_len
-         |  FROM feats)
+      s"""     , ${qualityCtesOver("corpus", "toks")}
          |SELECT doc_id,
          |       CAST(n_chars AS BIGINT) AS n_chars,
          |       CAST(n_toks AS BIGINT) AS n_tokens,
          |       CAST(round(punct_ratio * 1000000.0) AS BIGINT) AS punct_q,
          |       CAST(round(stop_ratio * 1000000.0) AS BIGINT) AS stop_q,
          |       CAST(round(mean_tok_len * 1000000.0) AS BIGINT) AS mean_tok_len_q,
-         |       CAST(round((0.5 * least(1.0, n_toks / 40.0) + 0.3 * (1.0 - punct_ratio)
-         |             + 0.2 * least(1.0, 10.0 * stop_ratio)) * 1000000.0) AS BIGINT) AS quality_q
+         |       CAST(round($qualityExpr * 1000000.0) AS BIGINT) AS quality_q
          |FROM ratios""".stripMargin)
-  }
 
   def tokenCountsSql: String = withPrelude(
     s"""SELECT doc_id,

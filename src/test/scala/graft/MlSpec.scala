@@ -63,6 +63,38 @@ class MlSpec extends SparkSpec {
     assert(none.length == 60 && none.forall(d => d._3 == 1L && d._2 == d._1))
   }
 
+  test("curation stage order: a low-quality cluster-min must not become the survivor") {
+    // doc 1 = doc 2's text plus heavy trailing punctuation: identical word
+    // bigrams (guaranteed minhash pair) but much higher punct_ratio, so 1
+    // fails the quality gate. Plain dedup would keep 1 (component min);
+    // the PIPELINE order (filter THEN dedup among survivors) must keep 2 —
+    // the oracle gate alone can't catch a same-shaped reorder in both
+    // engines, so this pins the contract in one engine.
+    val baseText = (1 to 60).map(i => s"tok${i % 9} word${i % 7}").mkString(" ")
+    val corpus = Seq(
+      (1L, baseText + " " + ("!?.,;:" * 40)),
+      (2L, baseText),
+      (3L, "unrelated content entirely different tokens here")
+    ).toDF("doc_id", "content")
+    val q = graft.ml.TextStats.quality(corpus)
+      .select("doc_id", "quality_q").as[(Long, Long)].collect().toMap
+    assert(q(1L) < q(2L), s"punctuation must lower quality: $q")
+    val thresh = (q(1L) + q(2L)) / 2
+    // sanity: plain (unfiltered) dedup keeps the min-id doc 1
+    val pairs = Dedup.minhashPairs(Dedup.minhashBands(Dedup.minhashSignatures(corpus)))
+    assert(pairs.where($"doc_a" === 1L && $"doc_b" === 2L).count() == 1L)
+    val plain = Dedup.dedupDecisions(corpus, pairs)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(plain(1L) == 1L && plain(2L) == 0L)
+    // the pipeline keeps 2: doc 1 never enters the dedup stage
+    val dec = graft.ml.Curation.curate(corpus, thresh)
+      .select("doc_id", "passed_quality", "kept")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(dec(1L) == ((0L, 0L)), s"low-quality doc leaked through: $dec")
+    assert(dec(2L) == ((1L, 1L)), s"survivor lost to a filtered doc: $dec")
+    assert(dec(3L) == ((1L, 1L)) || dec(3L) == ((0L, 0L))) // independent of 1/2
+  }
+
   test("jaccard: 1.0 for exact dups, (0,1) for near dups") {
     val pairs = Dedup.minhashPairs(Dedup.minhashBands(Dedup.minhashSignatures(dupped)))
     val j = Dedup.jaccardPairs(dupped, pairs).as[(Long, Long, Long)].collect().toSeq
