@@ -6,15 +6,16 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: opaque `binary` payloads with typed
   * metadata, decoded/feature-extracted in batch-shaped partition passes.
   *
-  * The decode step is REAL for image payloads: `javax.imageio` (JDK-built-in
-  * PNG/BMP/GIF/JPEG readers, no external dependency) decodes the blob and
-  * the feature is a LIRE-style global luminance histogram; non-image
-  * payloads keep the deterministic byte-histogram fallback so the batch
-  * plumbing stays exercisable on any corpus. Audio/video codecs remain out
-  * of scope for this container. The Spark-side contract: schema (payload
-  * binary + typed meta), partition-parallel batched extraction (the Scala
-  * analog of a `mapInPandas` batch UDF: one iterator pass per partition,
-  * no per-row driver involvement).
+  * The decode step is REAL where a dependency-free codec exists: PNG and
+  * JPEG payloads decode via `javax.imageio` (JDK built-in readers) into a
+  * LIRE-style global luminance histogram, WAV (RIFF PCM 16-bit) payloads
+  * parse directly from bytes into an amplitude histogram; everything else
+  * keeps the deterministic byte-histogram fallback so the batch plumbing
+  * stays exercisable on any corpus. Video remains represented by
+  * [[frameSample]] (no JDK video codec exists). The Spark-side contract:
+  * schema (payload binary + typed meta), partition-parallel batched
+  * extraction (the Scala analog of a `mapInPandas` batch UDF: one iterator
+  * pass per partition, no per-row driver involvement).
   *
   * Reference analog: the `*_hi` BinaryDocValues side-store of feature
   * histograms (`/root/reference/.../solr/BinaryDocValuesField.java:61-127`)
@@ -62,11 +63,12 @@ object Binary {
   }
 
   /** Real decode where a JDK codec applies, deterministic fallback where
-    * not: an image payload yields its global luminance histogram
-    * (FeatureBins bins over integer lum = (299r+587g+114b)/1000,
-    * L1-normalized — the shape of LIRE's global histogram features); other
-    * payloads a byte-value histogram. Golden-pinned on a checked-in
-    * fixture PNG (src/test/resources/fixture.png).
+    * not: an image payload (PNG or JPEG) yields its global luminance
+    * histogram (FeatureBins bins over integer lum = (299r+587g+114b)/1000,
+    * L1-normalized — the shape of LIRE's global histogram features); a WAV
+    * payload its PCM amplitude histogram ([[audioHistogram]]); other
+    * payloads a byte-value histogram. Golden-pinned on checked-in fixtures
+    * (src/test/resources/fixture.{png,jpg,wav}).
     */
   def extractOne(payload: Array[Byte]): Array[Float] = {
     val bins = new Array[Float](FeatureBins)
@@ -89,9 +91,11 @@ object Binary {
         val total = (w.toLong * h.toLong).toFloat
         bins.map(_ / total)
       case None =>
-        payload.foreach(b => bins((b & 0xff) >> 5) += 1f)
-        val total = payload.length.toFloat
-        bins.map(_ / total)
+        audioHistogram(payload).getOrElse {
+          payload.foreach(b => bins((b & 0xff) >> 5) += 1f)
+          val total = payload.length.toFloat
+          bins.map(_ / total)
+        }
     }
   }
 
@@ -120,15 +124,94 @@ object Binary {
         ((p(off + 2) & 0xffL) << 8) | (p(off + 3) & 0xffL)
     if (p.length < 24) (0L, 0L) else (u32(16), u32(20))
   }
-  def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
-    if (!looksLikePng(payload)) None
-    else {
-      val (w, h) = pngDims(payload)
-      if (w <= 0 || h <= 0 || w * h > MaxImagePixels) None
-      else
+  def looksLikeJpeg(payload: Array[Byte]): Boolean =
+    payload != null && payload.length >= 3 &&
+      (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8 &&
+      (payload(2) & 0xff) == 0xff
+
+  /** Declared (width, height) from the first JPEG SOF marker (0xFFC0-CF
+    * except C4/C8/CC): segment-walk with bounds checks; (0,0) when absent
+    * or malformed — the same pre-decode bomb cap as the PNG path.
+    */
+  private def jpegDims(p: Array[Byte]): (Long, Long) = {
+    var i = 2
+    while (i + 3 < p.length) {
+      if ((p(i) & 0xff) != 0xff) return (0L, 0L)
+      val marker = p(i + 1) & 0xff
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) i += 2 // standalone
+      else {
+        val len = ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
+        if (len < 2 || i + 2 + len > p.length) return (0L, 0L)
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) {
+          if (i + 8 >= p.length) return (0L, 0L)
+          val h = ((p(i + 5) & 0xffL) << 8) | (p(i + 6) & 0xffL)
+          val w = ((p(i + 7) & 0xffL) << 8) | (p(i + 8) & 0xffL)
+          return (w, h)
+        }
+        i += 2 + len
+      }
+    }
+    (0L, 0L)
+  }
+
+  def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    val dims =
+      if (looksLikePng(payload)) Some(pngDims(payload))
+      else if (looksLikeJpeg(payload)) Some(jpegDims(payload))
+      else None
+    dims match {
+      case Some((w, h)) if w > 0 && h > 0 && w * h <= MaxImagePixels =>
         try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
         catch { case scala.util.control.NonFatal(_) => None }
+      case _ => None
     }
+  }
+
+  /** WAV (RIFF/WAVE, PCM 16-bit) amplitude histogram — a REAL audio
+    * decode with no library beyond the bytes: the RIFF chunk list is
+    * walked to the `fmt ` (must declare PCM format 1, 16-bit) and `data`
+    * chunks, and every little-endian int16 sample bins by magnitude
+    * (|s| >> 12 -> 8 bins, L1-normalized). Deterministic, bounds-checked,
+    * None for anything that is not exactly this shape (fallback handles
+    * it). The video analog stays [[frameSample]].
+    */
+  def audioHistogram(p: Array[Byte]): Option[Array[Float]] = {
+    if (p == null || p.length < 44) return None
+    def tag(off: Int, s: String): Boolean =
+      (0 until 4).forall(k => (p(off + k) & 0xff) == s.charAt(k))
+    if (!tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    @inline def u16(off: Int): Int = (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
+    @inline def u32(off: Int): Long =
+      (p(off) & 0xffL) | ((p(off + 1) & 0xffL) << 8) |
+        ((p(off + 2) & 0xffL) << 16) | ((p(off + 3) & 0xffL) << 24)
+    var i = 12
+    var pcm16 = false
+    while (i + 8 <= p.length) {
+      val size = u32(i + 4)
+      if (size < 0 || i + 8 + size > p.length) return None
+      if (tag(i, "fmt ")) {
+        if (size < 16) return None
+        pcm16 = u16(i + 8) == 1 && u16(i + 8 + 14) == 16
+      } else if (tag(i, "data")) {
+        if (!pcm16) return None // fmt must precede data and be PCM 16-bit
+        val bins = new Array[Float](FeatureBins)
+        val n = (size / 2).toInt
+        if (n == 0) return None
+        var k = 0
+        while (k < n) {
+          val s = (u16(i + 8 + 2 * k)).toShort.toInt
+          val mag = math.min(math.abs(s), 32767)
+          bins(math.min(FeatureBins - 1, mag >> 12)) += 1f
+          k += 1
+        }
+        return Some(bins.map(_ / n.toFloat))
+      }
+      i += 8 + size.toInt + (size.toInt & 1) // RIFF chunks are word-aligned
+    }
+    None
+  }
 
   /** Real image resize (the reference's max-side-512 preprocessing,
     * ParallelSolrIndexer.java:92-96): bilinear scale so the longer side is

@@ -158,6 +158,65 @@ class MlSpec extends SparkSpec {
       again.sortBy(_.doc_id).map(_.feature.toSeq).toSeq)
   }
 
+  test("real JPEG decode: fixture golden histogram via the SOF-dim-capped path") {
+    val jpg = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/fixture.jpg").toURI))
+    assert(Binary.looksLikeJpeg(jpg) && !Binary.looksLikePng(jpg))
+    val img = Binary.decodeImage(jpg).get
+    assert(img.getWidth == 40 && img.getHeight == 24)
+    // grayscale left-to-right gradient, 40x24: each of the 8 luminance bins
+    // covers 5 columns = 120 px (JPEG is lossy but a smooth gradient decodes
+    // within the bin width; golden pinned from the checked-in fixture)
+    val feat = Binary.extractOne(jpg)
+    assert(math.abs(feat.sum - 1f) < 1e-4, s"not normalized: ${feat.toSeq}")
+    assert(feat.forall(f => f > 0.08f && f < 0.18f),
+      s"gradient must spread across all bins: ${feat.toSeq}")
+    // SOF bomb cap: a forged SOF declaring 60000x60000 is rejected pre-decode
+    val forged = jpg.clone()
+    // find the SOF marker and overwrite its dims
+    var i = 2
+    var done = false
+    while (!done && i + 8 < forged.length) {
+      val m = forged(i + 1) & 0xff
+      if ((forged(i) & 0xff) == 0xff && m >= 0xc0 && m <= 0xcf &&
+        m != 0xc4 && m != 0xc8 && m != 0xcc) {
+        forged(i + 5) = 0xea.toByte; forged(i + 6) = 0x60.toByte // h=60000
+        forged(i + 7) = 0xea.toByte; forged(i + 8) = 0x60.toByte // w=60000
+        done = true
+      } else i += (if (m == 0xd8) 2
+        else 2 + (((forged(i + 2) & 0xff) << 8) | (forged(i + 3) & 0xff)))
+    }
+    assert(done && Binary.decodeImage(forged).isEmpty, "bomb cap must reject")
+  }
+
+  test("real WAV decode: PCM amplitude histogram from hand-built bytes") {
+    // 16 samples: 8x 0, 4x 5000, 4x 20000 -> bins 0/1/4 get 8/4/4
+    def wav(samples: Seq[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes); b.putInt(36 + dataLen); b.put("WAVE".getBytes)
+      b.put("fmt ".getBytes); b.putInt(16)
+      b.putShort(1); b.putShort(1); b.putInt(8000); b.putInt(16000)
+      b.putShort(2); b.putShort(16)
+      b.put("data".getBytes); b.putInt(dataLen)
+      samples.foreach(b.putShort)
+      b.array()
+    }
+    val p = wav(Seq.fill(8)(0.toShort) ++ Seq.fill(4)(5000.toShort) ++
+      Seq.fill(4)(20000.toShort))
+    val feat = Binary.extractOne(p)
+    assert(feat.toSeq == Seq(0.5f, 0.25f, 0f, 0f, 0.25f, 0f, 0f, 0f), feat.toSeq)
+    // negative samples bin by magnitude; truncated/malformed fall back
+    val neg = Binary.extractOne(wav(Seq.fill(4)((-20000).toShort)))
+    assert(neg(4) == 1f)
+    assert(Binary.audioHistogram("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(Binary.audioHistogram(java.util.Arrays.copyOf(p, 30)).isEmpty)
+    // a float-format (non-PCM16) wav is rejected, not misparsed
+    val f32 = wav(Seq(1000.toShort)); f32(20) = 3 // fmt code 3 = IEEE float
+    assert(Binary.audioHistogram(f32).isEmpty)
+  }
+
   test("real PNG decode: fixture golden histogram, batch shape mixed with text payloads") {
     val png = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
       getClass.getResource("/fixture.png").toURI))
