@@ -292,6 +292,26 @@ class UpsertSpec extends SparkSpec {
       "intra-batch duplicate keys must resolve to the highest doc_id")
   }
 
+  test("facet over a tombstoned index == facet after physical reclaim") {
+    // facet counts are score-free, so query-time exclusion and physical
+    // removal must agree EXACTLY (stats staleness cannot leak in)
+    val dir = upserted()
+    val before = new Engine(new Index(spark, dir))
+      .facet(SparkEntry.FlagshipTerms, "lang")
+      .as[(String, Long)].collect().toMap
+    IndexBuild.compact(spark, dir)
+    val after = new Engine(new Index(spark, dir))
+      .facet(SparkEntry.FlagshipTerms, "lang")
+      .as[(String, Long)].collect().toMap
+    assert(before == after && before.nonEmpty,
+      s"facet diverged across reclaim: $before vs $after")
+    // dead docs must not be counted: the all-versions index counts MORE
+    val allV = engAllV.facet(SparkEntry.FlagshipTerms, "lang")
+      .as[(String, Long)].collect().toMap
+    assert(allV.values.sum > before.values.sum,
+      s"exclusion had no effect: $allV vs $before")
+  }
+
   test("reclaim re-attestation catches a tampered docmeta copy") {
     val dir = upserted()
     // corrupt one LIVE docmeta row before compaction: the Observation on
