@@ -144,6 +144,14 @@ object Bench {
 
     val hotRare = Seq("w:license" -> 1.0, "w:apache" -> 1.0, "w:hashimpl" -> 1.0,
       "w:mergefactory" -> 1.0, "w:scanptr" -> 1.0, "w:sortz" -> 1.0)
+    // deep-page cursor fixed OUTSIDE the timings (cursor acquisition is a
+    // separate query; the timed section measures the constant-heap page)
+    val cursor1k: (Long, Long) = {
+      val r = engine.searchByTerms(hotRare, rows = 1000)
+        .where(org.apache.spark.sql.functions.col("rank") === 1000)
+        .select("score_q", "doc_id").collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
     val queries = Seq[(String, () => Long)](
       "wand_hot_rare" -> (() => engine.searchByTerms(hotRare, rows = 60).count()),
       "wand_pruned" -> (() => engine.searchByTerms(hotRare, rows = 60,
@@ -170,13 +178,24 @@ object Bench {
         SparkEntry.FlagshipTerms, spark.read.parquet(s"$sfDir/embeddings.parquet"),
         SparkEntry.RerankVecId, rows = 60, candidates = 1000).count()),
       "fingerprint" -> (() => graft.ml.TextStats.fingerprint(
-        Corpus.fromDocuments(spark, sfDir)).count()))
+        Corpus.fromDocuments(spark, sfDir)).count()),
+      "facet_lang" -> (() => engine.facet(hotRare, "lang").count()),
+      "wand_paged_1k" -> (() => engine.searchPage(hotRare, start = 1000, rows = 60).count()),
+      "wand_cursor_1k" -> (() => engine.searchAfter(hotRare, cursor1k._1, cursor1k._2,
+        rows = 60).count()))
 
-    val perQuery = queries.map { case (name, f) =>
-      f() // warm (plans, file listings)
-      val sec = (1 to 3).map(_ => time(f())._2).min // de-noise: min of 3
-      name -> sec
-    }
+    // INTERLEAVED replicate draws (VERDICT r03 "What's wrong" #2): the
+    // whole query list runs as one round, k rounds total, min per query —
+    // a VM noise window then clips the same queries in every affected
+    // round instead of single-shotting one query inside it; per-draw times
+    // go to the JSON so the record shows its own variance.
+    val QueryDraws = 3
+    queries.foreach { case (_, f) => f() } // warm pass (plans, file listings)
+    val drawTimes: Map[String, Array[Double]] =
+      queries.map(q => q._1 -> new Array[Double](QueryDraws)).toMap
+    for (d <- 0 until QueryDraws; (name, f) <- queries)
+      drawTimes(name)(d) = time(f())._2
+    val perQuery = queries.map { case (name, _) => name -> drawTimes(name).min }
 
     // sustained throughput: 20 distinct term queries, (a) sequential jobs,
     // (b) batched into ONE segment pass (searchManyByTerms)
@@ -185,7 +204,8 @@ object Bench {
       Seq(s"w:${vocab((i * 37) % vocab.length).toLowerCase(java.util.Locale.ROOT)}" -> 1.0,
         s"w:${vocab((i * 53 + 11) % vocab.length).toLowerCase(java.util.Locale.ROOT)}" -> 1.0,
         "w:license" -> 1.0))
-    val (_, batchSec) = time(batch.foreach(q => engine.searchByTerms(q, rows = 60).count()))
+    val batchSec = (1 to 2).map(_ =>
+      time(batch.foreach(q => engine.searchByTerms(q, rows = 60).count()))._2).min
     val qps = batch.size / batchSec
     val many = batch.zipWithIndex.map { case (q, i) => (i.toLong, q) }
     engine.searchManyByTerms(many, rows = 60).count() // warm
@@ -193,23 +213,40 @@ object Bench {
       time(engine.searchManyByTerms(many, rows = 60).count())._2).min
     val manyQps = batch.size / manySec
 
-    // maintenance throughput: merge the bench index's ranges into one unit
-    // (runs LAST — the old unit dirs are GC'd, so the cached engine above
-    // must not be used after this point). Post-compaction, a fresh engine
-    // must still answer the headline query.
-    val (compactRep, compactSec) = time(IndexBuild.compact(spark, benchIdx))
-    val unitsBefore = compactRep.unitsBefore.size
-    val postEngine = new Engine(new Index(spark, benchIdx))
+    // ---- maintenance sections: replicate-sampled like the build points
+    // (VERDICT r03 "What's wrong" #2 / #5). compact/upsert MUTATE the
+    // index, so every draw runs the SAME transition on a fresh untimed
+    // filesystem copy of the built index; min-of-draws is the headline,
+    // per-draw times go to the JSON.
+    val MaintDraws = 3
+    def freshCopy(src: String, tag: String): String = {
+      val dst = Files.createTempDirectory(s"graft-bench-$tag-").toString
+      copyTree(new java.io.File(src), new java.io.File(dst))
+      dst
+    }
+    var lastCompacted: String = benchIdx
+    val compactDraws = (1 to MaintDraws).map { i =>
+      val d = freshCopy(benchIdx, s"compact$i")
+      val (rep, sec) = time(IndexBuild.compact(spark, d))
+      require(rep.unitsBefore.size > rep.unitsAfter.size,
+        s"bench compact draw $i was a no-op: ${rep.unitsBefore} -> ${rep.unitsAfter}")
+      lastCompacted = d
+      (sec, rep.unitsBefore.size, rep.unitsAfter.size)
+    }
+    val compactSec = compactDraws.map(_._1).min
+    val postEngine = new Engine(new Index(spark, lastCompacted))
     require(postEngine.searchByTerms(hotRare, rows = 60).count() > 0,
       "compacted bench index must still answer queries")
     val compactJson =
       s""""compact":{"sec":${f(compactSec)},""" +
         s""""files_per_sec":${f(nFiles / compactSec)},""" +
-        s""""units_before":$unitsBefore,"units_after":${compactRep.unitsAfter.size}}"""
+        s""""draws_sec":${compactDraws.map(d => f(d._1)).mkString("[", ",", "]")},""" +
+        s""""units_before":${compactDraws.head._2},"units_after":${compactDraws.head._3}}"""
 
     // update-path maintenance: re-post ~1% of the corpus (Solr uniqueKey
     // replace -> kill bitmaps), query with the exclusion path active, then
-    // a reclaim merge. Measures the full CDC cycle on the built index.
+    // a reclaim merge — the full CDC cycle, each draw on a fresh copy of a
+    // compacted index.
     import org.apache.spark.sql.functions.{col, concat, lit, sha2}
     val upN = math.min(math.max(1000L, nFiles / 100), 65536L)
     val upLift = 1L << 40 // range-aligned beyond any synthetic id space
@@ -217,28 +254,39 @@ object Bench {
       .withColumn("doc_id", col("doc_id") + upLift)
       .withColumn("content", concat(col("content"), lit(" zzrev2")))
       .withColumn("sha", sha2(col("content"), 256))
-    val (_, upsertSec) = time(IndexBuild.upsert(spark, upBatch, benchIdx, cfg, Seq("path")))
-    val upEngine = new Engine(new Index(spark, benchIdx))
-    require(upEngine.index.hasTombstones, "bench upsert produced no tombstones")
-    upEngine.searchByTerms(hotRare, rows = 60).count() // warm
-    val tombQuerySec = (1 to 3).map(_ =>
-      time(upEngine.searchByTerms(hotRare, rows = 60).count())._2).min
-    val (_, reclaimSec) = time(IndexBuild.compact(spark, benchIdx))
-    val postUp = new Engine(new Index(spark, benchIdx))
-    require(!postUp.index.hasTombstones && postUp.index.stats._1 == nDocs,
-      "reclaim must drain tombstones and restore live-doc stats")
+    val upsertDraws = (1 to MaintDraws).map { i =>
+      val d = freshCopy(lastCompacted, s"upsert$i")
+      val (_, uSec) = time(IndexBuild.upsert(spark, upBatch, d, cfg, Seq("path")))
+      val upEngine = new Engine(new Index(spark, d))
+      require(upEngine.index.hasTombstones, "bench upsert produced no tombstones")
+      upEngine.searchByTerms(hotRare, rows = 60).count() // warm
+      val qSec = time(upEngine.searchByTerms(hotRare, rows = 60).count())._2
+      val (_, rSec) = time(IndexBuild.compact(spark, d))
+      val postUp = new Engine(new Index(spark, d))
+      require(!postUp.index.hasTombstones && postUp.index.stats._1 == nDocs,
+        "reclaim must drain tombstones and restore live-doc stats")
+      (uSec, qSec, rSec)
+    }
+    val (upsertSec, tombQuerySec, reclaimSec) =
+      (upsertDraws.map(_._1).min, upsertDraws.map(_._2).min, upsertDraws.map(_._3).min)
     val upsertJson =
       s""""upsert":{"n":$upN,"sec":${f(upsertSec)},""" +
         s""""docs_per_sec":${f(upN / upsertSec)},""" +
         s""""query_sec_tombstoned":${f(tombQuerySec)},""" +
-        s""""reclaim_sec":${f(reclaimSec)}}"""
+        s""""reclaim_sec":${f(reclaimSec)},""" +
+        s""""draws_upsert_sec":${upsertDraws.map(d => f(d._1)).mkString("[", ",", "]")},""" +
+        s""""draws_query_sec":${upsertDraws.map(d => f(d._2)).mkString("[", ",", "]")},""" +
+        s""""draws_reclaim_sec":${upsertDraws.map(d => f(d._3)).mkString("[", ",", "]")}}"""
 
     val qJson = perQuery.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
+    val qDrawsJson = queries.map { case (k, _) =>
+      s""""$k":${drawTimes(k).map(f).mkString("[", ",", "]")}"""
+    }.mkString("{", ",", "}")
     val curve = buildCores.map(c =>
       s""""cores_$c":{"sec":${f(builds(c)._1)},"files_per_sec":${f(thrOf(c))}}""").mkString(",")
     println(
       s"""{"metric":"index_build_files_per_sec","value":${f(thrN)},"unit":"files/sec",""" +
-        s""""queries":$qJson,"sf":"$sfDir",""" +
+        s""""queries":$qJson,"query_draws":$qDrawsJson,"sf":"$sfDir",""" +
         s""""build":{"n_files":$nFiles,"n_docs":$nDocs,"sec_8":${f(sec8)},""" +
         s""""scaling_efficiency":${f(eff)},"scaling_pair":"2->8 cores (N->4N)",""" +
         s""""replicates_c2":${samples(2).size},"replicates_c8":${samples(8).size},""" +
@@ -283,6 +331,19 @@ object Bench {
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit
+  }
+
+  /** Recursive local copy (untimed draw setup for the maintenance
+    * replicates — each draw mutates a pristine copy of the built index).
+    */
+  private def copyTree(src: java.io.File, dst: java.io.File): Unit = {
+    if (src.isDirectory) {
+      dst.mkdirs()
+      Option(src.listFiles()).foreach(_.foreach(c =>
+        copyTree(c, new java.io.File(dst, c.getName))))
+    } else
+      java.nio.file.Files.copy(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
   }
 
   private def f(d: Double): String = {

@@ -50,6 +50,25 @@ object SparkEntry {
   val RerankCands = 200
   val RerankRows = 30
 
+  /** Missing-embedding re-rank gate: the embedding side-store is thinned
+    * to vec_id % 25 == 17 (keeps the query vector 42 — 42 % 25 = 17 — but
+    * only ~8 of the 200 candidates), so the top-30 MUST contain sentinel
+    * rows (cos_q = -10001, doc_id-asc ordered) for the gate to hash-match:
+    * the reference's missing-feature → maxDistance rule end to end.
+    */
+  val RerankMissingPred = 17L
+
+  /** Cursor-paging gate offset: the flagship match set is ≥ 483 docs at
+    * every SF, so page (100, 130] always exists.
+    */
+  val CursorStart = 100
+
+  /** Contamination-screen benchmark selector: every 13th doc (shifted by
+    * 3) of the base corpus plays the benchmark table; the dup-injected
+    * corpus is screened against it with 13-token shingles.
+    */
+  val ContaminationWidth = 13
+
   /** Batched multi-query set (flagship / boosted / rare / shingle-only). */
   val MultiQueries: Seq[(Long, Seq[(String, Double)])] = Seq(
     1L -> FlagshipTerms,
@@ -77,7 +96,7 @@ object SparkEntry {
   private def upsertSetup(s: SparkSession, dir: String, compacted: Boolean): String = {
     import graft.index.{IndexBuild, IndexConfig}
     val key = dir.replaceAll("[^a-zA-Z0-9.]+", "_")
-    val d = s"${Engine.indexRoot}/v3-upsert${if (compacted) "c" else ""}-$key"
+    val d = s"${Engine.indexRoot}/v4-upsert${if (compacted) "c" else ""}-$key"
     val cfg = IndexConfig(segShift = 5, rangeSegsShift = 1)
     val base = Corpus.fromDocuments(s, dir)
     IndexBuild.build(s, base, d, cfg)
@@ -210,7 +229,7 @@ object SparkEntry {
       import graft.index.{IndexBuild, IndexConfig}
       import graft.query.Index
       val key = dir.replaceAll("[^a-zA-Z0-9.]+", "_")
-      val d = s"${Engine.indexRoot}/v3-compacted-$key"
+      val d = s"${Engine.indexRoot}/v4-compacted-$key"
       IndexBuild.build(s, Corpus.fromDocuments(s, dir), d,
         IndexConfig(segShift = 5, rangeSegsShift = 1))
       IndexBuild.compact(s, d)
@@ -297,17 +316,21 @@ object SparkEntry {
     "q_simhash_allpairs" -> ((s, dir) =>
       Dedup.simhashPairs(
         Dedup.simhash(Corpus.fromDocuments(s, dir)), 2)),
-    // scale parameterization of the SAME semantics: maxHamming+1 bands of
-    // maximal width (3x~21 bits => ~2M buckets/band instead of 256) — must
-    // hash-match the all-pairs oracle exactly like the 8-band default does
-    "q_simhash_pairs_3band" -> ((s, dir) =>
+    // second parameterization of the SAME semantics: the pre-r4 8-band
+    // narrow-bucket banding (the DEFAULT is now the derived maximal-width
+    // rule above) — must hash-match the all-pairs oracle exactly like the
+    // derived banding does (output is banding-invariant)
+    "q_simhash_pairs_8band" -> ((s, dir) =>
       Dedup.simhashBandedPairs(
-        Dedup.simhash(Corpus.fromDocuments(s, dir)), 2, Dedup.simhashBandsFor(2))),
+        Dedup.simhash(Corpus.fromDocuments(s, dir)), 2, Dedup.SimhashBands)),
     // embedding-cosine near-dup pairs (cos_q >= 0.4 quantized): gated =
-    // sign-LSH bucketed (equi-join, reuses Ann's buckets); all-pairs kept
-    // as the oracle-scale cross-check of the unbucketed semantics
+    // sign-LSH bucketed with the bucket width DERIVED from count(*) via
+    // lshBitsFor (3 bits at the 500-vec SFs, 5 bits at sf0.1 — the scale
+    // rule itself is what's gated, at all three SFs); all-pairs kept as
+    // the oracle-scale cross-check of the unbucketed semantics
     "q_dedup_embcos" -> ((s, dir) =>
-      Dedup.embCosBucketedPairs(s.read.parquet(s"$dir/embeddings.parquet"), 4000L)),
+      Dedup.embCosBucketedPairsDerived(
+        s.read.parquet(s"$dir/embeddings.parquet"), 4000L, targetBucket = 64L)),
     // wider bucket space (the log2(N/bucketTarget) scaling knob) — the
     // candidate set depends on bits, so the oracle carries the same width
     "q_dedup_embcos_wide" -> ((s, dir) =>
@@ -366,6 +389,34 @@ object SparkEntry {
       Engine.forDir(s, dir).searchRerank(FlagshipTerms,
         s.read.parquet(s"$dir/embeddings.parquet"),
         RerankVecId, rows = RerankRows, candidates = RerankCands)),
+    // missing-feature semantics (LireValueSource.java:274-276): embedding
+    // store thinned so most candidates LACK a vector — they must keep
+    // their slots at cos_q = -10001 and rank last, not vanish
+    "q_search_rerank_missing" -> ((s, dir) =>
+      Engine.forDir(s, dir).searchRerank(FlagshipTerms,
+        s.read.parquet(s"$dir/embeddings.parquet")
+          .where(col("vec_id") % 25 === RerankMissingPred),
+        RerankVecId, rows = RerankRows, candidates = RerankCands)),
+    // search-after cursor paging: the cursor is the (score_q, doc_id) of
+    // the CursorStart-th hit; the page after it must equal the oracle's
+    // global rank window (CursorStart, CursorStart+30] — constant heap
+    // memory at any depth, unlike start/rows
+    "q_wand_cursor" -> ((s, dir) => {
+      import s.implicits._
+      val e = Engine.forDir(s, dir)
+      val (lastScore, lastDoc) = e.searchByTerms(FlagshipTerms, rows = CursorStart)
+        .where(col("rank") === CursorStart)
+        .select(col("score_q"), col("doc_id")).as[(Long, Long)].head()
+      e.searchAfter(FlagshipTerms, lastScore, lastDoc, rows = 30)
+        .select((col("rank") + CursorStart).as("rank"), col("doc_id"), col("score_q"))
+    }),
+    // benchmark-contamination screen: dup-injected corpus vs a benchmark
+    // table (every 13th base doc), flagged on any shared 13-token shingle
+    "q_contamination" -> ((s, dir) => {
+      val c = Corpus.fromDocuments(s, dir)
+      Dedup.contamination(Dedup.withDups(c),
+        c.where(col("doc_id") % 13 === 3), ContaminationWidth)
+    }),
     // batched multi-query search: N queries in ONE segment pass
     "q_multi_search" -> ((s, dir) =>
       Engine.forDir(s, dir).searchManyByTerms(MultiQueries, rows = 20)),
@@ -473,9 +524,10 @@ object SparkEntry {
     "q_dedup_simhash" -> OracleMl.simhashSql,
     "q_simhash_pairs" -> OracleMl.simhashPairsSql(2),
     "q_simhash_allpairs" -> OracleMl.simhashPairsSql(2),
-    "q_simhash_pairs_3band" -> OracleMl.simhashPairsSql(2),
-    "q_dedup_embcos" -> OracleMl.embCosBucketedSql(4000L),
+    "q_simhash_pairs_8band" -> OracleMl.simhashPairsSql(2),
+    "q_dedup_embcos" -> OracleMl.embCosBucketedDerivedSql(4000L, target = 64L),
     "q_dedup_embcos_wide" -> OracleMl.embCosBucketedSql(4000L, bits = 10),
+    "q_contamination" -> OracleMl.contaminationSql("doc_id % 13 = 3", ContaminationWidth),
     "q_embcos_allpairs" -> OracleMl.embCosPairsSql(4000L),
     "q_ann_brute" -> OracleMl.annBruteSql(AnnQueryIds, 10),
     "q_ann_lsh" -> OracleMl.annLshSql(AnnQueryIds, 10),
@@ -500,6 +552,9 @@ object SparkEntry {
          |WHERE r.rank <= 30 ORDER BY r.rank""".stripMargin),
     "q_multi_search" -> Oracle.bm25Multi(MultiQueries, 20),
     "q_search_rerank" -> OracleMl.rerankSql(FlagshipTerms, RerankVecId, RerankCands, RerankRows),
+    "q_search_rerank_missing" -> OracleMl.rerankSql(FlagshipTerms, RerankVecId,
+      RerankCands, RerankRows, embPred = Some(s"vec_id % 25 = $RerankMissingPred")),
+    "q_wand_cursor" -> Oracle.bm25Page(FlagshipTerms, CursorStart, 30),
     "q_extract" -> Oracle.extractSql(ExtractContent, extractBudget),
     "q_sha_invariant" -> Oracle.withPrelude(
       "SELECT count(*)::BIGINT AS n_docs, 0::BIGINT AS n_mismatch FROM corpus"),

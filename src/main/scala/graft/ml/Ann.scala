@@ -25,13 +25,20 @@ object Ann {
   val LshBits = 6
 
   /** Sizing rule: expected bucket population ≈ N / 2^bits, so for a target
-    * bucket size B choose bits ≈ log₂(N / B). 10⁹ vectors at B=1000 →
-    * 20 bits (1M buckets); the verify stays an equi-join whose per-bucket
-    * work is ~B²/2 instead of quadratic in N.
+    * bucket size B choose bits = ⌈log₂(⌈N/B⌉)⌉ (≡ ⌈log₂(N/B)⌉ for N > B).
+    * 10⁹ vectors at B=1000 → 20 bits (1M buckets); the verify stays an
+    * equi-join whose per-bucket work is ~B²/2 instead of quadratic in N.
+    *
+    * INTEGER-EXACT on purpose: the rule is mirrored in the DuckDB oracle
+    * (OracleMl.lshBitsSql — a CASE chain over powers of two generated from
+    * this same definition), and a floating log could flip ⌈·⌉ across
+    * engines exactly at power-of-two boundaries. bits = smallest b with
+    * ⌈N/B⌉ ≤ 2^b, clamped to [1, 62].
     */
   def lshBitsFor(n: Long, targetBucketSize: Long = 1000L): Int = {
     require(n > 0 && targetBucketSize > 0)
-    val bits = math.ceil(math.log(n.toDouble / targetBucketSize) / math.log(2.0)).toInt
+    val q = (n + targetBucketSize - 1) / targetBucketSize // ⌈N/B⌉
+    val bits = if (q <= 2) 1 else 64 - java.lang.Long.numberOfLeadingZeros(q - 1)
     math.min(62, math.max(1, bits))
   }
 

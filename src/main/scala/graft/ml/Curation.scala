@@ -35,19 +35,33 @@ object Curation {
     * (component min; quality-filtered docs are 0 with their own id as
     * cluster_id, singleton survivors are 1).
     */
+  /** Optional stage 1.5: benchmark decontamination — docs sharing any
+    * 13-gram with the `benchmark` table ([[Dedup.contamination]]) are
+    * dropped from the survivor set BEFORE dedup (a contaminated doc must
+    * not become a cluster survivor), ending with kept=0 like any other
+    * rejected doc. None (the default) keeps the two-stage pipeline
+    * byte-identical to its oracle twin.
+    */
   def curate(corpus: DataFrame,
-             qualityThreshold: Long = QualityThreshold): DataFrame = {
+             qualityThreshold: Long = QualityThreshold,
+             benchmark: Option[DataFrame] = None): DataFrame = {
     // the quality projection feeds three independent subtrees (the
     // survivor semi-join, the decision join, the final output join);
     // persist the tiny (doc_id, quality_q) relation so the corpus is
     // tokenized for quality once, not once per subtree
     val q = TextStats.quality(corpus).select(col("doc_id"), col("quality_q"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val surv = corpus.join(
+    val surv0 = corpus.join(
       q.where(col("quality_q") >= qualityThreshold), Seq("doc_id"), "left_semi")
+    val surv = benchmark match {
+      case Some(b) => surv0.join(
+        Dedup.contamination(surv0, b).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      case None => surv0
+    }
     val pairs = Dedup.minhashPairs(Dedup.minhashBands(Dedup.minhashSignatures(surv)))
     val dec = Dedup.dedupDecisions(surv, pairs)
-    corpus.select(col("doc_id"))
+    val out = corpus.select(col("doc_id"))
       .join(q, Seq("doc_id"))
       .join(dec.select(col("doc_id"), col("cluster_id"), col("keep")),
         Seq("doc_id"), "left")
@@ -55,5 +69,11 @@ object Curation {
         (col("quality_q") >= qualityThreshold).cast("long").as("passed_quality"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
         coalesce(col("keep"), lit(0L)).as("kept"))
+    // materialize the (small: one row per doc) decision table eagerly so
+    // the quality cache can be released HERE — a long-lived session
+    // invoking curate() repeatedly must not accumulate leaked cache blocks
+    // (ADVICE r03); localCheckpoint also truncates the three-subtree
+    // lineage for downstream consumers
+    try out.localCheckpoint() finally q.unpersist(blocking = false)
   }
 }

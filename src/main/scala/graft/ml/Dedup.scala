@@ -57,13 +57,48 @@ object Dedup {
       .where(col("n_dups") > 1)
 
   /** Distinct word-bigram shingle strings per doc (null-safe, per-row). */
-  def shingleSet(content: Column): Column = {
+  def shingleSet(content: Column): Column = shingleSetW(content, 2)
+
+  /** Distinct word-`w`-gram shingle strings per doc (null-safe, per-row):
+    * the generalized shingle used by the contamination screen (w=13, the
+    * standard benchmark-decontamination n-gram width).
+    */
+  def shingleSetW(content: Column, w: Int): Column = {
+    require(w >= 2, "shingle width must be >= 2")
     val toks = Tokenizer.tokens(content)
     array_distinct(
-      when(size(toks) >= 2,
-        transform(sequence(lit(1), size(toks) - 1),
-          i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      when(size(toks) >= w,
+        transform(sequence(lit(1), size(toks) - (w - 1)),
+          i => concat_ws(" ", (0 until w).map(k => element_at(toks, i + lit(k))): _*)))
         .otherwise(lit(Array.empty[String])))
+  }
+
+  /** Benchmark-contamination screen — the standard curation step that
+    * flags corpus docs sharing any `width`-token shingle with a benchmark
+    * table (both sides (doc_id, content)). Returns one row per
+    * CONTAMINATED corpus doc: (doc_id, n_bench_docs, n_shingles) — how
+    * many benchmark docs it collides with and how many distinct shingles
+    * overlap.
+    *
+    * Scale shape: per-row shingling on both sides, join on md5(shingle)
+    * (fixed 32-byte key — the shuffle never carries shingle text, same
+    * no-cartesian equi-join shape as [[minhashPairs]]); the benchmark side
+    * is tiny next to the corpus, so AQE broadcasts it and the corpus
+    * never shuffles.
+    */
+  def contamination(corpus: DataFrame, benchmark: DataFrame,
+                    width: Int = 13): DataFrame = {
+    val cs = corpus
+      .select(col("doc_id"), explode(shingleSetW(col("content"), width)).as("sh"))
+      .select(col("doc_id"), md5(col("sh")).as("shh"))
+    val bs = benchmark
+      .select(col("doc_id").as("bench_id"),
+        explode(shingleSetW(col("content"), width)).as("sh"))
+      .select(col("bench_id"), md5(col("sh")).as("shh"))
+    cs.join(bs, Seq("shh"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("bench_id")).as("n_bench_docs"),
+        countDistinct(col("shh")).as("n_shingles"))
   }
 
   /** MinHash signature columns mh0..mh{H-1}: per function i, the lexical
@@ -352,12 +387,21 @@ object Dedup {
   /** Scale path: hamming<=maxHamming pairs via band pigeonhole — with
     * `bands` bands, any pair within hamming (bands−1) shares at least one
     * exact band. Join per band (equi-join on (band_j, band_value) —
-    * shuffles signatures only), dedup, verify exact hamming. Default band
-    * count kept at [[SimhashBands]] for the tiny gated corpora; at scale
-    * use [[simhashBandsFor]] (maxHamming+1 bands of maximal width).
+    * shuffles signatures only), dedup, verify exact hamming. The DEFAULT
+    * band count is the scale rule [[simhashBandsFor]] (maxHamming+1 bands
+    * of maximal width — the widest valid bucket space); pass `bands`
+    * explicitly only to trade bucket width for band fan-out. Output is
+    * banding-invariant (exact-hamming verified), so any valid `bands`
+    * hash-matches the same oracle.
     */
   def simhashBandedPairs(sim: DataFrame, maxHamming: Int,
-                         bands: Int = SimhashBands): DataFrame = {
+                         bands: Int = -1): DataFrame = {
+    val bands0 = if (bands > 0) bands else simhashBandsFor(maxHamming)
+    simhashBandedPairsAt(sim, maxHamming, bands0)
+  }
+
+  private def simhashBandedPairsAt(sim: DataFrame, maxHamming: Int,
+                                   bands: Int): DataFrame = {
     require(maxHamming <= bands - 1,
       s"$bands-band pigeonhole covers hamming <= ${bands - 1}")
     val spec = simhashBandSpec(bands)
@@ -391,6 +435,24 @@ object Dedup {
                           bits: Int = Ann.LshBits): DataFrame = {
     val wb = embeddings.select(col("vec_id"), col("embedding"),
       Ann.lshBucket(col("embedding"), bits).as("bucket"))
+    bucketedPairsOver(wb, minCosQ)
+  }
+
+  /** [[embCosBucketedPairs]] with the bucket width DERIVED from the corpus
+    * size via [[Ann.lshBitsFor]] — the gated default call shape (VERDICT
+    * r03 next #8): bits ≈ log₂(⌈N/targetBucket⌉) grows with the table, so
+    * the intra-bucket verify stays ~targetBucket²/2 at any N instead of
+    * freezing a test-scale constant into production plans. One count()
+    * job resolves N (a caller that already knows N passes `bits`
+    * explicitly to [[embCosBucketedPairs]]); the DuckDB twin derives the
+    * same bits from the same rule (OracleMl.embCosBucketedDerivedSql).
+    */
+  def embCosBucketedPairsDerived(embeddings: DataFrame, minCosQ: Long,
+                                 targetBucket: Long = 1000L): DataFrame =
+    embCosBucketedPairs(embeddings, minCosQ,
+      Ann.lshBitsFor(embeddings.count(), targetBucket))
+
+  private def bucketedPairsOver(wb: DataFrame, minCosQ: Long): DataFrame = {
     val a = wb.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"), col("bucket"))
     val b = wb.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"), col("bucket"))
     a.join(b, Seq("bucket")).where(col("vec_a") < col("vec_b"))

@@ -228,24 +228,34 @@ object OracleMl {
 
   /** Two-phase retrieve-then-re-rank: BM25 top-`candidates` -> exact
     * cosine to `queryVecId`'s embedding -> top-`rows` (mirror of
-    * Engine.searchRerank).
+    * Engine.searchRerank). LEFT join + sentinel: a candidate with no
+    * embedding row keeps its slot with cos_q = -10001 — the reference's
+    * missing-value → maxDistance rule (LireValueSource.java:274-276;
+    * Engine.MissingFeatureCosQ). `embPred` restricts the embedding
+    * side-store (the missing-embedding gate's corpus shaping).
     */
   def rerankSql(terms: Seq[(String, Double)], queryVecId: Long,
-                candidates: Int, rows: Int): String =
+                candidates: Int, rows: Int,
+                embPred: Option[String] = None): String = {
+    val embWhere = embPred.map(p => s" WHERE $p").getOrElse("")
     withPrelude(
       s"""     , ${Oracle.qFromValues(terms)},
          |${Oracle.bm25Body(None)},
          |cand AS (SELECT doc_id, score_q FROM ranked WHERE rank <= $candidates),
-         |qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = $queryVecId),
+         |emb AS (SELECT vec_id, embedding FROM embeddings$embWhere),
+         |qv AS (SELECT embedding AS q_emb FROM emb WHERE vec_id = $queryVecId),
          |rer AS (
          |  SELECT c.doc_id, c.score_q,
-         |         CAST(round(${cosSql("qv.q_emb", "e.embedding")} * 10000.0) AS BIGINT) AS cos_q
-         |  FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id CROSS JOIN qv),
+         |         coalesce(
+         |           CAST(round(${cosSql("qv.q_emb", "e.embedding")} * 10000.0) AS BIGINT),
+         |           -10001) AS cos_q
+         |  FROM cand c LEFT JOIN emb e ON e.vec_id = c.doc_id CROSS JOIN qv),
          |rr AS (
          |  SELECT row_number() OVER (ORDER BY cos_q DESC, doc_id ASC) AS rank,
          |         doc_id, cos_q, score_q
          |  FROM rer)
          |SELECT rank, doc_id, cos_q, score_q FROM rr WHERE rank <= $rows ORDER BY rank""".stripMargin)
+  }
 
   /** Multi-probe LSH ANN (mirror of Ann.lshTopKMultiProbe): each query
     * probes its bucket plus every Hamming-1 neighbor.
@@ -344,6 +354,82 @@ object OracleMl {
       val arr = Ann.lshPlane(j).mkString("[", ", ", "]")
       s"(CASE WHEN round(list_dot_product($embExpr::DOUBLE[], $arr::DOUBLE[]) * 1e9) > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  /** How many plane terms the dynamic-bits oracle bucket renders. Covers
+    * any gate corpus by orders of magnitude (2^16 buckets needs 64M rows
+    * at target 1000); the Scala rule itself clamps at 62 for scale.
+    */
+  val DerivedBitsSqlMax = 16
+
+  /** Ann.lshBitsFor as SQL: smallest b with ⌈n/target⌉ ≤ 2^b, clamped to
+    * [1, DerivedBitsSqlMax] — a CASE chain over exact power-of-two integer
+    * comparisons generated from the SAME rule as the Scala side, so no
+    * floating log2 can disagree at a boundary. `qqExpr` = ⌈n/target⌉.
+    */
+  def lshBitsCase(qqExpr: String): String = {
+    val whens = (1 to DerivedBitsSqlMax)
+      .map(b => s"WHEN ($qqExpr) <= ${1L << b} THEN $b").mkString(" ")
+    s"(CASE $whens ELSE $DerivedBitsSqlMax END)"
+  }
+
+  /** Dynamic-width sign-LSH bucket: plane j contributes iff j < `bitsCol`
+    * — valid because Ann's planes are prefix-stable (plane j depends only
+    * on j), so the first `bits` terms ARE the `bits`-wide bucketing.
+    */
+  def lshBucketDynSql(embExpr: String, bitsCol: String): String =
+    (0 until DerivedBitsSqlMax).map { j =>
+      val arr = Ann.lshPlane(j).mkString("[", ", ", "]")
+      s"(CASE WHEN $j < $bitsCol AND round(list_dot_product($embExpr::DOUBLE[], $arr::DOUBLE[]) * 1e9) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** Mirror of Dedup.embCosBucketedPairsDerived: bucket width derived from
+    * count(*) by the integer-exact [[lshBitsSql]] rule.
+    */
+  def embCosBucketedDerivedSql(minCosQ: Long, target: Long): String =
+    s"""WITH bitsv AS (
+       |  SELECT ${lshBitsCase("qq")} AS bits
+       |  FROM (SELECT (count(*) + ${target - 1}) // $target AS qq FROM embeddings)),
+       |wb AS (
+       |  SELECT vec_id, embedding,
+       |         CAST(${lshBucketDynSql("embedding", "bitsv.bits")} AS BIGINT) AS bucket
+       |  FROM embeddings CROSS JOIN bitsv),
+       |p AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |         CAST(round(${cosSql("a.embedding", "b.embedding")} * 10000.0) AS BIGINT) AS cos_q
+       |  FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, cos_q FROM p WHERE cos_q >= $minCosQ""".stripMargin
+
+  /** Mirror of Dedup.contamination: corpus docs sharing any `width`-token
+    * shingle (joined on md5) with the benchmark table. `benchPred` selects
+    * the benchmark rows out of the base corpus.
+    */
+  def contaminationSql(benchPred: String, width: Int): String = {
+    def gram(ts: String, i: String): String =
+      (0 until width).map(k => s"$ts[$i + $k]").mkString(" || ' ' || ")
+    withPrelude(
+      s"""     , $dupCtes,
+         |benchdocs AS (
+         |  SELECT doc_id AS bench_id, content FROM corpus WHERE $benchPred),
+         |tokc AS (
+         |  SELECT doc_id,
+         |         list_filter(regexp_split_to_array(lower(content), '[^a-z0-9]+'), x -> x <> '') AS ts
+         |  FROM corpus2),
+         |shc AS (
+         |  SELECT DISTINCT doc_id, md5(${gram("ts", "i")}) AS shh
+         |  FROM tokc, unnest(generate_series(1, len(ts) - ${width - 1})) AS g(i)),
+         |tokb AS (
+         |  SELECT bench_id,
+         |         list_filter(regexp_split_to_array(lower(content), '[^a-z0-9]+'), x -> x <> '') AS ts
+         |  FROM benchdocs),
+         |shb AS (
+         |  SELECT DISTINCT bench_id, md5(${gram("ts", "i")}) AS shh
+         |  FROM tokb, unnest(generate_series(1, len(ts) - ${width - 1})) AS g(i))
+         |SELECT c.doc_id,
+         |       count(DISTINCT b.bench_id)::BIGINT AS n_bench_docs,
+         |       count(DISTINCT c.shh)::BIGINT AS n_shingles
+         |FROM shc c JOIN shb b ON b.shh = c.shh
+         |GROUP BY 1""".stripMargin)
+  }
 
   def annLshSql(queryIds: Seq[Long], k: Int): String =
     s"""WITH wb AS (

@@ -358,6 +358,95 @@ class IndexSpec extends SparkSpec {
       s"hasFilters made ${CountingFs.listCalls.get()} listings for 8 units")
   }
 
+  test("cursor paging (search-after): walking pages reproduces the full ranking") {
+    val full = engine.searchByTerms(SparkEntry.FlagshipTerms, rows = 100)
+      .as[(Long, Long, Long)].collect().toSeq.map(r => (r._2, r._3))
+    assert(full.size == 100, "test needs a >=100-doc match set")
+    val pages = scala.collection.mutable.Buffer[(Long, Long)]()
+    var cursor: Option[(Long, Long)] = None // (score_q, doc_id)
+    while (pages.size < 100) {
+      val page = (cursor match {
+        case None => engine.searchByTerms(SparkEntry.FlagshipTerms, rows = 25)
+        case Some((cs, cd)) =>
+          engine.searchAfter(SparkEntry.FlagshipTerms, cs, cd, rows = 25)
+      }).as[(Long, Long, Long)].collect().toSeq
+      assert(page.nonEmpty, s"ran dry at ${pages.size}")
+      assert(page.map(_._1) == (1 to page.size).map(_.toLong), "page-relative ranks")
+      pages ++= page.map(r => (r._2, r._3))
+      cursor = Some((page.last._3, page.last._2))
+    }
+    assert(pages.toSeq == full, "cursor walk diverged from the full ranking")
+  }
+
+  test("dictionary store: per-unit artifact equals segment-derived dfs, survives compaction") {
+    val idx = new Index(spark, indexDir)
+    assert(idx.hasDictStore, "v4 build must write the dictionary store")
+    def segDfs(i: Index): Map[String, Long] = i.segments
+      .groupBy($"term").agg(sum($"df").cast("long")).as[(String, Long)].collect().toMap
+    assert(idx.dictionary.select($"term", $"df").as[(String, Long)].collect().toMap
+      == segDfs(idx))
+    // compaction merges the store like every other stat
+    val d = tmpDir("dictcompact")
+    IndexBuild.build(spark, corpus, d, IndexConfig(segShift = 5, rangeSegsShift = 1))
+    IndexBuild.compact(spark, d)
+    val cIdx = new Index(spark, d)
+    assert(cIdx.ranges.forall(_ < 0), "expected fully compacted units")
+    assert(cIdx.hasDictStore, "compaction must rewrite the dictionary store")
+    assert(cIdx.dictionary.select($"term", $"df").as[(String, Long)].collect().toMap
+      == segDfs(cIdx))
+  }
+
+  test("dictionary init opens NO segment file (counting FS)") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.countfs.impl", classOf[CountingFs].getName)
+    val d = tmpDir("countdict")
+    IndexBuild.build(spark, corpus, s"countfs:$d", IndexConfig(segShift = 5, rangeSegsShift = 1))
+    val idx = new Index(spark, s"countfs:$d")
+    assert(idx.hasDictStore)
+    CountingFs.opens.clear()
+    assert(idx.dfOf(Seq("w:spark", "w:dup")).nonEmpty)
+    val segOpens = CountingFs.opens.toArray.map(_.toString).filter(_.contains("/segments/"))
+    assert(segOpens.isEmpty,
+      s"df resolution touched the segment table: ${segOpens.take(3).mkString(", ")}")
+    // sanity: the store itself WAS read (the counter is live)
+    assert(CountingFs.opens.toArray.map(_.toString).exists(_.contains("/dictionary/")),
+      "expected dictionary-store reads")
+  }
+
+  test("bounded segments-write await: a hung job is cancelled, nothing leaks") {
+    // a genuinely hung write job (tasks sleeping 120 s) under its own job
+    // group: the bounded await must throw the clean range failure AND the
+    // cancellation must actually kill the job — not leak the sleep
+    val g = s"graft-test-hang-${System.nanoTime()}"
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val hung = scala.concurrent.Future {
+      spark.sparkContext.setJobGroup(g, "test hang", interruptOnCancel = true)
+      try spark.sparkContext.parallelize(0 until 8, 8)
+        .mapPartitions { it => Thread.sleep(120000); it }.count()
+      finally spark.sparkContext.clearJobGroup()
+    }
+    val t0 = System.nanoTime()
+    val e = intercept[IllegalStateException](
+      IndexBuild.boundedAwait(spark, hung, g, 1L, "segments write for range=0"))
+    assert(e.getMessage.contains("NOT committed"), s"wrong failure: ${e.getMessage}")
+    val settled = scala.util.Try(scala.concurrent.Await.result(hung,
+      scala.concurrent.duration.Duration(60, java.util.concurrent.TimeUnit.SECONDS)))
+    assert(settled.isFailure, "cancelled job group must fail the hung job")
+    assert((System.nanoTime() - t0) / 1e9 < 100,
+      "cancellation leaked the tasks' full sleep")
+    // zero-timeout build sanity: even if a race lets tiny ranges finish
+    // before the await, a FAILED build never commits a manifest for the
+    // timed-out ranges and a sane-timeout rerun resumes idempotently
+    val d = tmpDir("timeout")
+    val impatient = cfg.copy(segmentsWriteTimeoutSec = 0L)
+    scala.util.Try(IndexBuild.build(spark, corpus, d, impatient))
+    Thread.sleep(2000) // let any cancelled tasks die before the redo
+    IndexBuild.build(spark, corpus, d, cfg)
+    val eng2 = new Engine(new Index(spark, d))
+    assert(eng2.searchByTerms(SparkEntry.FlagshipTerms, rows = 10).count() > 0)
+  }
+
   test("docFilter combined with docPred applies BOTH conditions") {
     val both = engine.searchByTerms(SparkEntry.FlagshipTerms, rows = 30,
       docPred = Some(col("doc_id") < 250), docFilter = Some(("lang", "en")))
@@ -383,8 +472,13 @@ class CountingFs extends org.apache.hadoop.fs.RawLocalFileSystem {
     CountingFs.listCalls.incrementAndGet()
     super.listStatus(p)
   }
+  override def open(f: org.apache.hadoop.fs.Path, bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream = {
+    CountingFs.opens.add(f.toString)
+    super.open(f, bufferSize)
+  }
 }
 
 object CountingFs {
   val listCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+  val opens = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 }

@@ -476,8 +476,48 @@ class MlSpec extends SparkSpec {
     assert(Ann.lshBitsFor(1000000000L, 1000L) == 20) // 10^9 rows, 1k buckets target
     assert(Ann.lshBitsFor(1L, 1000L) == 1) // floor
     assert(Ann.lshBitsFor(Long.MaxValue, 1L) == 62) // ceiling
+    // integer-exact at power-of-two boundaries (the reason the rule is
+    // integer arithmetic: a floating log2 could flip ceil across engines)
+    assert(Ann.lshBitsFor(1024L, 1L) == 10)
+    assert(Ann.lshBitsFor(1025L, 1L) == 11)
+    assert(Ann.lshBitsFor(500L, 64L) == 3) // the gate corpora
+    assert(Ann.lshBitsFor(2000L, 64L) == 5)
     // planes are prefix-stable: widening extends, never reshuffles
     assert(Ann.lshPlane(3).toSeq == Ann.lshPlanes(3).toSeq)
+  }
+
+  test("contamination screen: only docs sharing a full 13-gram are flagged") {
+    val thirteen = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    val bench = Seq((100L, s"$thirteen extra")).toDF("doc_id", "content")
+    val screened = Seq(
+      (1L, s"prefix $thirteen suffix"), // shares exactly the 13-gram
+      (2L, "totally different words with no overlap at all whatsoever in any gram"),
+      (3L, "one two three four five six seven eight nine ten eleven twelve")) // 12 tokens only
+      .toDF("doc_id", "content")
+    val got = Dedup.contamination(screened, bench, 13)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet == Set(1L), s"flagged ${got.keySet}")
+    assert(got(1L) == ((1L, 1L)), s"one bench doc, one shared shingle: ${got(1L)}")
+  }
+
+  test("curation with a benchmark: contaminated docs can never be kept") {
+    val bench = corpus.where($"doc_id" % 13 === 3).select($"doc_id", $"content")
+    val contaminated = Dedup.contamination(dupped, bench, 13)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(contaminated.nonEmpty, "test needs contaminated docs")
+    val screened = graft.ml.Curation.curate(dupped, benchmark = Some(bench))
+      .select($"doc_id", $"kept").as[(Long, Long)].collect().toMap
+    contaminated.foreach(d =>
+      assert(screened(d) == 0L, s"contaminated doc $d survived curation"))
+    assert(screened.values.exists(_ == 1L), "screening must not drop everything")
+    // decisions for docs untouched by the screen (not contaminated, not
+    // sharing a cluster with a contaminated doc) are unchanged
+    val plain = graft.ml.Curation.curate(dupped)
+      .select($"doc_id", $"cluster_id", $"kept").as[(Long, Long, Long)].collect()
+    val dirtyClusters = plain.filter(r => contaminated.contains(r._1)).map(_._2).toSet
+    plain.filter(r => !dirtyClusters.contains(r._2)).foreach { case (d, _, k) =>
+      assert(screened(d) == k, s"unrelated doc $d decision changed")
+    }
   }
 
   test("atom parser: foreign-namespace extensions (media:*) do not corrupt entry fields") {

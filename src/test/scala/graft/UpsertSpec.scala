@@ -312,6 +312,68 @@ class UpsertSpec extends SparkSpec {
       s"exclusion had no effect: $allV vs $before")
   }
 
+  test("kill shard of a live loser lands on the OWNING unit after compaction (healing)") {
+    // pre-existing duplicate versions of one key in two doc ranges, the
+    // ranges compacted into ONE negative unit, then a replayed batch
+    // version that LOSES the max-doc_id race: the stale live duplicate's
+    // kill shard must be attributed to the owning live unit (ADVICE r03) —
+    // under the retired raw range id it would never surface and the
+    // duplicate would stay live forever
+    val dir = Files.createTempDirectory("graft-owner").toString
+    val dupPath = "repo/r/dup.txt"
+    def mk(rows: Seq[(Long, String, String)]): DataFrame =
+      rows.toDF("doc_id", "path", "content")
+        .withColumn("repo", lit("r")).withColumn("commit", lit("c"))
+        .withColumn("lang", lit("en"))
+        .withColumn("sha", sha2(col("content"), 256))
+    // rangeShift = 6: docs 5, 7 -> range 0; doc 200 -> range 3
+    IndexBuild.build(spark, mk(Seq(
+      (5L, dupPath, "alpha beta dupkey stale"),
+      (7L, "repo/r/other.txt", "other words entirely"),
+      (200L, dupPath, "alpha beta dupkey newer"))), dir, cfg)
+    IndexBuild.compact(spark, dir) // ranges 0+3 -> one negative unit
+    val live = IndexBuild.liveUnits(spark, dir)
+    assert(live.size == 1 && live.head < 0, s"expected one compacted unit, got $live")
+    // replayed batch version in a FRESH range (2) loses to live doc 200
+    IndexBuild.upsert(spark, mk(Seq((130L, dupPath, "alpha beta dupkey replay"))),
+      dir, cfg, keyCols = Seq("path"))
+    // every kill shard sits on a COMMITTED unit — nothing orphaned
+    val tu = IndexBuild.tombstoneUnits(spark, dir)
+    val committed = IndexBuild.committedUnits(spark, dir).toSet
+    assert(tu.nonEmpty && tu.forall(committed.contains),
+      s"kill shard on uncommitted/retired id: $tu vs committed $committed")
+    // the ONLY visible version of the key is the winner (200): the stale
+    // live duplicate 5 is healed, the replayed 130 dead-on-arrival
+    val idx = new Index(spark, dir)
+    assert(idx.docmeta.where(col("path") === dupPath)
+      .select("doc_id").as[Long].collect().toSeq.sorted == Seq(200L))
+    // and reclaim drains it all
+    IndexBuild.compact(spark, dir)
+    val idx2 = new Index(spark, dir)
+    assert(!idx2.hasTombstones)
+    assert(idx2.docmeta.where(col("path") === dupPath)
+      .select("doc_id").as[Long].collect().toSeq == Seq(200L))
+  }
+
+  test("GC sweep reclaims orphaned tombstone shards (crashed-upsert leftovers)") {
+    val dir = upserted()
+    // fake a crashed upsert: a kill shard under a range id that never
+    // committed (matches neither the retired-unit deletion nor the old
+    // negative-id-only sweep — ADVICE r03)
+    val orphan = s"${IndexBuild.tombstonesDir(dir)}/range=777"
+    Seq((0L, graft.index.Bitmaps.serialize(new org.roaringbitmap.RoaringBitmap())))
+      .toDF("seg_id", "bitmap").write.parquet(orphan)
+    assert(IndexBuild.tombstoneUnits(spark, dir).contains(777L))
+    IndexBuild.compact(spark, dir)
+    assert(!IndexBuild.tombstoneUnits(spark, dir).contains(777L),
+      "orphaned tombstone shard leaked through the sweep")
+    // the compacted index still answers and excludes dead docs
+    val e = new Engine(new Index(spark, dir))
+    e.searchByTerms(SparkEntry.FlagshipTerms, rows = 60)
+      .select("doc_id").as[Long].collect()
+      .foreach(d => assert(!dead.contains(d)))
+  }
+
   test("reclaim re-attestation catches a tampered docmeta copy") {
     val dir = upserted()
     // corrupt one LIVE docmeta row before compaction: the Observation on
