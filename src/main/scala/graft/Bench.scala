@@ -228,7 +228,8 @@ object Bench {
     val compactDraws = (1 to MaintDraws).map { i =>
       val d = freshCopy(benchIdx, s"compact$i")
       val (rep, sec) = time(IndexBuild.compact(spark, d))
-      require(rep.unitsBefore.size > rep.unitsAfter.size,
+      // a single-unit index (small SF smoke runs) legitimately no-ops
+      require(rep.unitsBefore.size < 2 || rep.unitsAfter.size < rep.unitsBefore.size,
         s"bench compact draw $i was a no-op: ${rep.unitsBefore} -> ${rep.unitsAfter}")
       lastCompacted = d
       (sec, rep.unitsBefore.size, rep.unitsAfter.size)
