@@ -147,10 +147,13 @@ object Bench {
     // deep-page cursor fixed OUTSIDE the timings (cursor acquisition is a
     // separate query; the timed section measures the constant-heap page)
     val cursor1k: (Long, Long) = {
-      val r = engine.searchByTerms(hotRare, rows = 1000)
-        .where(org.apache.spark.sql.functions.col("rank") === 1000)
-        .select("score_q", "doc_id").collect()(0)
-      (r.getLong(0), r.getLong(1))
+      val rs = engine.searchByTerms(hotRare, rows = 1000)
+        .orderBy(org.apache.spark.sql.functions.col("rank"))
+        .select("score_q", "doc_id").collect()
+      // <1000 matches (small-SF smoke): cursor at the last hit — the page
+      // after it is empty but the section still times the constant-heap path
+      if (rs.isEmpty) (Long.MaxValue, Long.MinValue)
+      else (rs.last.getLong(0), rs.last.getLong(1))
     }
     val queries = Seq[(String, () => Long)](
       "wand_hot_rare" -> (() => engine.searchByTerms(hotRare, rows = 60).count()),
@@ -231,6 +234,9 @@ object Bench {
       // a single-unit index (small SF smoke runs) legitimately no-ops
       require(rep.unitsBefore.size < 2 || rep.unitsAfter.size < rep.unitsBefore.size,
         s"bench compact draw $i was a no-op: ${rep.unitsBefore} -> ${rep.unitsAfter}")
+      // keep only the newest compacted copy (the upsert draws' base);
+      // earlier draws' full index copies must not pile up in /tmp
+      if (lastCompacted != benchIdx) deleteRecursively(new java.io.File(lastCompacted))
       lastCompacted = d
       (sec, rep.unitsBefore.size, rep.unitsAfter.size)
     }
@@ -266,6 +272,7 @@ object Bench {
       val postUp = new Engine(new Index(spark, d))
       require(!postUp.index.hasTombstones && postUp.index.stats._1 == nDocs,
         "reclaim must drain tombstones and restore live-doc stats")
+      deleteRecursively(new java.io.File(d)) // draw copy served its purpose
       (uSec, qSec, rSec)
     }
     val (upsertSec, tombQuerySec, reclaimSec) =

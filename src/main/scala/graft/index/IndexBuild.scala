@@ -988,19 +988,35 @@ object IndexBuild {
     * its job group and throw — the range fails CLEANLY (its manifest is
     * written only after this returns, so nothing partial ever commits).
     * Factored out so the cancel path is directly testable with a hung job.
+    *
+    * All-settle-before-throw (the same rule compact's parallel merges
+    * follow): after the cancel, wait a bounded grace for the write future
+    * to actually DIE before throwing — a caller's immediate retry (e.g. a
+    * Structured Streaming batch redo) must never race a zombie writer on
+    * the same overwrite target. `cancelFlag` closes the
+    * not-yet-submitted window: the write body checks it first, so a job
+    * that had not reached Spark when the cancel fired never starts.
     */
   private[graft] def boundedAwait[A](spark: SparkSession,
       f: scala.concurrent.Future[A], jobGroup: String,
-      timeoutSec: Long, what: String): A =
+      timeoutSec: Long, what: String,
+      cancelFlag: Option[java.util.concurrent.atomic.AtomicBoolean] = None): A =
     try scala.concurrent.Await.result(f,
       scala.concurrent.duration.Duration(timeoutSec,
         java.util.concurrent.TimeUnit.SECONDS))
     catch {
       case e: java.util.concurrent.TimeoutException =>
+        cancelFlag.foreach(_.set(true))
         spark.sparkContext.cancelJobGroup(jobGroup)
+        val settled = scala.util.Try(scala.concurrent.Await.ready(f,
+          scala.concurrent.duration.Duration(60, java.util.concurrent.TimeUnit.SECONDS)))
         throw new IllegalStateException(
-          s"$what exceeded ${timeoutSec}s; " +
-            "job cancelled, range NOT committed (rerun resumes it)", e)
+          s"$what exceeded ${timeoutSec}s; job cancelled" +
+            (if (settled.isFailure)
+              " (WARNING: write tasks did not settle within the 60s grace" +
+                " — do not retry into the same directory until they die)"
+            else "") +
+            ", range NOT committed (rerun resumes it)", e)
     }
 
   /** Build one checkpoint range; returns (n_docs, sum_dl). */
@@ -1039,14 +1055,20 @@ object IndexBuild {
       // can CANCEL it on timeout — job-group membership is thread-local to
       // the submitting thread, hence set/cleared inside the future body.
       val segJobGroup = s"graft-segments-$r-${System.nanoTime()}"
+      val segCancelled = new java.util.concurrent.atomic.AtomicBoolean(false)
       val segF = scala.concurrent.Future {
         spark.sparkContext.setJobGroup(segJobGroup,
           s"graft segments write range=$r", interruptOnCancel = true)
-        try p1.toDF()
-          .repartition(segParts, col("seg_id"))
-          .sortWithinPartitions(col("term_id"), col("seg_id"))
-          .write.mode("overwrite").parquet(s"${segmentsDir(indexDir)}/range=$r")
-        finally spark.sparkContext.clearJobGroup()
+        try {
+          // a timeout that fired before this body ran must not start the
+          // write at all (cancelJobGroup only kills ALREADY-submitted jobs)
+          if (segCancelled.get())
+            throw new IllegalStateException(s"segments write for range=$r cancelled before start")
+          p1.toDF()
+            .repartition(segParts, col("seg_id"))
+            .sortWithinPartitions(col("term_id"), col("seg_id"))
+            .write.mode("overwrite").parquet(s"${segmentsDir(indexDir)}/range=$r")
+        } finally spark.sparkContext.clearJobGroup()
       }
       // docmeta (norms/identity side-store); dl via the counting-only
       // tokenizer twin (dl = 2n-1) — no token materialization, no shingle
@@ -1107,7 +1129,7 @@ object IndexBuild {
       // the range throws WITHOUT committing a manifest (clean idempotent
       // redo — partials are invisible behind the manifest gate).
       boundedAwait(spark, segF, segJobGroup, cfg.segmentsWriteTimeoutSec,
-        s"segments write for range=$r")
+        s"segments write for range=$r", Some(segCancelled))
       // per-unit term dictionary from the attested segments (see
       // writeDictionary): part of the unit, covered by the manifest gate
       writeDictionary(spark, indexDir, r)

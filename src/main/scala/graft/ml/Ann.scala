@@ -37,7 +37,7 @@ object Ann {
     */
   def lshBitsFor(n: Long, targetBucketSize: Long = 1000L): Int = {
     require(n > 0 && targetBucketSize > 0)
-    val q = (n + targetBucketSize - 1) / targetBucketSize // ⌈N/B⌉
+    val q = (n - 1) / targetBucketSize + 1 // ⌈N/B⌉, overflow-free near Long.MaxValue
     val bits = if (q <= 2) 1 else 64 - java.lang.Long.numberOfLeadingZeros(q - 1)
     math.min(62, math.max(1, bits))
   }

@@ -73,7 +73,13 @@ object Curation {
     // the quality cache can be released HERE — a long-lived session
     // invoking curate() repeatedly must not accumulate leaked cache blocks
     // (ADVICE r03); localCheckpoint also truncates the three-subtree
-    // lineage for downstream consumers
+    // lineage for downstream consumers. Accepted trade: checkpoint blocks
+    // are not fault tolerant (an executor loss after return fails
+    // downstream actions instead of recomputing — rerun curate) and are
+    // reclaimed by the ContextCleaner when the result goes unreferenced;
+    // for a pipeline whose decision table feeds several downstream
+    // consumers, one eager materialization is the cheaper side of the
+    // trade anyway.
     try out.localCheckpoint() finally q.unpersist(blocking = false)
   }
 }

@@ -448,9 +448,13 @@ object Dedup {
     * same bits from the same rule (OracleMl.embCosBucketedDerivedSql).
     */
   def embCosBucketedPairsDerived(embeddings: DataFrame, minCosQ: Long,
-                                 targetBucket: Long = 1000L): DataFrame =
+                                 targetBucket: Long = 1000L): DataFrame = {
+    val n = embeddings.count()
+    // empty table: any width yields the empty pair set — don't trip
+    // lshBitsFor's n > 0 requirement (parity with the non-derived path)
     embCosBucketedPairs(embeddings, minCosQ,
-      Ann.lshBitsFor(embeddings.count(), targetBucket))
+      if (n == 0) 1 else Ann.lshBitsFor(n, targetBucket))
+  }
 
   private def bucketedPairsOver(wb: DataFrame, minCosQ: Long): DataFrame = {
     val a = wb.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"), col("bucket"))

@@ -388,7 +388,7 @@ object OracleMl {
   def embCosBucketedDerivedSql(minCosQ: Long, target: Long): String =
     s"""WITH bitsv AS (
        |  SELECT ${lshBitsCase("qq")} AS bits
-       |  FROM (SELECT (count(*) + ${target - 1}) // $target AS qq FROM embeddings)),
+       |  FROM (SELECT (greatest(count(*), 1) - 1) // $target + 1 AS qq FROM embeddings)),
        |wb AS (
        |  SELECT vec_id, embedding,
        |         CAST(${lshBucketDynSql("embedding", "bitsv.bits")} AS BIGINT) AS bucket

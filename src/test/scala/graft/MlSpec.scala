@@ -476,6 +476,8 @@ class MlSpec extends SparkSpec {
     assert(Ann.lshBitsFor(1000000000L, 1000L) == 20) // 10^9 rows, 1k buckets target
     assert(Ann.lshBitsFor(1L, 1000L) == 1) // floor
     assert(Ann.lshBitsFor(Long.MaxValue, 1L) == 62) // ceiling
+    // no ceil-division overflow: ⌈(2^63−1)/1000⌉ ≈ 9.22e15 ∈ (2^53, 2^54]
+    assert(Ann.lshBitsFor(Long.MaxValue, 1000L) == 54)
     // integer-exact at power-of-two boundaries (the reason the rule is
     // integer arithmetic: a floating log2 could flip ceil across engines)
     assert(Ann.lshBitsFor(1024L, 1L) == 10)
