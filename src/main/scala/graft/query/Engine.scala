@@ -683,14 +683,67 @@ final class Engine(val index: Index) {
 
   /** Facet counts over the query's FULL match set (docs containing any
     * query term — Boolean-OR match semantics, not the top-k window):
-    * Solr's `facet=true&facet.field=<f>` on the same request. One postings
-    * scan for the match set (distinct doc ids), one semi-join into
-    * docmeta, one count per value — no sort, no window.
+    * Solr's `facet=true&facet.field=<f>` on the same request.
+    *
+    * Fast path (field covered by the persisted filter side-index): the
+    * match set never leaves its segment — per segment, the query terms'
+    * postings OR into one local bitmap, which cogroups with the
+    * per-(value) filter bitmaps (and the kill bitmaps, tagged onto the
+    * same cogroup like P2's fq path); each facet count is a popcount of
+    * `match AND value [ANDNOT kill]`, and only (value, count) rows — a
+    * handful per segment — reach the final tiny aggregation. The slow
+    * path's per-query shuffle of EVERY matching doc_id (distinct +
+    * semi-join into docmeta) disappears; that path remains for uncovered
+    * fields and is pinned count-identical in IndexSpec/UpsertSpec.
     */
-  def facet(terms: Seq[(String, Double)], field: String): DataFrame = {
+  def facet(terms: Seq[(String, Double)], field: String): DataFrame =
+    if (index.hasFilters && index.filterCols.contains(field))
+      facetBitmap(terms, field)
+    else facetScan(terms, field)
+
+  private[graft] def facetBitmap(terms: Seq[(String, Double)], field: String): DataFrame = {
+    import spark.implicits._
     val names = terms.map(_._1).distinct
     val ids = names.map(TermHash.hash)
-    val cfg = index.cfg
+    val hits = index.segments
+      .where(col("term_id").isin(ids: _*) && col("term").isin(names: _*))
+      .select(col("seg_id"), col("postings")).as[(Long, Array[Byte])]
+    // value rows tag 0; kill rows tag 1 (value unused) — one cogroup
+    val fq = index.filters
+      .where(col("fcol") === lit(field))
+      .select(col("seg_id"), col("value"), col("bitmap"), lit(0).as("tag"))
+    val bms = (index.killBitmapsOpt match {
+      case Some(k) => fq.unionAll(k.toDF("seg_id", "bitmap")
+        .select(col("seg_id"), lit(null).cast("string").as("value"),
+          col("bitmap"), lit(1).as("tag")))
+      case None => fq
+    }).as[(Long, String, Array[Byte], Int)]
+    hits.groupByKey(_._1).cogroup(bms.groupByKey(_._1)) { (_, hitIt, bmIt) =>
+      if (hitIt.isEmpty) Iterator.empty
+      else {
+        val m = new RoaringBitmap()
+        hitIt.foreach { case (_, post) =>
+          graft.index.Codec.decodeAll(post).foreach(p => m.add(p.local))
+        }
+        val (values, killRows) = bmIt.toArray.partition(_._4 == 0)
+        if (killRows.nonEmpty) m.andNot(Engine.orAll(killRows.map(_._3)))
+        values.iterator.flatMap { case (_, value, bytes, _) =>
+          val n = RoaringBitmap.andCardinality(m, graft.index.Bitmaps.deserialize(bytes))
+          if (n > 0) Iterator.single((value, n.toLong)) else Iterator.empty
+        }
+      }
+    }
+      .toDF("value", "n0")
+      .groupBy(col("value"))
+      .agg(sum(col("n0")).as("n"))
+  }
+
+  /** Uncovered-field facet: one postings scan for the match set (distinct
+    * doc ids), one semi-join into docmeta, one count per value.
+    */
+  private[graft] def facetScan(terms: Seq[(String, Double)], field: String): DataFrame = {
+    val names = terms.map(_._1).distinct
+    val ids = names.map(TermHash.hash)
     val matching = index.segments
       .where(col("term_id").isin(ids: _*) && col("term").isin(names: _*))
       .select(col("seg_id"),

@@ -358,6 +358,19 @@ class IndexSpec extends SparkSpec {
       s"hasFilters made ${CountingFs.listCalls.get()} listings for 8 units")
   }
 
+  test("facet bitmap fast path == docmeta-scan path (covered field)") {
+    assert(engine.index.filterCols.contains("lang"))
+    def m(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.as[(String, Long)].collect().toMap
+    val fast = m(engine.facetBitmap(SparkEntry.FlagshipTerms, "lang"))
+    val slow = m(engine.facetScan(SparkEntry.FlagshipTerms, "lang"))
+    assert(fast == slow && fast.nonEmpty, s"facet paths diverge: $fast vs $slow")
+    // single-term and rare-term match sets too
+    val fast2 = m(engine.facetBitmap(Seq("w:dup" -> 1.0), "lang"))
+    val slow2 = m(engine.facetScan(Seq("w:dup" -> 1.0), "lang"))
+    assert(fast2 == slow2 && fast2.values.sum < fast.values.sum)
+  }
+
   test("cursor paging (search-after): walking pages reproduces the full ranking") {
     val full = engine.searchByTerms(SparkEntry.FlagshipTerms, rows = 100)
       .as[(Long, Long, Long)].collect().toSeq.map(r => (r._2, r._3))
