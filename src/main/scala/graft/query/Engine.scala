@@ -274,6 +274,44 @@ final class Engine(val index: Index) {
     * exact; rank-identity across the switch is pinned in IndexSpec
     * (including the hot+rare mix, which must stay on WAND).
     */
+  /** Query terms surviving the accuracy rule, with dfs (ONE definition —
+    * searchByTerms and the [[routesDense]] probe must never diverge).
+    */
+  private def keptTerms(terms: Seq[(String, Double)],
+                        accuracy: Double): Seq[(String, Double, Long)] =
+    if (accuracy >= 0.9) { // degenerate plan: no pruning, exhaustive scoring
+      val dfs = index.dfOf(terms.map(_._1).distinct)
+      terms.map { case (t, b) => (t, b, dfs.getOrElse(t, 0L)) }.filter(_._3 > 0)
+    } else prune(terms, accuracy)
+
+  /** weight(term) = Σ boost·idf over duplicate query terms (OR-clause). */
+  private def weightsOf(kept: Seq[(String, Double, Long)], n: Long): Map[String, Double] =
+    kept.groupBy(_._1).map { case (t, g) =>
+      t -> g.map(x => x._2 * Bm25.idf(x._3.toDouble, n.toDouble)).sum
+    }
+
+  /** THE routing decision searchByTerms will take for these arguments —
+    * exposed so route pins test the decision itself (the executed dense
+    * and WAND plans are both segment cogroups and not distinguishable by
+    * plan text). Same helpers as searchByTerms: cannot diverge.
+    */
+  private[graft] def routesDense(terms: Seq[(String, Double)], rows: Int = 60,
+                                 accuracy: Double = 1.0,
+                                 candidates: Int = 10000): Boolean = {
+    val kept = keptTerms(terms, accuracy)
+    kept.nonEmpty && {
+      val (n, _) = index.stats
+      val dfByTerm = kept.iterator.map { case (t, _, df) => t -> df }.toMap
+      isDenseQuery(weightsOf(kept, n), t => dfByTerm.getOrElse(t, 0L), n, rows, candidates)
+    }
+  }
+
+  /** Above this segment shift the dense-array scorer's per-task score
+    * array (2^shift doubles, 32 MB at 22) stops being free — wider
+    * geometries fall back to the columnar scan-score plan.
+    */
+  val DenseArraySegShiftMax = 22
+
   def searchByTerms(
       terms: Seq[(String, Double)],
       rows: Int = 60,
@@ -282,17 +320,10 @@ final class Engine(val index: Index) {
       docPred: Option[Column] = None,
       docFilter: Option[(String, String)] = None,
       after: Option[(Long, Long)] = None): DataFrame = {
-    val kept =
-      if (accuracy >= 0.9) { // degenerate plan: no pruning, exhaustive scoring
-        val dfs = index.dfOf(terms.map(_._1).distinct)
-        terms.map { case (t, b) => (t, b, dfs.getOrElse(t, 0L)) }.filter(_._3 > 0)
-      } else prune(terms, accuracy)
+    val kept = keptTerms(terms, accuracy)
     if (kept.isEmpty) return Wand.topK(spark, spark.emptyDataset[Scored], rows)
     val (n, avgdl) = index.stats
-    val weights: Map[String, Double] = kept.groupBy(_._1).map { case (t, g) =>
-      // duplicate query terms sum their boosts (OR-clause semantics)
-      t -> g.map(x => x._2 * Bm25.idf(x._3.toDouble, n.toDouble)).sum
-    }
+    val weights = weightsOf(kept, n)
     // equality fq on a filter-indexed column: the persisted per-segment
     // bitmap path (no docmeta scan) — but ONLY when it is the sole filter;
     // a docFilter combined with an arbitrary docPred routes through the
@@ -311,14 +342,22 @@ final class Engine(val index: Index) {
     val dfByTerm: Map[String, Long] =
       kept.iterator.map { case (t, _, df) => t -> df }.toMap
     if (isDenseQuery(weights, t => dfByTerm.getOrElse(t, 0L), n, rows, candidates)) {
-      // a bitmap fq would force the scalar loop on a dense query; its
-      // docmeta semi-join predicate form is result-identical (pinned in
-      // IndexSpec), so convert and keep the columnar plan
-      val scanPred = bitmapFq match {
-        case Some((c, v)) => Some(col(c) === lit(v)) // pred is None here by construction
-        case None => pred
+      if (index.cfg.segShift <= DenseArraySegShiftMax)
+        // dense-array route: scores accumulate into a segment-local
+        // primitive array (Wand.scoreSegmentDense) — no per-doc list
+        // sorting, no doc-keyed shuffle; fq/kill bitmaps ride the same
+        // cogroups as the WAND route
+        daatScore(weights, rows, math.min(candidates, rows), avgdl,
+          useWand = false, pred, bitmapFq, after, dense = true)
+      else {
+        // ultra-wide segments: columnar scan-score fallback (bitmap fq
+        // converts to its result-identical docmeta semi-join form)
+        val scanPred = bitmapFq match {
+          case Some((c, v)) => Some(col(c) === lit(v)) // pred is None here by construction
+          case None => pred
+        }
+        scanScore(weights, rows, avgdl, scanPred, after)
       }
-      scanScore(weights, rows, avgdl, scanPred, after)
     } else
       daatScore(weights, rows, math.min(candidates, rows), avgdl,
         useWand = accuracy < 0.9, pred, bitmapFq, after)
@@ -351,7 +390,8 @@ final class Engine(val index: Index) {
       weights: Map[String, Double], rows: Int, heapSize: Int, avgdl: Double,
       useWand: Boolean, docPred: Option[Column],
       bitmapFq: Option[(String, String)] = None,
-      after: Option[(Long, Long)] = None): DataFrame = {
+      after: Option[(Long, Long)] = None,
+      dense: Boolean = false): DataFrame = {
     val ids = weights.keys.map(TermHash.hash).toSeq
     val names = weights.keys.toSeq
     val (aScore, aDoc) = after.getOrElse((Long.MaxValue, Long.MinValue))
@@ -361,6 +401,16 @@ final class Engine(val index: Index) {
       .as[SegHit]
     val cfg = index.cfg
     val wB = spark.sparkContext.broadcast(weights)
+    // per-segment scorer: WAND/exhaustive DAAT, or the dense-array
+    // accumulator for corpus-blanketing queries (a function VAL so the
+    // task closures capture only serializable locals, never the Engine)
+    val scoreSeg: (Long, Iterator[SegHit], RoaringBitmap) => Iterator[Scored] =
+      if (dense)
+        (seg, it, allow) =>
+          Wand.scoreSegmentDense(seg, it, wB.value, avgdl, heapSize, cfg, allow, aScore, aDoc)
+      else
+        (seg, it, allow) =>
+          Wand.scoreSegment(seg, it, wB.value, avgdl, heapSize, cfg, allow, useWand, aScore, aDoc)
     // Solr-update tombstones: kill bitmaps ride the SAME per-segment
     // cogroup as the fq bitmaps (tagged rows), so exclusion happens inside
     // the segment task BEFORE any top-k heap — a dead doc can never occupy
@@ -387,7 +437,7 @@ final class Engine(val index: Index) {
             val bm = Engine.orAll(fqBs.map(_._2)) // defensive OR: one bitmap/value expected
             if (killBs.nonEmpty) bm.andNot(Engine.orAll(killBs.map(_._2)))
             if (bm.isEmpty) Iterator.empty
-            else Wand.scoreSegment(seg, hitIt, wB.value, avgdl, heapSize, cfg, bm, useWand, aScore, aDoc)
+            else scoreSeg(seg, hitIt, bm)
           }
         }
       case (None, Some(pred)) =>
@@ -402,19 +452,19 @@ final class Engine(val index: Index) {
           val bm = new RoaringBitmap()
           docIt.foreach(d => bm.add(cfg.localOf(d)))
           if (bm.isEmpty) Iterator.empty
-          else Wand.scoreSegment(seg, hitIt, wB.value, avgdl, heapSize, cfg, bm, useWand, aScore, aDoc)
+          else scoreSeg(seg, hitIt, bm)
         }
       case (None, None) =>
         kills match {
           case None =>
             hits.groupByKey(_.seg_id).flatMapGroups { (seg, it) =>
-              Wand.scoreSegment(seg, it, wB.value, avgdl, heapSize, cfg, null, useWand, aScore, aDoc)
+              scoreSeg(seg, it, null)
             }
           case Some(k) =>
             val segShift = cfg.segShift
             hits.groupByKey(_.seg_id).cogroup(k.groupByKey(_._1)) { (seg, hitIt, bmIt) =>
               val allow = Engine.flipAllow(bmIt.map(_._2).toSeq, segShift)
-              Wand.scoreSegment(seg, hitIt, wB.value, avgdl, heapSize, cfg, allow, useWand, aScore, aDoc)
+              scoreSeg(seg, hitIt, allow)
             }
         }
     }

@@ -283,6 +283,62 @@ object Wand {
     heap.sortedBestFirst.iterator
   }
 
+  /** Dense-query segment scorer: every posting of every query list folds
+    * into ONE primitive score array indexed by segment-local id (width =
+    * 2^segShift — the caller guards the shift), touched ids tracked in a
+    * bitmap, then one sweep offers (doc, score) to the bounded heap. For a
+    * corpus-blanketing query this is O(postings + touched) with NO
+    * per-doc list sorting (the scalar DAAT loop's cost) and NO doc-keyed
+    * shuffle (the columnar hash-agg plan's cost) — scores never leave the
+    * segment task. Exact: same tfNorm terms, quantized tie rule at the
+    * heap; `allowed` (fq/kill) intersects the touched set BEFORE the
+    * sweep; cursor semantics as in [[scoreSegment]].
+    */
+  def scoreSegmentDense(
+      segId: Long,
+      hits: Iterator[SegHit],
+      weights: Map[String, Double],
+      avgdl: Double,
+      candidates: Int,
+      cfg: IndexConfig,
+      allowed: RoaringBitmap,
+      afterScoreQ: Long = Long.MaxValue,
+      afterDocId: Long = Long.MinValue): Iterator[Scored] = {
+    @inline def afterCursor(docId: Long, score: Double): Boolean = {
+      val sq = math.round(score * Bm25.Quant)
+      sq < afterScoreQ || (sq == afterScoreQ && docId > afterDocId)
+    }
+    val width = 1 << cfg.segShift
+    var scores: Array[Double] = null // allocated on the first matching list
+    val touched = new RoaringBitmap()
+    hits.foreach { h =>
+      weights.get(h.term).foreach { w =>
+        val it = new Codec.Iter(h.postings)
+        if (!it.exhausted) {
+          if (scores == null) scores = new Array[Double](width)
+          var more = true
+          while (more) {
+            val local = it.curLocal
+            scores(local) += w * Bm25.tfNorm(it.curTf.toDouble, it.curDl.toDouble, avgdl)
+            touched.add(local)
+            more = it.next()
+          }
+        }
+      }
+    }
+    if (scores == null) return Iterator.empty
+    if (allowed != null) touched.and(allowed)
+    val heap = new BoundedTopK(candidates)
+    val bi = touched.getIntIterator
+    while (bi.hasNext) {
+      val local = bi.next()
+      val gid = cfg.globalOf(segId, local)
+      val s = scores(local)
+      if (afterCursor(gid, s)) heap.offer(gid, s)
+    }
+    heap.sortedBestFirst.iterator
+  }
+
   /** Global bounded-heap merge: Dataset[Scored] -> (rank, doc_id, score_q). */
   def topK(spark: SparkSession, scored: Dataset[Scored], k: Int): DataFrame = {
     import spark.implicits._

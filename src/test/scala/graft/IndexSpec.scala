@@ -184,19 +184,21 @@ class IndexSpec extends SparkSpec {
     assert(a.distinct.size == 10)
   }
 
-  test("dense-query columnar scan plan: routed, rank-identical to DAAT and brute") {
+  test("dense-query route: dense-array scorer, rank-identical to scan/DAAT/brute") {
     // hottest 3 terms of the corpus: sum(df)/N certainly >= HotScanFraction
     val hotTerms = engine.index.dictionary
       .orderBy($"df".desc, $"term".asc).limit(3)
       .select($"term").as[String].collect().toSeq.map(_ -> 1.0)
+    assert(engine.routesDense(hotTerms, rows = 30),
+      "dense query must route to the dense-array plan")
     val api = engine.searchByTerms(hotTerms, rows = 30)
-    assert(api.queryExecution.executedPlan.toString.contains("graft_postings"),
-      "dense query must route to the columnar scan plan")
+    // the dense-array route never decodes/explodes postings columnar-side
+    assert(!api.queryExecution.executedPlan.toString.contains("graft_postings"))
     val got = api.as[(Long, Long, Long)].collect().toSeq
     val exp = BruteScorer.topK(docs, hotTerms, 30)
     assert(got.map(_._2) == exp.map(_.docId))
     assert(got.map(_._3) == exp.map(_.scoreQ))
-    // rank identity across the switch, forced both ways, with and w/o fq
+    // rank identity across ALL routes, forced, with and w/o fq
     val dfs = engine.index.dfOf(hotTerms.map(_._1))
     val (n, avgdl) = engine.index.stats
     val w = hotTerms.map { case (t, b) =>
@@ -205,12 +207,20 @@ class IndexSpec extends SparkSpec {
       val s = engine.scanScore(w, 25, avgdl, p).collect().map(_.toSeq).toSeq
       val d1 = engine.daatScore(w, 25, 25, avgdl, useWand = true, p).collect().map(_.toSeq).toSeq
       val d2 = engine.daatScore(w, 25, 25, avgdl, useWand = false, p).collect().map(_.toSeq).toSeq
+      val d3 = engine.daatScore(w, 25, 25, avgdl, useWand = false, p, dense = true)
+        .collect().map(_.toSeq).toSeq
       assert(s == d1, s"scan vs wand (pred=$p)")
       assert(s == d2, s"scan vs exhaustive (pred=$p)")
+      assert(s == d3, s"scan vs dense-array (pred=$p)")
     }
+    // dense-array under a BITMAP fq too (the route keeps the side-index)
+    val fqApi = engine.searchByTerms(hotTerms, rows = 25, docFilter = Some(("lang", "en")))
+      .collect().map(_.toSeq).toSeq
+    val fqScan = engine.scanScore(w, 25, avgdl, Some(col("lang") === "en"))
+      .collect().map(_.toSeq).toSeq
+    assert(fqApi == fqScan, "dense-array bitmap fq diverges from the scan+pred form")
     // a rare query must keep the DAAT plan
-    val rare = engine.searchByTerms(Seq("w:dup" -> 1.0), rows = 10)
-    assert(!rare.queryExecution.executedPlan.toString.contains("graft_postings"))
+    assert(!engine.routesDense(Seq("w:dup" -> 1.0), rows = 10))
   }
 
   test("hot+rare mix stays on WAND and is rank-identical across routes (r02 regression)") {
@@ -222,9 +232,9 @@ class IndexSpec extends SparkSpec {
       .orderBy($"df".desc, $"term".asc).limit(2)
       .select($"term").as[String].collect().toSeq.map(_ -> 1.0)
     val mix = hotTerms ++ Seq("w:dup" -> 1.0, "s:75f" -> 1.0)
-    val api = engine.searchByTerms(mix, rows = 30)
-    assert(!api.queryExecution.executedPlan.toString.contains("graft_postings"),
+    assert(!engine.routesDense(mix, rows = 30),
       "hot+rare mix must stay on the DAAT/WAND route")
+    val api = engine.searchByTerms(mix, rows = 30)
     // rank identity: API result == brute == forced columnar scan
     val got = api.as[(Long, Long, Long)].collect().toSeq
     val exp = BruteScorer.topK(docs, mix, 30)
@@ -235,27 +245,25 @@ class IndexSpec extends SparkSpec {
     val w = mix.map { case (t, b) => t -> b * Bm25.idf(dfs(t).toDouble, n.toDouble) }.toMap
     val s = engine.scanScore(w, 30, avgdl, None).collect().map(_.toSeq).toSeq
     assert(s == got.map(r => Seq(r._1, r._2, r._3)), "scan route must agree on the mix")
-    // a boosted hot term that dominates the weights SHOULD route to scan:
+    // a boosted hot term that dominates the weights SHOULD route dense:
     // nothing prunable remains when the dense term drives the threshold
     val boostedHot = Seq(hotTerms.head._1 -> 1000.0, "w:dup" -> 1.0)
-    val api2 = engine.searchByTerms(boostedHot, rows = 30)
-    assert(api2.queryExecution.executedPlan.toString.contains("graft_postings"),
-      "a dominant dense term must still route to the columnar scan")
-    val got2 = api2.as[(Long, Long, Long)].collect().toSeq
+    assert(engine.routesDense(boostedHot, rows = 30),
+      "a dominant dense term must still route to the dense plan")
+    val got2 = engine.searchByTerms(boostedHot, rows = 30)
+      .as[(Long, Long, Long)].collect().toSeq
     val exp2 = BruteScorer.topK(docs, boostedHot, 30)
     assert(got2.map(_._2) == exp2.map(_.docId))
-    // dense + bitmap fq: the filter converts to its predicate form and the
-    // query KEEPS the columnar plan; results == the DAAT bitmap path
+    // dense + bitmap fq: the dense-array route keeps the bitmap side-index;
+    // results == the DAAT bitmap path
     val api3 = engine.searchByTerms(hotTerms, rows = 30, docFilter = Some(("lang", "en")))
-    assert(api3.queryExecution.executedPlan.toString.contains("graft_postings"),
-      "dense + bitmap fq must stay on the columnar plan (predicate form)")
     val viaDaat = engine.daatScore(
       hotTerms.map { case (t, b) =>
         t -> b * Bm25.idf(engine.index.dfOf(Seq(t))(t).toDouble, n.toDouble) }.toMap,
       30, 30, avgdl, useWand = true, None, bitmapFq = Some(("lang", "en")))
       .collect().map(_.toSeq).toSeq
     assert(api3.collect().map(_.toSeq).toSeq == viaDaat,
-      "dense+fq scan route must equal the DAAT bitmap route")
+      "dense+fq route must equal the DAAT bitmap route")
   }
 
   test("two-phase searchRerank == oracle-shaped recompute (candidates bound honored)") {

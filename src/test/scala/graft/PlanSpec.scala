@@ -78,17 +78,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [In(term_id"), s"no pushdown:\n$p")
   }
 
-  test("dense-query scan plan: codegen'd hash agg with partial aggregation, no scalar loop") {
+  test("dense-query route: segment-local dense array — no postings explode, no doc-keyed shuffle") {
     val hotTerms = engine.index.dictionary
       .orderBy(col("df").desc, col("term").asc).limit(3)
       .select(col("term")).as[String](org.apache.spark.sql.Encoders.STRING)
       .collect().toSeq.map(_ -> 1.0)
-    val p = plan(engine.searchByTerms(hotTerms, rows = 30))
-    assert(p.contains("graft_postings"), s"not the scan plan:\n$p")
-    assert(p.contains("HashAggregate"), s"no hash aggregation:\n$p")
-    assert(p.contains("partial_sum") || p.contains("Partial"), s"no partial agg:\n$p")
-    assert(p.contains("TakeOrderedAndProject"), s"no bounded top-k:\n$p")
-    assert(!p.contains("MapGroups"), s"scalar loop present:\n$p")
+    assert(engine.routesDense(hotTerms, rows = 30))
+    val df = engine.searchByTerms(hotTerms, rows = 30)
+    val p = plan(df)
+    // scores never leave the segment task: no columnar posting decode, no
+    // shuffle keyed on doc_id — only the seg-keyed cogroup + bounded heap
+    assert(!p.contains("graft_postings"), s"columnar decode present:\n$p")
+    assert(!p.contains("hashpartitioning(doc_id"), s"doc-keyed shuffle present:\n$p")
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("ObjectHashAggregate"), s"no bounded-heap top-k:\n$exec")
+    // the ultra-wide-segment FALLBACK keeps its codegen'd columnar shape
+    val dfs = engine.index.dfOf(hotTerms.map(_._1))
+    val (n, avgdl) = engine.index.stats
+    val w = hotTerms.map { case (t, b) =>
+      t -> b * graft.query.Bm25.idf(dfs(t).toDouble, n.toDouble) }.toMap
+    val ps = plan(engine.scanScore(w, 30, avgdl, None))
+    assert(ps.contains("graft_postings"), s"not the scan plan:\n$ps")
+    assert(ps.contains("HashAggregate"), s"no hash aggregation:\n$ps")
+    assert(ps.contains("partial_sum") || ps.contains("Partial"), s"no partial agg:\n$ps")
+    assert(ps.contains("TakeOrderedAndProject"), s"no bounded top-k:\n$ps")
   }
 
   test("bitmap-filtered search cogroups the filter side-index, never docmeta") {
