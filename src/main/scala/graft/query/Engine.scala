@@ -76,6 +76,29 @@ final class Index(val spark: SparkSession, val indexDir: String) {
     if (!hasFilters) Set.empty
     else filters.select(col("fcol")).distinct().as[String].collect().toSet
 
+  /** Filter columns covered in EVERY live unit that holds docs — the set
+    * facet counts may be served from bitmaps ALONE. A column added to
+    * `filterColumns` after some units were built is in [[filterCols]]
+    * (fq on it still works: uncovered units simply contribute no hits,
+    * which the predicate fallback path handles) but NOT here — serving
+    * facet counts for it from bitmaps would silently zero the uncovered
+    * units' docs. Doc-free units (delete markers) are exempt.
+    */
+  lazy val filterColsComplete: Set[String] =
+    if (!hasFilters) Set.empty
+    else {
+      val docUnits = manifest.where(col("n_docs") > 0)
+        .select(col("range_id").cast("long")).as[Long].collect().toSet
+      if (docUnits.isEmpty) filterCols
+      else {
+        val byCol = filters
+          .select(col("fcol"), col("range").cast("long")).distinct()
+          .as[(String, Long)].collect()
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        filterCols.filter(c => docUnits.subsetOf(byCol.getOrElse(c, Set.empty)))
+      }
+    }
+
   /** Live units carrying a tombstone side-file (Solr-update kills) — ONE
     * globStatus listing, same contract as [[hasFilters]].
     */
@@ -264,16 +287,6 @@ final class Engine(val index: Index) {
       domDf.toDouble / n.toDouble >= HotScanFraction
     }
 
-  /** Primary programmatic API (reference `hashes` verb, SURVEY.md §3.2).
-    * Returns (rank, doc_id, score_q), k=`rows`.
-    *
-    * Plan routing: rare/mixed terms -> per-segment block-max WAND (DAAT);
-    * dense queries (Σdf of the DOMINANT-weight terms / N ≥
-    * [[HotScanFraction]], and `candidates` not below `rows` — i.e. no
-    * approximation requested) -> vectorized scan-score plan. Both are
-    * exact; rank-identity across the switch is pinned in IndexSpec
-    * (including the hot+rare mix, which must stay on WAND).
-    */
   /** Query terms surviving the accuracy rule, with dfs (ONE definition —
     * searchByTerms and the [[routesDense]] probe must never diverge).
     */
@@ -312,6 +325,18 @@ final class Engine(val index: Index) {
     */
   val DenseArraySegShiftMax = 22
 
+  /** Primary programmatic API (reference `hashes` verb, SURVEY.md §3.2).
+    * Returns (rank, doc_id, score_q), k=`rows`.
+    *
+    * Plan routing: rare/mixed terms -> per-segment block-max WAND (DAAT);
+    * dense queries (Σdf of the DOMINANT-weight terms / N ≥
+    * [[HotScanFraction]], and `candidates` not below `rows` — i.e. no
+    * approximation requested) -> the segment-local dense-array scorer
+    * ([[Wand.scoreSegmentDense]]; columnar scan-score fallback above
+    * [[DenseArraySegShiftMax]]). All routes are exact; rank-identity
+    * across the switch is pinned in IndexSpec (including the hot+rare
+    * mix, which must stay on WAND).
+    */
   def searchByTerms(
       terms: Seq[(String, Double)],
       rows: Int = 60,
@@ -747,7 +772,7 @@ final class Engine(val index: Index) {
     * fields and is pinned count-identical in IndexSpec/UpsertSpec.
     */
   def facet(terms: Seq[(String, Double)], field: String): DataFrame =
-    if (index.hasFilters && index.filterCols.contains(field))
+    if (index.hasFilters && index.filterColsComplete.contains(field))
       facetBitmap(terms, field)
     else facetScan(terms, field)
 
@@ -773,14 +798,27 @@ final class Engine(val index: Index) {
       else {
         val m = new RoaringBitmap()
         hitIt.foreach { case (_, post) =>
-          graft.index.Codec.decodeAll(post).foreach(p => m.add(p.local))
+          val it = new graft.index.Codec.Iter(post) // allocation-free walk
+          if (!it.exhausted) {
+            var more = true
+            while (more) { m.add(it.curLocal); more = it.next() }
+          }
         }
         val (values, killRows) = bmIt.toArray.partition(_._4 == 0)
         if (killRows.nonEmpty) m.andNot(Engine.orAll(killRows.map(_._3)))
-        values.iterator.flatMap { case (_, value, bytes, _) =>
-          val n = RoaringBitmap.andCardinality(m, graft.index.Bitmaps.deserialize(bytes))
-          if (n > 0) Iterator.single((value, n.toLong)) else Iterator.empty
+        // matching docs covered by NO value bitmap (a range whose docmeta
+        // lacked the column entirely — mixed filter schemas across format
+        // versions) belong to the NULL group, exactly as the docmeta-scan
+        // path counts them (parquet fills the missing column with null)
+        val rest = m.clone()
+        val counted = values.flatMap { case (_, value, bytes, _) =>
+          val vb = graft.index.Bitmaps.deserialize(bytes)
+          val n = RoaringBitmap.andCardinality(m, vb)
+          rest.andNot(vb)
+          if (n > 0) Some((value, n.toLong)) else None
         }
+        val restN = rest.getLongCardinality
+        (if (restN > 0) counted :+ ((null: String, restN)) else counted).iterator
       }
     }
       .toDF("value", "n0")
@@ -789,7 +827,9 @@ final class Engine(val index: Index) {
   }
 
   /** Uncovered-field facet: one postings scan for the match set (distinct
-    * doc ids), one semi-join into docmeta, one count per value.
+    * doc ids), one semi-join into docmeta, one count per value. `value` is
+    * string-cast so both dispatch paths emit ONE schema (the filter store
+    * keys bitmaps by the string form).
     */
   private[graft] def facetScan(terms: Seq[(String, Double)], field: String): DataFrame = {
     val names = terms.map(_._1).distinct
@@ -802,7 +842,7 @@ final class Engine(val index: Index) {
       .distinct()
     index.docmeta
       .join(matching, Seq("doc_id"), "left_semi")
-      .groupBy(col(field).as("value"))
+      .groupBy(col(field).cast("string").as("value"))
       .agg(count(lit(1)).as("n"))
   }
 

@@ -132,6 +132,17 @@ final class TopKAggKeyed(k: Int)(implicit outEnc: Encoder[Seq[Scored]])
   */
 object Wand {
 
+  /** Search-after acceptance: strictly after the cursor in the total order
+    * (score_q DESC, docId ASC) — THE one definition of the cursor rule,
+    * shared by every scorer (a per-scorer copy could silently diverge on a
+    * tie-rule change).
+    */
+  @inline def cursorAccepts(afterScoreQ: Long, afterDocId: Long,
+                            docId: Long, score: Double): Boolean = {
+    val sq = math.round(score * Bm25.Quant)
+    sq < afterScoreQ || (sq == afterScoreQ && docId > afterDocId)
+  }
+
   /** weight = boost · idf (global stats folded in by the Engine). */
   final case class QueryList(iter: Codec.Iter, weight: Double, listUB: Double,
                              var cur: Int)
@@ -167,10 +178,8 @@ object Wand {
       useWand: Boolean,
       afterScoreQ: Long = Long.MaxValue,
       afterDocId: Long = Long.MinValue): Iterator[Scored] = {
-    @inline def afterCursor(docId: Long, score: Double): Boolean = {
-      val sq = math.round(score * Bm25.Quant)
-      sq < afterScoreQ || (sq == afterScoreQ && docId > afterDocId)
-    }
+    @inline def afterCursor(docId: Long, score: Double): Boolean =
+      cursorAccepts(afterScoreQ, afterDocId, docId, score)
     val lists = hits.flatMap { h =>
       weights.get(h.term).map { w =>
         val it = new Codec.Iter(h.postings)
@@ -304,10 +313,8 @@ object Wand {
       allowed: RoaringBitmap,
       afterScoreQ: Long = Long.MaxValue,
       afterDocId: Long = Long.MinValue): Iterator[Scored] = {
-    @inline def afterCursor(docId: Long, score: Double): Boolean = {
-      val sq = math.round(score * Bm25.Quant)
-      sq < afterScoreQ || (sq == afterScoreQ && docId > afterDocId)
-    }
+    @inline def afterCursor(docId: Long, score: Double): Boolean =
+      cursorAccepts(afterScoreQ, afterDocId, docId, score)
     val width = 1 << cfg.segShift
     var scores: Array[Double] = null // allocated on the first matching list
     val touched = new RoaringBitmap()

@@ -379,6 +379,27 @@ class IndexSpec extends SparkSpec {
     assert(fast2 == slow2 && fast2.values.sum < fast.values.sum)
   }
 
+  test("facet falls back to the scan path when a doc-holding unit lacks the field's bitmaps") {
+    // simulate a column ADDED to filterColumns after some units were built:
+    // one live unit's filter store exists but carries no rows — serving
+    // facet from bitmaps would silently zero that unit's docs
+    val d = tmpDir("facetmixed")
+    IndexBuild.build(spark, corpus, d, cfg)
+    val r0 = IndexBuild.liveUnits(spark, d).min
+    val fp = s"${IndexBuild.filtersDir(d)}/range=$r0"
+    val schema = spark.read.parquet(fp).schema
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .write.mode("overwrite").parquet(fp)
+    val e = new Engine(new Index(spark, d))
+    assert(e.index.filterCols.contains("lang"), "column still partially covered")
+    assert(!e.index.filterColsComplete.contains("lang"), "coverage gap undetected")
+    def m(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.as[(String, Long)].collect().toMap
+    val api = m(e.facet(SparkEntry.FlagshipTerms, "lang"))
+    val slow = m(e.facetScan(SparkEntry.FlagshipTerms, "lang"))
+    assert(api == slow && api.nonEmpty, s"facet diverged on partial coverage: $api vs $slow")
+  }
+
   test("cursor paging (search-after): walking pages reproduces the full ranking") {
     val full = engine.searchByTerms(SparkEntry.FlagshipTerms, rows = 100)
       .as[(Long, Long, Long)].collect().toSeq.map(r => (r._2, r._3))
