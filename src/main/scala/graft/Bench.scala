@@ -183,6 +183,10 @@ object Bench {
       "fingerprint" -> (() => graft.ml.TextStats.fingerprint(
         Corpus.fromDocuments(spark, sfDir)).count()),
       "facet_lang" -> (() => engine.facet(hotRare, "lang").count()),
+      "facet_filtered" -> (() => engine.facet(hotRare, "repo",
+        docFilter = Some(("lang", "py"))).count()),
+      "grouped_repo" -> (() => engine.searchGrouped(hotRare, "repo",
+        groupLimit = 3, groups = 10).count()),
       "wand_paged_1k" -> (() => engine.searchPage(hotRare, start = 1000, rows = 60).count()),
       "wand_cursor_1k" -> (() => engine.searchAfter(hotRare, cursor1k._1, cursor1k._2,
         rows = 60).count()))

@@ -186,6 +186,27 @@ object SparkEntry {
     // not the top-k window)
     "q_facet_lang" -> ((s, dir) =>
       Engine.forDir(s, dir).facet(FlagshipTerms, "lang")),
+    // Solr facet + fq: counts computed over q AND fq (both the facet field
+    // and the fq column served from the persisted bitmaps — the match set
+    // never leaves its segment)
+    "q_facet_filtered" -> ((s, dir) =>
+      Engine.forDir(s, dir).facet(FlagshipTerms, "repo",
+        docFilter = Some(("lang", "en")))),
+    // Solr facet.sort=count + facet.limit + facet.mincount: deterministic
+    // top-10 facet values (count desc, value asc tie)
+    "q_facet_top" -> ((s, dir) =>
+      Engine.forDir(s, dir).facetTop(FlagshipTerms, "repo",
+        mincount = 2, limit = 10)),
+    // Solr result grouping (group.field/group.limit): top-8 groups by
+    // their best doc, top-3 docs each — segment-local grouped scorer over
+    // the persisted repo bitmaps
+    "q_grouped" -> ((s, dir) =>
+      Engine.forDir(s, dir).searchGrouped(FlagshipTerms, "repo",
+        groupLimit = 3, groups = 8)),
+    // Solr StatsComponent (stats.field=dl): count/min/max/sum/mean over
+    // the full match set
+    "q_stats_dl" -> ((s, dir) =>
+      Engine.forDir(s, dir).statsField(FlagshipTerms, "dl")),
     // fq via the PERSISTED per-segment bitmap side-index (built at index
     // time; no docmeta scan per query)
     "q_wand_filtered" -> ((s, dir) =>
@@ -480,6 +501,10 @@ object SparkEntry {
     "q_wand_topk" -> Oracle.bm25TopK(FlagshipTerms, 60),
     "q_wand_paged" -> Oracle.bm25Page(FlagshipTerms, 20, 30),
     "q_facet_lang" -> Oracle.facetSql(FlagshipTerms, "lang"),
+    "q_facet_filtered" -> Oracle.facetSql(FlagshipTerms, "repo", Some(("lang", "en"))),
+    "q_facet_top" -> Oracle.facetTopSql(FlagshipTerms, "repo", mincount = 2, limit = 10),
+    "q_grouped" -> Oracle.groupedSql(FlagshipTerms, "repo", groupLimit = 3, groups = 8),
+    "q_stats_dl" -> Oracle.statsDlSql(FlagshipTerms),
     "q_wand_boosted" -> Oracle.bm25TopK(BoostedTerms, 60),
     "q_query_string" -> Oracle.bm25TopK(BoostedTerms, 60),
     "q_wand_filtered" -> Oracle.bm25TopK(FlagshipTerms, 60, Some("lang = 'en'")),

@@ -44,8 +44,9 @@ final case class IndexConfig(
       * build time (the fq-filter side-index: one RoaringBitmap of local
       * doc ids per (segment, column, value) — the reference's fq
       * intersection without re-scanning doc metadata per query). Only
-      * low-cardinality columns belong here. */
-    filterColumns: Seq[String] = Seq("lang"),
+      * low-cardinality columns belong here; facet counts are also served
+      * from these bitmaps when the field is covered in every unit. */
+    filterColumns: Seq[String] = Seq("lang", "repo"),
     /** Bounded await on the async per-range segments write: a hung write
       * job otherwise blocks a range slot of the driver pool forever. On
       * timeout the job group is cancelled and the range fails cleanly

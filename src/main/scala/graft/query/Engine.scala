@@ -77,12 +77,13 @@ final class Index(val spark: SparkSession, val indexDir: String) {
     else filters.select(col("fcol")).distinct().as[String].collect().toSet
 
   /** Filter columns covered in EVERY live unit that holds docs — the set
-    * facet counts may be served from bitmaps ALONE. A column added to
-    * `filterColumns` after some units were built is in [[filterCols]]
-    * (fq on it still works: uncovered units simply contribute no hits,
-    * which the predicate fallback path handles) but NOT here — serving
-    * facet counts for it from bitmaps would silently zero the uncovered
-    * units' docs. Doc-free units (delete markers) are exempt.
+    * fq and facet may be served from bitmaps ALONE. A column added to
+    * `filterColumns` after some units were built is in [[filterCols]] but
+    * NOT here: serving fq or facet counts for it from bitmaps would
+    * silently drop/zero the uncovered units' docs (a segment with no
+    * bitmap row contributes nothing), so such columns route through the
+    * docmeta predicate/scan paths instead. Doc-free units (delete
+    * markers) are exempt.
     */
   lazy val filterColsComplete: Set[String] =
     if (!hasFilters) Set.empty
@@ -350,12 +351,16 @@ final class Engine(val index: Index) {
     val (n, avgdl) = index.stats
     val weights = weightsOf(kept, n)
     // equality fq on a filter-indexed column: the persisted per-segment
-    // bitmap path (no docmeta scan) — but ONLY when it is the sole filter;
-    // a docFilter combined with an arbitrary docPred routes through the
-    // predicate path with both conditions ANDed (the bitmap path would
-    // silently drop the predicate otherwise)
+    // bitmap path (no docmeta scan) — but ONLY when it is the sole filter
+    // (a docFilter combined with an arbitrary docPred routes through the
+    // predicate path with both conditions ANDed — the bitmap path would
+    // silently drop the predicate otherwise) and the column's bitmaps
+    // cover EVERY doc-holding unit (a partially-covered column — added to
+    // filterColumns after some units were built — would silently drop the
+    // uncovered units' matches: a segment with no fq bitmap row scores
+    // nothing)
     val (bitmapFq, pred) = docFilter match {
-      case Some((c, v)) if docPred.isEmpty && index.filterCols.contains(c) =>
+      case Some((c, v)) if docPred.isEmpty && index.filterColsComplete.contains(c) =>
         (docFilter, None)
       case Some((c, v)) =>
         (None, Some(docPred.map(_ && col(c) === lit(v)).getOrElse(col(c) === lit(v))))
@@ -502,11 +507,14 @@ final class Engine(val index: Index) {
     * typed shuffle: partial aggregation runs map-side per segment file and
     * only (doc_id, partial-sum) rows move. Exact (same quantized tie rule).
     */
-  private[graft] def scanScore(
-      weights: Map[String, Double], rows: Int, avgdl: Double,
-      docPred: Option[Column], after: Option[(Long, Long)] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val cfg = index.cfg
+  /** All matching docs with exact raw scores — no top-k, no quantization:
+    * (doc_id, score). The exploded-postings hash-agg plan of [[scanScore]]
+    * (map-side partial sums per segment file), tombstones excluded before
+    * anything downstream.
+    */
+  private[graft] def scanScoreAll(
+      weights: Map[String, Double], avgdl: Double,
+      docPred: Option[Column] = None): DataFrame = {
     val ids = weights.keys.map(TermHash.hash).toSeq
     val names = weights.keys.toSeq
     val wDf = weights.toSeq.toDF("term", "w")
@@ -533,11 +541,16 @@ final class Engine(val index: Index) {
     // they never occupy result slots (no-op join skipped when none exist)
     // no join-strategy hint: the kill set is usually broadcast-small but a
     // long-uncompacted index could hold billions — AQE picks at runtime
-    val live0 =
-      if (index.hasTombstones && docPred.isEmpty)
-        agg.join(index.killedDocIds, Seq("doc_id"), "left_anti")
-      else agg
-    val quantized = live0
+    if (index.hasTombstones && docPred.isEmpty)
+      agg.join(index.killedDocIds, Seq("doc_id"), "left_anti")
+    else agg
+  }
+
+  private[graft] def scanScore(
+      weights: Map[String, Double], rows: Int, avgdl: Double,
+      docPred: Option[Column], after: Option[(Long, Long)] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quantized = scanScoreAll(weights, avgdl, docPred)
       .withColumn("score_q", round(col("score") * lit(Bm25.Quant)).cast("long"))
     // search-after cursor: keep only docs strictly after the cursor in the
     // total order — a plain filter before the top-k limit (same semantics
@@ -771,54 +784,88 @@ final class Engine(val index: Index) {
     * semi-join into docmeta) disappears; that path remains for uncovered
     * fields and is pinned count-identical in IndexSpec/UpsertSpec.
     */
-  def facet(terms: Seq[(String, Double)], field: String): DataFrame =
-    if (index.hasFilters && index.filterColsComplete.contains(field))
-      facetBitmap(terms, field)
-    else facetScan(terms, field)
+  def facet(terms: Seq[(String, Double)], field: String,
+            docFilter: Option[(String, String)] = None): DataFrame =
+    if (index.hasFilters && index.filterColsComplete.contains(field) &&
+        docFilter.forall(f => index.filterColsComplete.contains(f._1)))
+      facetBitmap(terms, field, docFilter)
+    else facetScan(terms, field, docFilter)
 
-  private[graft] def facetBitmap(terms: Seq[(String, Double)], field: String): DataFrame = {
+  /** Solr `facet.sort=count` + `facet.limit` + `facet.mincount`: the
+    * top-`limit` facet values by count desc (value asc tie — a total
+    * order, so the cutoff is deterministic), counts below `mincount`
+    * dropped. The missing-value (null) group is excluded, as with Solr's
+    * default `facet.missing=false`.
+    */
+  def facetTop(terms: Seq[(String, Double)], field: String,
+               docFilter: Option[(String, String)] = None,
+               mincount: Long = 1, limit: Int = 100): DataFrame =
+    facet(terms, field, docFilter)
+      .where(col("value").isNotNull && col("n") >= lit(mincount))
+      .orderBy(col("n").desc, col("value").asc)
+      .limit(limit)
+
+  private[graft] def facetBitmap(terms: Seq[(String, Double)], field: String,
+                                 docFilter: Option[(String, String)] = None): DataFrame = {
     import spark.implicits._
     val names = terms.map(_._1).distinct
     val ids = names.map(TermHash.hash)
     val hits = index.segments
       .where(col("term_id").isin(ids: _*) && col("term").isin(names: _*))
       .select(col("seg_id"), col("postings")).as[(Long, Array[Byte])]
-    // value rows tag 0; kill rows tag 1 (value unused) — one cogroup
-    val fq = index.filters
+    // value rows tag 0; kill rows tag 1; fq rows tag 2 — one cogroup
+    val hasFq = docFilter.isDefined
+    val valueRows = index.filters
       .where(col("fcol") === lit(field))
       .select(col("seg_id"), col("value"), col("bitmap"), lit(0).as("tag"))
+    val withFq = docFilter match {
+      case Some((c, v)) => valueRows.unionAll(index.filters
+        .where(col("fcol") === lit(c) && col("value") === lit(v))
+        .select(col("seg_id"), lit(null).cast("string").as("value"),
+          col("bitmap"), lit(2).as("tag")))
+      case None => valueRows
+    }
     val bms = (index.killBitmapsOpt match {
-      case Some(k) => fq.unionAll(k.toDF("seg_id", "bitmap")
+      case Some(k) => withFq.unionAll(k.toDF("seg_id", "bitmap")
         .select(col("seg_id"), lit(null).cast("string").as("value"),
           col("bitmap"), lit(1).as("tag")))
-      case None => fq
+      case None => withFq
     }).as[(Long, String, Array[Byte], Int)]
     hits.groupByKey(_._1).cogroup(bms.groupByKey(_._1)) { (_, hitIt, bmIt) =>
       if (hitIt.isEmpty) Iterator.empty
       else {
-        val m = new RoaringBitmap()
-        hitIt.foreach { case (_, post) =>
-          val it = new graft.index.Codec.Iter(post) // allocation-free walk
-          if (!it.exhausted) {
-            var more = true
-            while (more) { m.add(it.curLocal); more = it.next() }
+        val rows = bmIt.toArray
+        val fqRows = rows.filter(_._4 == 2)
+        // fq on a covered column and no bitmap row in this segment =>
+        // no doc here carries the value — the whole segment drops
+        if (hasFq && fqRows.isEmpty) Iterator.empty
+        else {
+          val m = new RoaringBitmap()
+          hitIt.foreach { case (_, post) =>
+            val it = new graft.index.Codec.Iter(post) // allocation-free walk
+            if (!it.exhausted) {
+              var more = true
+              while (more) { m.add(it.curLocal); more = it.next() }
+            }
           }
+          if (hasFq) m.and(Engine.orAll(fqRows.map(_._3)))
+          val values = rows.filter(_._4 == 0)
+          val killRows = rows.filter(_._4 == 1)
+          if (killRows.nonEmpty) m.andNot(Engine.orAll(killRows.map(_._3)))
+          // matching docs covered by NO value bitmap (a range whose docmeta
+          // lacked the column entirely — mixed filter schemas across format
+          // versions) belong to the NULL group, exactly as the docmeta-scan
+          // path counts them (parquet fills the missing column with null)
+          val rest = m.clone()
+          val counted = values.flatMap { case (_, value, bytes, _) =>
+            val vb = graft.index.Bitmaps.deserialize(bytes)
+            val n = RoaringBitmap.andCardinality(m, vb)
+            rest.andNot(vb)
+            if (n > 0) Some((value, n.toLong)) else None
+          }
+          val restN = rest.getLongCardinality
+          (if (restN > 0) counted :+ ((null: String, restN)) else counted).iterator
         }
-        val (values, killRows) = bmIt.toArray.partition(_._4 == 0)
-        if (killRows.nonEmpty) m.andNot(Engine.orAll(killRows.map(_._3)))
-        // matching docs covered by NO value bitmap (a range whose docmeta
-        // lacked the column entirely — mixed filter schemas across format
-        // versions) belong to the NULL group, exactly as the docmeta-scan
-        // path counts them (parquet fills the missing column with null)
-        val rest = m.clone()
-        val counted = values.flatMap { case (_, value, bytes, _) =>
-          val vb = graft.index.Bitmaps.deserialize(bytes)
-          val n = RoaringBitmap.andCardinality(m, vb)
-          rest.andNot(vb)
-          if (n > 0) Some((value, n.toLong)) else None
-        }
-        val restN = rest.getLongCardinality
-        (if (restN > 0) counted :+ ((null: String, restN)) else counted).iterator
       }
     }
       .toDF("value", "n0")
@@ -829,21 +876,154 @@ final class Engine(val index: Index) {
   /** Uncovered-field facet: one postings scan for the match set (distinct
     * doc ids), one semi-join into docmeta, one count per value. `value` is
     * string-cast so both dispatch paths emit ONE schema (the filter store
-    * keys bitmaps by the string form).
+    * keys bitmaps by the string form); the fq compares the string form for
+    * the same reason.
     */
-  private[graft] def facetScan(terms: Seq[(String, Double)], field: String): DataFrame = {
+  /** Distinct doc ids of the Boolean-OR match set (docs containing any of
+    * the terms) — one postings scan, no scoring. Tombstoned docs are NOT
+    * excluded here; consumers joining [[Index.docmeta]] inherit its
+    * exclusion.
+    */
+  private def matchSet(terms: Seq[(String, Double)]): DataFrame = {
     val names = terms.map(_._1).distinct
     val ids = names.map(TermHash.hash)
-    val matching = index.segments
+    index.segments
       .where(col("term_id").isin(ids: _*) && col("term").isin(names: _*))
       .select(col("seg_id"),
         explode(graft.functions.GraftFunctions.graft_postings(col("postings"))).as("p"))
       .select(packedDocId(col("seg_id"), col("p.local")).as("doc_id"))
       .distinct()
-    index.docmeta
-      .join(matching, Seq("doc_id"), "left_semi")
+  }
+
+  private[graft] def facetScan(terms: Seq[(String, Double)], field: String,
+                               docFilter: Option[(String, String)] = None): DataFrame = {
+    val base = index.docmeta.join(matchSet(terms), Seq("doc_id"), "left_semi")
+    val filtered = docFilter match {
+      case Some((c, v)) => base.where(col(c).cast("string") === lit(v))
+      case None => base
+    }
+    filtered
       .groupBy(col(field).cast("string").as("value"))
       .agg(count(lit(1)).as("n"))
+  }
+
+  /** Solr StatsComponent (`stats=true&stats.field=<f>`) over the query's
+    * full Boolean-OR match set: one row (n, min_v, max_v, sum_v, mean_q)
+    * of a numeric docmeta field — the Solr core statistics; mean is
+    * quantized (×10⁶) like every cross-engine double. Plan: the match-set
+    * postings scan semi-joins docmeta once, then a single codegen'd
+    * partial-agg — no doc rows reach the driver, tombstones excluded via
+    * [[Index.docmeta]].
+    */
+  def statsField(terms: Seq[(String, Double)], field: String): DataFrame =
+    index.docmeta.join(matchSet(terms), Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("n"),
+        min(col(field)).cast("long").as("min_v"),
+        max(col(field)).cast("long").as("max_v"),
+        sum(col(field)).cast("long").as("sum_v"),
+        // mean from the exact integer sum with one double division — the
+        // oracle mirrors the op order so rounding cannot diverge
+        round(sum(col(field)).cast("double") * lit(1e6) / count(lit(1)))
+          .cast("long").as("mean_q"))
+
+  /** Solr result grouping / field collapsing
+    * (`group=true&group.field=f&group.limit=m&rows=g`): the top-`groups`
+    * groups ordered by their best doc (score_q DESC, doc_id ASC — a
+    * group's best doc is unique to it, so the order is total), each
+    * carrying its own top-`groupLimit` docs. Output: (group_rank, value,
+    * rank, doc_id, score_q); `rank` is group-relative (1..groupLimit);
+    * docs with no value in the field form the null group, as in Solr.
+    *
+    * Plan: covered field + narrow segments -> segment-local grouped
+    * scorer ([[Wand.scoreSegmentGrouped]]): postings fold into the dense
+    * score array ONCE, each group-value bitmap sweeps its intersection
+    * into a bounded heap of `groupLimit`, and only (value, top-doc) rows
+    * — bounded by values-in-segment × groupLimit — leave the segment
+    * task. The global merge is a keyed bounded heap (map-side partials),
+    * and groups then rank through the SAME TopKAgg over each group's
+    * best doc — no unpartitioned window, no driver-side loop anywhere.
+    * Uncovered fields score-all + join docmeta for the value (one
+    * shuffle of the match set — the facetScan analog, documented cost).
+    */
+  def searchGrouped(terms: Seq[(String, Double)], field: String,
+                    groupLimit: Int = 10, groups: Int = 10,
+                    accuracy: Double = 1.0): DataFrame =
+    searchGroupedVia(terms, field, groupLimit, groups, accuracy,
+      forceScan = false)
+
+  private[graft] def searchGroupedVia(
+      terms: Seq[(String, Double)], field: String, groupLimit: Int,
+      groups: Int, accuracy: Double, forceScan: Boolean): DataFrame = {
+    import spark.implicits._
+    val kept = keptTerms(terms, accuracy)
+    if (kept.isEmpty)
+      return spark.emptyDataset[(Long, String, Long, Long, Long)]
+        .toDF("group_rank", "value", "rank", "doc_id", "score_q")
+    val (n, avgdl) = index.stats
+    val weights = weightsOf(kept, n)
+    val cfg = index.cfg
+    val viaBitmap = !forceScan && index.hasFilters &&
+      index.filterColsComplete.contains(field) &&
+      cfg.segShift <= DenseArraySegShiftMax
+    val perVal: org.apache.spark.sql.Dataset[(String, Scored)] =
+      if (viaBitmap) {
+        val ids = weights.keys.map(TermHash.hash).toSeq
+        val names = weights.keys.toSeq
+        val hits = index.segments
+          .where(col("term_id").isin(ids: _*) && col("term").isin(names: _*))
+          .select("seg_id", "term", "df", "max_tf", "min_dl", "postings")
+          .as[SegHit]
+        val valueRows = index.filters
+          .where(col("fcol") === lit(field))
+          .select(col("seg_id"), col("value"), col("bitmap"), lit(0).as("tag"))
+        val bms = (index.killBitmapsOpt match {
+          case Some(k) => valueRows.unionAll(k.toDF("seg_id", "bitmap")
+            .select(col("seg_id"), lit(null).cast("string").as("value"),
+              col("bitmap"), lit(1).as("tag")))
+          case None => valueRows
+        }).as[(Long, String, Array[Byte], Int)]
+        val wB = spark.sparkContext.broadcast(weights)
+        val gl = groupLimit
+        hits.groupByKey(_.seg_id).cogroup(bms.groupByKey(_._1)) { (seg, hitIt, bmIt) =>
+          val rows = bmIt.toArray
+          val killRows = rows.filter(_._4 == 1)
+          val kill = if (killRows.isEmpty) null else Engine.orAll(killRows.map(_._3))
+          Wand.scoreSegmentGrouped(seg, hitIt,
+            rows.filter(_._4 == 0).map(r => (r._2, r._3)), kill,
+            wB.value, avgdl, gl, cfg)
+        }
+      } else
+        scanScoreAll(weights, avgdl)
+          .join(index.docmeta.select(col("doc_id"),
+            col(field).cast("string").as("gval")), Seq("doc_id"))
+          .select(col("gval"), col("doc_id"), col("score"))
+          .as[(String, Long, Double)]
+          .map { case (v, d, s) => (v, Scored(d, s)) }
+    // per-group global top-groupLimit, best-first within each group.
+    // localCheckpoint: the tiny merged table (≤ field cardinality rows)
+    // feeds BOTH the group-ranking aggregate and the final explode — the
+    // checkpoint stops Spark re-running the whole scoring pass twice
+    // (fault-tolerance trade as in Curation: a lost block fails the query
+    // instead of recomputing — acceptable for an interactive result set)
+    val merged = perVal.groupByKey(_._1)
+      .agg(new TopKAggStr(groupLimit).toColumn.name("docs"))
+      .localCheckpoint()
+    // group order = TopKAgg over each group's best doc (its head): the
+    // heap's (score_q DESC, docId ASC) IS Solr's group sort by top doc
+    val topBests = merged.map(_._2.head)
+      .select(new TopKAgg(groups).toColumn)
+      .flatMap(_.zipWithIndex.map { case (s, i) => ((i + 1).toLong, s.docId) })
+      .toDF("group_rank", "bdoc")
+    val exploded = merged.flatMap { case (v, docs) =>
+      val bd = docs.head.docId
+      docs.zipWithIndex.map { case (s, i) =>
+        (bd, v, (i + 1).toLong, s.docId, s.scoreQ)
+      }
+    }.toDF("bdoc", "value", "rank", "doc_id", "score_q")
+    exploded.join(broadcast(topBests), Seq("bdoc"))
+      .select(col("group_rank"), col("value"), col("rank"), col("doc_id"),
+        col("score_q"))
+      .orderBy(col("group_rank"), col("rank"))
   }
 
   /** Textual query front-end: parse the reference's `hashes`-verb string
@@ -961,7 +1141,7 @@ object Engine {
   def forDir(spark: SparkSession, sfDir: String): Engine =
     cache.computeIfAbsent(sfDir, { _ =>
       val key = sfDir.replaceAll("[^a-zA-Z0-9.]+", "_")
-      val dir = s"$indexRoot/v4-$key" // bump on index-format changes (v4: per-unit dictionary store)
+      val dir = s"$indexRoot/v5-$key" // bump on index-format changes (v5: repo filter bitmaps)
       val cfg = IndexConfig(segShift = 7, rangeSegsShift = 2)
       val corpus = Corpus.fromDocuments(spark, sfDir)
       IndexBuild.build(spark, corpus, dir, cfg) // resumes/no-ops if committed

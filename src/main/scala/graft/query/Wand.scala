@@ -112,6 +112,21 @@ final class TopKAggKeyed(k: Int)(implicit outEnc: Encoder[Seq[Scored]])
   def outputEncoder: Encoder[Seq[Scored]] = outEnc
 }
 
+/** TopKAgg over string-keyed inputs (grouped-search merge: one bounded
+  * heap per group value, map-side partials like every other heap).
+  */
+final class TopKAggStr(k: Int)(implicit outEnc: Encoder[Seq[Scored]])
+    extends Aggregator[(String, Scored), BoundedTopK, Seq[Scored]] {
+  def zero: BoundedTopK = new BoundedTopK(k)
+  def reduce(b: BoundedTopK, a: (String, Scored)): BoundedTopK = {
+    b.offer(a._2.docId, a._2.score); b
+  }
+  def merge(b1: BoundedTopK, b2: BoundedTopK): BoundedTopK = b1.merge(b2)
+  def finish(r: BoundedTopK): Seq[Scored] = r.sortedBestFirst.toSeq
+  def bufferEncoder: Encoder[BoundedTopK] = Encoders.kryo[BoundedTopK]
+  def outputEncoder: Encoder[Seq[Scored]] = outEnc
+}
+
 /** Block-max WAND top-k over segment files (SURVEY.md §7.5).
   *
   * Per segment (the parallel unit): document-at-a-time traversal of the
@@ -344,6 +359,68 @@ object Wand {
       if (afterCursor(gid, s)) heap.offer(gid, s)
     }
     heap.sortedBestFirst.iterator
+  }
+
+  /** Segment-local grouped top-k (Solr result grouping): score every
+    * matching doc into the dense array ONCE (the [[scoreSegmentDense]]
+    * fill), then each group-value bitmap sweeps its intersection with the
+    * touched set into a bounded heap of `groupLimit` — only (value,
+    * top-doc) rows, bounded by values-in-segment × groupLimit, ever leave
+    * the segment task. Docs under NO value bitmap form the null group
+    * (Solr's missing-value group). `kill`: pre-merged tombstone bitmap or
+    * null — excluded before any heap, as everywhere.
+    */
+  def scoreSegmentGrouped(
+      segId: Long,
+      hits: Iterator[SegHit],
+      valueBms: Array[(String, Array[Byte])],
+      kill: RoaringBitmap,
+      weights: Map[String, Double],
+      avgdl: Double,
+      groupLimit: Int,
+      cfg: IndexConfig): Iterator[(String, Scored)] = {
+    val width = 1 << cfg.segShift
+    var scores: Array[Double] = null // allocated on the first matching list
+    val touched = new RoaringBitmap()
+    hits.foreach { h =>
+      weights.get(h.term).foreach { w =>
+        val it = new Codec.Iter(h.postings)
+        if (!it.exhausted) {
+          if (scores == null) scores = new Array[Double](width)
+          var more = true
+          while (more) {
+            val local = it.curLocal
+            scores(local) += w * Bm25.tfNorm(it.curTf.toDouble, it.curDl.toDouble, avgdl)
+            touched.add(local)
+            more = it.next()
+          }
+        }
+      }
+    }
+    if (scores == null) return Iterator.empty
+    if (kill != null) touched.andNot(kill)
+    if (touched.isEmpty) return Iterator.empty
+    val sc = scores
+    def heapOf(inter: RoaringBitmap): BoundedTopK = {
+      val h = new BoundedTopK(groupLimit)
+      val bi = inter.getIntIterator
+      while (bi.hasNext) { val l = bi.next(); h.offer(cfg.globalOf(segId, l), sc(l)) }
+      h
+    }
+    val rest = touched.clone()
+    // strict (array) evaluation: `rest` must be final before the
+    // null-group heap below reads it
+    val grouped = valueBms.flatMap { case (value, bytes) =>
+      val vb = graft.index.Bitmaps.deserialize(bytes)
+      val inter = RoaringBitmap.and(touched, vb)
+      rest.andNot(vb)
+      if (inter.isEmpty) Array.empty[(String, Scored)]
+      else heapOf(inter).sortedBestFirst.map(s => (value, s))
+    }
+    val nullGroup =
+      if (rest.isEmpty) Iterator.empty
+      else heapOf(rest).sortedBestFirst.iterator.map(s => ((null: String), s))
+    grouped.iterator ++ nullGroup
   }
 
   /** Global bounded-heap merge: Dataset[Scored] -> (rank, doc_id, score_q). */

@@ -151,14 +151,90 @@ object Oracle {
          |SELECT rank, doc_id, score_q FROM ranked
          |WHERE rank > $start AND rank <= ${start + k} ORDER BY rank""".stripMargin)
 
-  /** Facet counts over the full Boolean-OR match set of the terms. */
-  def facetSql(terms: Seq[(String, Double)], field: String): String = {
+  /** Facet counts over the full Boolean-OR match set of the terms,
+    * optionally intersected with an equality fq (Solr: facet counts are
+    * computed over q AND all fq's). The fq compares the STRING form of
+    * the column — the engine's filter bitmaps key values by string.
+    */
+  def facetSql(terms: Seq[(String, Double)], field: String,
+               fq: Option[(String, String)] = None): String = {
     val inList = terms.map(_._1).distinct.map(t => s"'$t'").mkString(", ")
+    val fqPred = fq match {
+      case Some((c, v)) => s"\nWHERE c.$c::VARCHAR = '${v.replace("'", "''")}'"
+      case None => ""
+    }
     withPrelude(
       s"""     , matchset AS (SELECT DISTINCT doc_id FROM post WHERE term IN ($inList))
          |SELECT c.$field AS value, count(*)::BIGINT AS n
-         |FROM corpus c JOIN matchset m ON m.doc_id = c.doc_id
+         |FROM corpus c JOIN matchset m ON m.doc_id = c.doc_id$fqPred
          |GROUP BY 1""".stripMargin)
+  }
+
+  /** Top-`limit` facet values by (count DESC, value ASC), counts below
+    * `mincount` and the null group dropped — Engine.facetTop's twin
+    * (Solr facet.sort=count / facet.limit / facet.mincount,
+    * facet.missing=false).
+    */
+  def facetTopSql(terms: Seq[(String, Double)], field: String,
+                  fq: Option[(String, String)] = None,
+                  mincount: Long = 1, limit: Int = 100): String = {
+    val inList = terms.map(_._1).distinct.map(t => s"'$t'").mkString(", ")
+    val fqPred = fq match {
+      case Some((c, v)) => s"\n  WHERE c.$c::VARCHAR = '${v.replace("'", "''")}'"
+      case None => ""
+    }
+    withPrelude(
+      s"""     , matchset AS (SELECT DISTINCT doc_id FROM post WHERE term IN ($inList)),
+         |fc AS (
+         |  SELECT c.$field::VARCHAR AS value, count(*)::BIGINT AS n
+         |  FROM corpus c JOIN matchset m ON m.doc_id = c.doc_id$fqPred
+         |  GROUP BY 1)
+         |SELECT value, n FROM fc
+         |WHERE value IS NOT NULL AND n >= $mincount
+         |ORDER BY n DESC, value ASC
+         |LIMIT $limit""".stripMargin)
+  }
+
+  /** Solr result-grouping twin (Engine.searchGrouped): top-`groups`
+    * groups ordered by their best doc (score_q DESC, doc_id ASC — the
+    * best doc is unique to its group, so the order is total), each with
+    * its top-`groupLimit` docs; rank is group-relative. Docs with a null
+    * field value form the null group (hence the null-safe join).
+    */
+  def groupedSql(terms: Seq[(String, Double)], field: String,
+                 groupLimit: Int, groups: Int): String =
+    withPrelude(
+      s"""     , ${qFromValues(terms)},
+         |${bm25Body(None)},
+         |wv AS (
+         |  SELECT r.doc_id, r.score_q, c.$field::VARCHAR AS value
+         |  FROM ranked r JOIN corpus c ON c.doc_id = r.doc_id),
+         |grp AS (
+         |  SELECT *, row_number() OVER (PARTITION BY value
+         |    ORDER BY score_q DESC, doc_id ASC) AS rank FROM wv),
+         |best AS (
+         |  SELECT value, doc_id AS bdoc, score_q AS bsq FROM grp WHERE rank = 1),
+         |gr AS (
+         |  SELECT value, row_number() OVER (ORDER BY bsq DESC, bdoc ASC) AS group_rank
+         |  FROM best)
+         |SELECT g.group_rank, w.value, w.rank, w.doc_id, w.score_q
+         |FROM grp w JOIN gr g ON g.value IS NOT DISTINCT FROM w.value
+         |WHERE g.group_rank <= $groups AND w.rank <= $groupLimit
+         |ORDER BY g.group_rank, w.rank""".stripMargin)
+
+  /** Solr StatsComponent twin (Engine.statsField on the dl field): the
+    * prelude's dl table IS the engine's docmeta dl (same MaxDl clamp).
+    */
+  def statsDlSql(terms: Seq[(String, Double)]): String = {
+    val inList = terms.map(_._1).distinct.map(t => s"'$t'").mkString(", ")
+    withPrelude(
+      s"""     , matchset AS (SELECT DISTINCT doc_id FROM post WHERE term IN ($inList))
+         |SELECT count(*)::BIGINT AS n,
+         |       min(dl)::BIGINT AS min_v,
+         |       max(dl)::BIGINT AS max_v,
+         |       sum(dl)::BIGINT AS sum_v,
+         |       CAST(round(sum(dl)::DOUBLE * 1000000.0 / count(*)) AS BIGINT) AS mean_q
+         |FROM dl JOIN matchset USING (doc_id)""".stripMargin)
   }
 
   /** Full top-k query from literal terms. */

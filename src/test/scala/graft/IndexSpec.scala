@@ -294,7 +294,7 @@ class IndexSpec extends SparkSpec {
   test("persisted fq bitmaps: docFilter path == predicate path, no docmeta scan") {
     val idx = engine.index
     assert(idx.hasFilters, "filters side-index missing")
-    assert(idx.filterCols == Set("lang"))
+    assert(idx.filterCols == Set("lang", "repo"))
     val viaBitmap = engine.searchByTerms(SparkEntry.FlagshipTerms, rows = 30,
       docFilter = Some(("lang", "en")))
     val viaPred = engine.searchByTerms(SparkEntry.FlagshipTerms, rows = 30,
@@ -303,11 +303,11 @@ class IndexSpec extends SparkSpec {
     val plan = viaBitmap.queryExecution.executedPlan.toString
     assert(!plan.contains("docmeta"), "bitmap path must not scan docmeta")
     // a column without a persisted bitmap falls back to the predicate path
-    val repo = corpus.select($"repo").as[String].head()
+    val path = corpus.select($"path").as[String].head()
     val f = engine.searchByTerms(SparkEntry.FlagshipTerms, rows = 30,
-      docFilter = Some(("repo", repo))).collect().map(_.toSeq).toSeq
+      docFilter = Some(("path", path))).collect().map(_.toSeq).toSeq
     val g = engine.searchByTerms(SparkEntry.FlagshipTerms, rows = 30,
-      docPred = Some(col("repo") === repo)).collect().map(_.toSeq).toSeq
+      docPred = Some(col("path") === path)).collect().map(_.toSeq).toSeq
     assert(f == g)
   }
 
@@ -398,6 +398,87 @@ class IndexSpec extends SparkSpec {
     val api = m(e.facet(SparkEntry.FlagshipTerms, "lang"))
     val slow = m(e.facetScan(SparkEntry.FlagshipTerms, "lang"))
     assert(api == slow && api.nonEmpty, s"facet diverged on partial coverage: $api vs $slow")
+    // fq search on the partially-covered column must route to the
+    // predicate path (the bitmap path would silently drop the truncated
+    // unit's matches — a segment with no fq bitmap row scores nothing)
+    val viaFq = e.searchByTerms(SparkEntry.FlagshipTerms, rows = 60,
+      docFilter = Some(("lang", "en"))).as[(Long, Long, Long)].collect().toSeq
+    val viaPred = e.searchByTerms(SparkEntry.FlagshipTerms, rows = 60,
+      docPred = Some(col("lang") === lit("en"))).as[(Long, Long, Long)].collect().toSeq
+    assert(viaFq == viaPred && viaFq.nonEmpty,
+      "partial-coverage fq diverged from the predicate ground truth")
+  }
+
+  test("facet composes with fq: bitmap path == scan path, fq constrains") {
+    assert(engine.index.filterColsComplete.contains("repo"),
+      "repo must be a fully-covered filter column (v5 default)")
+    def m(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.as[(String, Long)].collect().toMap
+    val fq = Some(("lang", "en"))
+    val fast = m(engine.facetBitmap(SparkEntry.FlagshipTerms, "repo", fq))
+    val slow = m(engine.facetScan(SparkEntry.FlagshipTerms, "repo", fq))
+    assert(fast == slow && fast.nonEmpty, s"fq facet paths diverge: $fast vs $slow")
+    // the fq really intersects: totals shrink vs the unfiltered facet
+    val all = m(engine.facet(SparkEntry.FlagshipTerms, "repo"))
+    assert(fast.values.sum < all.values.sum, "fq did not constrain the match set")
+    // degenerate self-fq leaves exactly the filtered value
+    val self = m(engine.facet(SparkEntry.FlagshipTerms, "lang", Some(("lang", "en"))))
+    assert(self.keySet == Set("en"))
+  }
+
+  test("facetTop: count-desc/value-asc cutoff with mincount, null group excluded") {
+    val top = engine.facetTop(SparkEntry.FlagshipTerms, "repo", mincount = 2, limit = 3)
+      .as[(String, Long)].collect().toSeq
+    val expected = engine.facet(SparkEntry.FlagshipTerms, "repo")
+      .as[(String, Long)].collect().toSeq
+      .filter(r => r._1 != null && r._2 >= 2)
+      .sortBy(r => (-r._2, r._1)).take(3)
+    assert(top == expected && top.nonEmpty, s"facetTop diverged: $top vs $expected")
+  }
+
+  test("grouped search: bitmap path == scan path == brute-force grouping") {
+    val full = BruteScorer.topK(docs, SparkEntry.FlagshipTerms, docs.size)
+    val repoOf = corpus.select($"doc_id", $"repo").as[(Long, String)].collect().toMap
+    val expected = full.groupBy(s => repoOf(s.docId)).toSeq
+      .map { case (v, ds) => (v, ds.take(3)) }
+      .sortBy { case (_, ds) => (-ds.head.scoreQ, ds.head.docId) }.take(8)
+      .zipWithIndex.flatMap { case ((v, ds), gi) =>
+        ds.zipWithIndex.map { case (s, i) =>
+          ((gi + 1).toLong, v, (i + 1).toLong, s.docId, s.scoreQ)
+        }
+      }
+    val got = engine.searchGrouped(SparkEntry.FlagshipTerms, "repo",
+      groupLimit = 3, groups = 8)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(got == expected, s"grouped diverged from brute:\n$got\nvs\n$expected")
+    val scan = engine.searchGroupedVia(SparkEntry.FlagshipTerms, "repo",
+      groupLimit = 3, groups = 8, accuracy = 1.0, forceScan = true)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(scan == expected, "scan-path grouping diverged from brute")
+  }
+
+  test("statsField(dl) matches brute stats over the match set") {
+    import graft.analyze.Tokenizer
+    val ms = BruteScorer.topK(docs, SparkEntry.FlagshipTerms, docs.size).map(_.docId).toSet
+    val dls = docs.collect { case (id, c) if ms.contains(id) =>
+      math.min(Tokenizer.dlOf(Tokenizer.tokenCountScala(c)), IndexBuild.MaxDl).toLong
+    }
+    val row = engine.statsField(SparkEntry.FlagshipTerms, "dl").collect().head
+    assert(row.getLong(0) == dls.size && row.getLong(1) == dls.min &&
+      row.getLong(2) == dls.max && row.getLong(3) == dls.sum)
+    assert(row.getLong(4) == math.round(dls.sum.toDouble * 1e6 / dls.size))
+  }
+
+  test("grouped merge handles the null group key") {
+    // the scan fallback groups by a docmeta value that CAN be null (Solr's
+    // missing-value group) — pin that the keyed heap merge accepts it
+    val ds = spark.createDataset(Seq(
+      (null: String, graft.query.Scored(1L, 1.0)),
+      ("a", graft.query.Scored(2L, 2.0)),
+      (null: String, graft.query.Scored(3L, 3.0))))
+    val m = ds.groupByKey(_._1)
+      .agg(new graft.query.TopKAggStr(2).toColumn).collect().toMap
+    assert(m(null).map(_.docId) == Seq(3L, 1L) && m("a").map(_.docId) == Seq(2L))
   }
 
   test("cursor paging (search-after): walking pages reproduces the full ranking") {

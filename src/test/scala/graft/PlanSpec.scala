@@ -180,6 +180,19 @@ class PlanSpec extends SparkSpec {
     assert(exec.contains("ObjectHashAggregate"), s"no bounded-heap top-k:\n$exec")
   }
 
+  test("grouped search: keyed heap agg, broadcast group-rank join, no window/cartesian") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = engine.searchGrouped(SparkEntry.FlagshipTerms, "repo",
+      groupLimit = 3, groups = 8)
+    val exec = df.queryExecution.executedPlan
+    val unpartitioned = exec.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    assert(unpartitioned.isEmpty, "grouped search funnels through a single-partition window")
+    val s = exec.toString
+    assert(s.contains("ObjectHashAggregate"), s"no keyed bounded-heap merge:\n$s")
+    assert(s.contains("BroadcastHashJoin"), s"group-rank table not broadcast:\n$s")
+    assert(!s.contains("CartesianProduct"), s"cartesian in grouped plan:\n$s")
+  }
+
   test("two-phase re-rank broadcasts the candidate set (big side never shuffles)") {
     val emb = spark.read.parquet(s"$sfTiny/embeddings.parquet")
     val p = plan(engine.searchRerank(SparkEntry.FlagshipTerms, emb, 42L,
