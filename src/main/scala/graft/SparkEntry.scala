@@ -207,6 +207,15 @@ object SparkEntry {
     // the full match set
     "q_stats_dl" -> ((s, dir) =>
       Engine.forDir(s, dir).statsField(FlagshipTerms, "dl")),
+    // Solr range facet (facet.range=dl, start/end/gap): integer bucket
+    // arithmetic over the match set
+    "q_facet_range" -> ((s, dir) =>
+      Engine.forDir(s, dir).facetRange(FlagshipTerms, "dl",
+        start = 0L, end = 1L << 20, gap = 128L)),
+    // Solr pivot facet (facet.pivot=lang,repo): nested counts, both
+    // levels served from the persisted bitmaps in-segment
+    "q_facet_pivot" -> ((s, dir) =>
+      Engine.forDir(s, dir).facetPivot(FlagshipTerms, "lang", "repo")),
     // fq via the PERSISTED per-segment bitmap side-index (built at index
     // time; no docmeta scan per query)
     "q_wand_filtered" -> ((s, dir) =>
@@ -505,6 +514,8 @@ object SparkEntry {
     "q_facet_top" -> Oracle.facetTopSql(FlagshipTerms, "repo", mincount = 2, limit = 10),
     "q_grouped" -> Oracle.groupedSql(FlagshipTerms, "repo", groupLimit = 3, groups = 8),
     "q_stats_dl" -> Oracle.statsDlSql(FlagshipTerms),
+    "q_facet_range" -> Oracle.facetRangeDlSql(FlagshipTerms, 0L, 1L << 20, 128L),
+    "q_facet_pivot" -> Oracle.facetPivotSql(FlagshipTerms, "lang", "repo"),
     "q_wand_boosted" -> Oracle.bm25TopK(BoostedTerms, 60),
     "q_query_string" -> Oracle.bm25TopK(BoostedTerms, 60),
     "q_wand_filtered" -> Oracle.bm25TopK(FlagshipTerms, 60, Some("lang = 'en'")),

@@ -907,6 +907,118 @@ final class Engine(val index: Index) {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Solr range faceting (`facet.range=<f>` with start/end/gap) over the
+    * query's full match set: one row per non-empty bucket
+    * (bucket_start, n), buckets [start + i·gap, start + (i+1)·gap), docs
+    * outside [start, end) excluded (Solr's before/after counts compose
+    * from the same scan). Bucket assignment is INTEGER arithmetic
+    * (v − ((v − start) % gap)) — a float floor-divide could flip a
+    * boundary bucket between engines. Same plan as [[facetScan]]: one
+    * match-set semi-join, one codegen'd aggregation.
+    */
+  def facetRange(terms: Seq[(String, Double)], field: String,
+                 start: Long, end: Long, gap: Long): DataFrame = {
+    require(gap > 0 && end > start, "facetRange needs gap > 0 and end > start")
+    index.docmeta.join(matchSet(terms), Seq("doc_id"), "left_semi")
+      .where(col(field) >= lit(start) && col(field) < lit(end))
+      .groupBy((col(field) - ((col(field) - lit(start)) % lit(gap)))
+        .cast("long").as("bucket_start"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Solr pivot faceting (`facet.pivot=<f1>,<f2>`): nested counts over
+    * the full match set, flattened to (value, pivot, n) rows — value =
+    * f1's value, pivot = f2's. Fast path (BOTH columns covered by the
+    * filter side-index in every unit): per segment the match bitmap
+    * intersects each f1 value bitmap once, and each non-empty
+    * intersection popcounts against the f2 value bitmaps — emission is
+    * bounded by values-present(f1) × values-present(f2) per segment
+    * (filter columns are low-cardinality by contract) and no doc id ever
+    * leaves its segment. Docs missing either column count into that
+    * level's NULL group, exactly as the docmeta-scan fallback groups
+    * them.
+    */
+  def facetPivot(terms: Seq[(String, Double)], field: String,
+                 pivotField: String): DataFrame =
+    if (index.hasFilters && index.filterColsComplete.contains(field) &&
+        index.filterColsComplete.contains(pivotField))
+      facetPivotBitmap(terms, field, pivotField)
+    else facetPivotScan(terms, field, pivotField)
+
+  private[graft] def facetPivotScan(terms: Seq[(String, Double)],
+                                    field: String,
+                                    pivotField: String): DataFrame =
+    index.docmeta.join(matchSet(terms), Seq("doc_id"), "left_semi")
+      .groupBy(col(field).cast("string").as("value"),
+        col(pivotField).cast("string").as("pivot"))
+      .agg(count(lit(1)).as("n"))
+
+  private[graft] def facetPivotBitmap(terms: Seq[(String, Double)],
+                                      field: String,
+                                      pivotField: String): DataFrame = {
+    import spark.implicits._
+    val names = terms.map(_._1).distinct
+    val ids = names.map(TermHash.hash)
+    val hits = index.segments
+      .where(col("term_id").isin(ids: _*) && col("term").isin(names: _*))
+      .select(col("seg_id"), col("postings")).as[(Long, Array[Byte])]
+    // tag 0 = f1 value rows, 2 = f2 value rows, 1 = kill rows
+    val f1 = index.filters.where(col("fcol") === lit(field))
+      .select(col("seg_id"), col("value"), col("bitmap"), lit(0).as("tag"))
+    val f2 = index.filters.where(col("fcol") === lit(pivotField))
+      .select(col("seg_id"), col("value"), col("bitmap"), lit(2).as("tag"))
+    val bms = (index.killBitmapsOpt match {
+      case Some(k) => f1.unionAll(f2).unionAll(k.toDF("seg_id", "bitmap")
+        .select(col("seg_id"), lit(null).cast("string").as("value"),
+          col("bitmap"), lit(1).as("tag")))
+      case None => f1.unionAll(f2)
+    }).as[(Long, String, Array[Byte], Int)]
+    hits.groupByKey(_._1).cogroup(bms.groupByKey(_._1)) { (_, hitIt, bmIt) =>
+      if (hitIt.isEmpty) Iterator.empty
+      else {
+        val m = new RoaringBitmap()
+        hitIt.foreach { case (_, post) =>
+          val it = new graft.index.Codec.Iter(post)
+          if (!it.exhausted) {
+            var more = true
+            while (more) { m.add(it.curLocal); more = it.next() }
+          }
+        }
+        val rows = bmIt.toArray
+        val killRows = rows.filter(_._4 == 1)
+        if (killRows.nonEmpty) m.andNot(Engine.orAll(killRows.map(_._3)))
+        val v2 = rows.filter(_._4 == 2)
+          .map(r => (r._2, graft.index.Bitmaps.deserialize(r._3)))
+        // one f1 slice = the docs of one (value) cell; each slice then
+        // popcounts against the f2 bitmaps, tracking both NULL rests
+        def cells(v1: String, slice: RoaringBitmap): Iterator[(String, String, Long)] = {
+          val rest2 = slice.clone()
+          val out = v2.flatMap { case (pv, pb) =>
+            val n = RoaringBitmap.andCardinality(slice, pb)
+            rest2.andNot(pb)
+            if (n > 0) Some((v1, pv, n.toLong)) else None
+          }
+          val r2 = rest2.getLongCardinality
+          (if (r2 > 0) out :+ ((v1, null: String, r2)) else out).iterator
+        }
+        val rest1 = m.clone()
+        val level1 = rows.filter(_._4 == 0).iterator.flatMap { case (_, v1, bytes, _) =>
+          val b1 = graft.index.Bitmaps.deserialize(bytes)
+          val slice = RoaringBitmap.and(m, b1)
+          rest1.andNot(b1)
+          if (slice.isEmpty) Iterator.empty else cells(v1, slice)
+        }.toArray // strict: rest1 must be final before the null slice
+        val nullSlice =
+          if (rest1.isEmpty) Iterator.empty
+          else cells(null: String, rest1)
+        level1.iterator ++ nullSlice
+      }
+    }
+      .toDF("value", "pivot", "n0")
+      .groupBy(col("value"), col("pivot"))
+      .agg(sum(col("n0")).as("n"))
+  }
+
   /** Solr StatsComponent (`stats=true&stats.field=<f>`) over the query's
     * full Boolean-OR match set: one row (n, min_v, max_v, sum_v, mean_q)
     * of a numeric docmeta field — the Solr core statistics; mean is

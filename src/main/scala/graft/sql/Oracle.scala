@@ -222,6 +222,33 @@ object Oracle {
          |WHERE g.group_rank <= $groups AND w.rank <= $groupLimit
          |ORDER BY g.group_rank, w.rank""".stripMargin)
 
+  /** Solr range-facet twin (Engine.facetRange on the dl field): integer
+    * bucket arithmetic, mirrored op for op.
+    */
+  def facetRangeDlSql(terms: Seq[(String, Double)], start: Long, end: Long,
+                      gap: Long): String = {
+    val inList = terms.map(_._1).distinct.map(t => s"'$t'").mkString(", ")
+    withPrelude(
+      s"""     , matchset AS (SELECT DISTINCT doc_id FROM post WHERE term IN ($inList))
+         |SELECT (dl - ((dl - $start) % $gap))::BIGINT AS bucket_start,
+         |       count(*)::BIGINT AS n
+         |FROM dl JOIN matchset USING (doc_id)
+         |WHERE dl >= $start AND dl < $end
+         |GROUP BY 1""".stripMargin)
+  }
+
+  /** Solr pivot-facet twin (Engine.facetPivot): flattened nested counts. */
+  def facetPivotSql(terms: Seq[(String, Double)], field: String,
+                    pivotField: String): String = {
+    val inList = terms.map(_._1).distinct.map(t => s"'$t'").mkString(", ")
+    withPrelude(
+      s"""     , matchset AS (SELECT DISTINCT doc_id FROM post WHERE term IN ($inList))
+         |SELECT c.$field::VARCHAR AS value, c.$pivotField::VARCHAR AS pivot,
+         |       count(*)::BIGINT AS n
+         |FROM corpus c JOIN matchset m ON m.doc_id = c.doc_id
+         |GROUP BY 1, 2""".stripMargin)
+  }
+
   /** Solr StatsComponent twin (Engine.statsField on the dl field): the
     * prelude's dl table IS the engine's docmeta dl (same MaxDl clamp).
     */

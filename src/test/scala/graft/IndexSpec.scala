@@ -457,6 +457,32 @@ class IndexSpec extends SparkSpec {
     assert(scan == expected, "scan-path grouping diverged from brute")
   }
 
+  test("pivot facet: bitmap path == docmeta-scan path; cells sum to the plain facet") {
+    def m(df: org.apache.spark.sql.DataFrame): Map[(String, String), Long] =
+      df.as[(String, String, Long)].collect().map(r => ((r._1, r._2), r._3)).toMap
+    val fast = m(engine.facetPivotBitmap(SparkEntry.FlagshipTerms, "lang", "repo"))
+    val slow = m(engine.facetPivotScan(SparkEntry.FlagshipTerms, "lang", "repo"))
+    assert(fast == slow && fast.nonEmpty, s"pivot paths diverge: $fast vs $slow")
+    // marginalizing the pivot level reproduces the single-field facet
+    val marginal = fast.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val lang = engine.facet(SparkEntry.FlagshipTerms, "lang")
+      .as[(String, Long)].collect().toMap
+    assert(marginal == lang, "pivot cells do not sum to the lang facet")
+  }
+
+  test("range facet: integer buckets match brute over the match set") {
+    import graft.analyze.Tokenizer
+    val ms = BruteScorer.topK(docs, SparkEntry.FlagshipTerms, docs.size).map(_.docId).toSet
+    val (start, end, gap) = (0L, 1L << 20, 64L)
+    val expected = docs.collect { case (id, c) if ms.contains(id) =>
+      math.min(Tokenizer.dlOf(Tokenizer.tokenCountScala(c)), IndexBuild.MaxDl).toLong
+    }.filter(v => v >= start && v < end)
+      .groupBy(v => v - ((v - start) % gap)).view.mapValues(_.size.toLong).toMap
+    val got = engine.facetRange(SparkEntry.FlagshipTerms, "dl", start, end, gap)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected && got.nonEmpty, s"range facet diverged: $got vs $expected")
+  }
+
   test("statsField(dl) matches brute stats over the match set") {
     import graft.analyze.Tokenizer
     val ms = BruteScorer.topK(docs, SparkEntry.FlagshipTerms, docs.size).map(_.docId).toSet
