@@ -873,12 +873,6 @@ final class Engine(val index: Index) {
       .agg(sum(col("n0")).as("n"))
   }
 
-  /** Uncovered-field facet: one postings scan for the match set (distinct
-    * doc ids), one semi-join into docmeta, one count per value. `value` is
-    * string-cast so both dispatch paths emit ONE schema (the filter store
-    * keys bitmaps by the string form); the fq compares the string form for
-    * the same reason.
-    */
   /** Distinct doc ids of the Boolean-OR match set (docs containing any of
     * the terms) — one postings scan, no scoring. Tombstoned docs are NOT
     * excluded here; consumers joining [[Index.docmeta]] inherit its
@@ -895,6 +889,11 @@ final class Engine(val index: Index) {
       .distinct()
   }
 
+  /** Uncovered-field facet: one match-set semi-join into docmeta, one
+    * count per value. `value` is string-cast so both dispatch paths emit
+    * ONE schema (the filter store keys bitmaps by the string form); the
+    * fq compares the string form for the same reason.
+    */
   private[graft] def facetScan(terms: Seq[(String, Double)], field: String,
                                docFilter: Option[(String, String)] = None): DataFrame = {
     val base = index.docmeta.join(matchSet(terms), Seq("doc_id"), "left_semi")
