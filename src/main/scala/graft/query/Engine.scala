@@ -1054,17 +1054,21 @@ final class Engine(val index: Index) {
     * and groups then rank through the SAME TopKAgg over each group's
     * best doc — no unpartitioned window, no driver-side loop anywhere.
     * Uncovered fields score-all + join docmeta for the value (one
-    * shuffle of the match set — the facetScan analog, documented cost).
+    * shuffle of the match set — the facetScan analog, documented cost);
+    * an arbitrary `docPred` (Solr q+fq+group) takes the same fallback,
+    * with the predicate applied as [[scanScoreAll]]'s docmeta semi-join.
     */
   def searchGrouped(terms: Seq[(String, Double)], field: String,
                     groupLimit: Int = 10, groups: Int = 10,
-                    accuracy: Double = 1.0): DataFrame =
+                    accuracy: Double = 1.0,
+                    docPred: Option[Column] = None): DataFrame =
     searchGroupedVia(terms, field, groupLimit, groups, accuracy,
-      forceScan = false)
+      forceScan = false, docPred)
 
   private[graft] def searchGroupedVia(
       terms: Seq[(String, Double)], field: String, groupLimit: Int,
-      groups: Int, accuracy: Double, forceScan: Boolean): DataFrame = {
+      groups: Int, accuracy: Double, forceScan: Boolean,
+      docPred: Option[Column] = None): DataFrame = {
     import spark.implicits._
     val kept = keptTerms(terms, accuracy)
     if (kept.isEmpty)
@@ -1073,7 +1077,10 @@ final class Engine(val index: Index) {
     val (n, avgdl) = index.stats
     val weights = weightsOf(kept, n)
     val cfg = index.cfg
-    val viaBitmap = !forceScan && index.hasFilters &&
+    // an arbitrary docPred (Solr q+fq+group) routes through the scan
+    // fallback — the bitmap path has no predicate channel and silently
+    // ignoring it would be the P2 bug class all over again
+    val viaBitmap = !forceScan && docPred.isEmpty && index.hasFilters &&
       index.filterColsComplete.contains(field) &&
       cfg.segShift <= DenseArraySegShiftMax
     val perVal: org.apache.spark.sql.Dataset[(String, Scored)] =
@@ -1104,7 +1111,7 @@ final class Engine(val index: Index) {
             wB.value, avgdl, gl, cfg)
         }
       } else
-        scanScoreAll(weights, avgdl)
+        scanScoreAll(weights, avgdl, docPred)
           .join(index.docmeta.select(col("doc_id"),
             col(field).cast("string").as("gval")), Seq("doc_id"))
           .select(col("gval"), col("doc_id"), col("score"))

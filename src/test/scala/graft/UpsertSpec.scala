@@ -312,6 +312,48 @@ class UpsertSpec extends SparkSpec {
       s"exclusion had no effect: $allV vs $before")
   }
 
+  test("fq-facet, pivot facet and grouped search exclude tombstoned docs on every bitmap path") {
+    // the kill bitmaps ride the same cogroups in ALL the bitmap-served
+    // surfaces. Two invariants, matching each surface's nature:
+    //  - score-FREE surfaces (fq-facet, pivot): query-time exclusion ==
+    //    physical removal, counts identical across reclaim;
+    //  - score-CARRYING grouped search: == the all-versions index queried
+    //    with a dead-doc predicate (SAME stale stats — reclaim refreshes
+    //    dfs, so scores legitimately change across compaction, the Lucene
+    //    df-refresh-at-merge semantics the search tests pin).
+    val dir = upserted()
+    val e0 = new Engine(new Index(spark, dir))
+    val fqLang = e0.facet(SparkEntry.FlagshipTerms, "lang")
+      .orderBy(col("n").desc, col("value").asc)
+      .select("value").as[String].head()
+    // grouped: tombstoned bitmap path vs all-versions + predicate
+    val gotGrouped = e0.searchGrouped(SparkEntry.FlagshipTerms, "repo",
+      groupLimit = 3, groups = 8)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    val wantGrouped = engAllV.searchGroupedVia(SparkEntry.FlagshipTerms, "repo",
+      groupLimit = 3, groups = 8, accuracy = 1.0, forceScan = true,
+      docPred = Some(notDeadPred))
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(gotGrouped == wantGrouped && gotGrouped.nonEmpty,
+      s"grouped kill exclusion diverged:\n$gotGrouped\nvs\n$wantGrouped")
+    def facets(e: Engine) =
+      (e.facet(SparkEntry.FlagshipTerms, "repo", Some(("lang", fqLang)))
+        .as[(String, Long)].collect().toMap,
+        e.facetPivot(SparkEntry.FlagshipTerms, "lang", "repo")
+          .as[(String, String, Long)].collect()
+          .map(r => ((r._1, r._2), r._3)).toMap)
+    val before = facets(e0)
+    IndexBuild.compact(spark, dir)
+    val after = facets(new Engine(new Index(spark, dir)))
+    assert(before == after && before._1.nonEmpty && before._2.nonEmpty,
+      s"score-free surfaces diverged across reclaim")
+    // the kills actually mattered: the all-versions pivot counts MORE
+    val allVPivot = engAllV.facetPivot(SparkEntry.FlagshipTerms, "lang", "repo")
+      .as[(String, String, Long)].collect().map(_._3).sum
+    assert(allVPivot > before._2.values.sum,
+      "tombstone exclusion had no effect on the pivot facet")
+  }
+
   test("kill shard of a live loser lands on the OWNING unit after compaction (healing)") {
     // pre-existing duplicate versions of one key in two doc ranges, the
     // ranges compacted into ONE negative unit, then a replayed batch
