@@ -203,6 +203,11 @@ object SparkEntry {
     "q_grouped" -> ((s, dir) =>
       Engine.forDir(s, dir).searchGrouped(FlagshipTerms, "repo",
         groupLimit = 3, groups = 8)),
+    // Solr q+fq+group: the fq bitmap intersects the dense score array's
+    // touched set inside the segment (same cogroup)
+    "q_grouped_filtered" -> ((s, dir) =>
+      Engine.forDir(s, dir).searchGrouped(FlagshipTerms, "repo",
+        groupLimit = 3, groups = 8, docFilter = Some(("lang", "en")))),
     // Solr StatsComponent (stats.field=dl): count/min/max/sum/mean over
     // the full match set
     "q_stats_dl" -> ((s, dir) =>
@@ -513,6 +518,8 @@ object SparkEntry {
     "q_facet_filtered" -> Oracle.facetSql(FlagshipTerms, "repo", Some(("lang", "en"))),
     "q_facet_top" -> Oracle.facetTopSql(FlagshipTerms, "repo", mincount = 2, limit = 10),
     "q_grouped" -> Oracle.groupedSql(FlagshipTerms, "repo", groupLimit = 3, groups = 8),
+    "q_grouped_filtered" -> Oracle.groupedSql(FlagshipTerms, "repo",
+      groupLimit = 3, groups = 8, docPred = Some("lang = 'en'")),
     "q_stats_dl" -> Oracle.statsDlSql(FlagshipTerms),
     "q_facet_range" -> Oracle.facetRangeDlSql(FlagshipTerms, 0L, 1L << 20, 128L),
     "q_facet_pivot" -> Oracle.facetPivotSql(FlagshipTerms, "lang", "repo"),

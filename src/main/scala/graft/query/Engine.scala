@@ -1061,14 +1061,16 @@ final class Engine(val index: Index) {
   def searchGrouped(terms: Seq[(String, Double)], field: String,
                     groupLimit: Int = 10, groups: Int = 10,
                     accuracy: Double = 1.0,
-                    docPred: Option[Column] = None): DataFrame =
+                    docPred: Option[Column] = None,
+                    docFilter: Option[(String, String)] = None): DataFrame =
     searchGroupedVia(terms, field, groupLimit, groups, accuracy,
-      forceScan = false, docPred)
+      forceScan = false, docPred, docFilter)
 
   private[graft] def searchGroupedVia(
       terms: Seq[(String, Double)], field: String, groupLimit: Int,
       groups: Int, accuracy: Double, forceScan: Boolean,
-      docPred: Option[Column] = None): DataFrame = {
+      docPred: Option[Column] = None,
+      docFilter: Option[(String, String)] = None): DataFrame = {
     import spark.implicits._
     val kept = keptTerms(terms, accuracy)
     if (kept.isEmpty)
@@ -1077,10 +1079,20 @@ final class Engine(val index: Index) {
     val (n, avgdl) = index.stats
     val weights = weightsOf(kept, n)
     val cfg = index.cfg
-    // an arbitrary docPred (Solr q+fq+group) routes through the scan
-    // fallback — the bitmap path has no predicate channel and silently
-    // ignoring it would be the P2 bug class all over again
-    val viaBitmap = !forceScan && docPred.isEmpty && index.hasFilters &&
+    // fq resolution mirrors searchByTerms: a sole equality fq on a fully
+    // covered column rides the bitmap cogroup; anything else — an
+    // arbitrary docPred (Solr q+fq+group), a combined pred+fq, or an
+    // uncovered column — becomes a predicate on the scan fallback
+    // (silently ignoring it would be the P2 bug class all over again)
+    val (bitmapFq, pred0) = docFilter match {
+      case Some((c, _)) if docPred.isEmpty &&
+          index.filterColsComplete.contains(c) => (docFilter, None)
+      case Some((c, v)) =>
+        (None, Some(docPred.map(_ && col(c) === lit(v))
+          .getOrElse(col(c) === lit(v))))
+      case None => (None, docPred)
+    }
+    val viaBitmap = !forceScan && pred0.isEmpty && index.hasFilters &&
       index.filterColsComplete.contains(field) &&
       cfg.segShift <= DenseArraySegShiftMax
     val perVal: org.apache.spark.sql.Dataset[(String, Scored)] =
@@ -1094,24 +1106,47 @@ final class Engine(val index: Index) {
         val valueRows = index.filters
           .where(col("fcol") === lit(field))
           .select(col("seg_id"), col("value"), col("bitmap"), lit(0).as("tag"))
+        // tag 3 = fq bitmap rows (sole covered equality fq, as in
+        // searchByTerms) — intersects the touched set inside the segment
+        val withFq = bitmapFq match {
+          case Some((c, v)) => valueRows.unionAll(index.filters
+            .where(col("fcol") === lit(c) && col("value") === lit(v))
+            .select(col("seg_id"), lit(null).cast("string").as("value"),
+              col("bitmap"), lit(3).as("tag")))
+          case None => valueRows
+        }
         val bms = (index.killBitmapsOpt match {
-          case Some(k) => valueRows.unionAll(k.toDF("seg_id", "bitmap")
+          case Some(k) => withFq.unionAll(k.toDF("seg_id", "bitmap")
             .select(col("seg_id"), lit(null).cast("string").as("value"),
               col("bitmap"), lit(1).as("tag")))
-          case None => valueRows
+          case None => withFq
         }).as[(Long, String, Array[Byte], Int)]
         val wB = spark.sparkContext.broadcast(weights)
         val gl = groupLimit
+        val hasFq = bitmapFq.isDefined
         hits.groupByKey(_.seg_id).cogroup(bms.groupByKey(_._1)) { (seg, hitIt, bmIt) =>
           val rows = bmIt.toArray
-          val killRows = rows.filter(_._4 == 1)
-          val kill = if (killRows.isEmpty) null else Engine.orAll(killRows.map(_._3))
-          Wand.scoreSegmentGrouped(seg, hitIt,
-            rows.filter(_._4 == 0).map(r => (r._2, r._3)), kill,
-            wB.value, avgdl, gl, cfg)
+          val fqRows = rows.filter(_._4 == 3)
+          // covered fq with no bitmap row here: no doc in this segment
+          // carries the value — the segment drops
+          if (hasFq && fqRows.isEmpty) Iterator.empty
+          else {
+            val killRows = rows.filter(_._4 == 1)
+            val kill = if (killRows.isEmpty) null else Engine.orAll(killRows.map(_._3))
+            val allow = if (fqRows.isEmpty) null else Engine.orAll(fqRows.map(_._3))
+            Wand.scoreSegmentGrouped(seg, hitIt,
+              rows.filter(_._4 == 0).map(r => (r._2, r._3)), kill, allow,
+              wB.value, avgdl, gl, cfg)
+          }
         }
       } else
-        scanScoreAll(weights, avgdl, docPred)
+        scanScoreAll(weights, avgdl,
+          bitmapFq match {
+            // scan fallback with a covered fq (forceScan / wide segments):
+            // the result-identical predicate form
+            case Some((c, v)) => Some(col(c) === lit(v))
+            case None => pred0
+          })
           .join(index.docmeta.select(col("doc_id"),
             col(field).cast("string").as("gval")), Seq("doc_id"))
           .select(col("gval"), col("doc_id"), col("score"))

@@ -368,13 +368,17 @@ object Wand {
     * top-doc) rows, bounded by values-in-segment × groupLimit, ever leave
     * the segment task. Docs under NO value bitmap form the null group
     * (Solr's missing-value group). `kill`: pre-merged tombstone bitmap or
-    * null — excluded before any heap, as everywhere.
+    * null — excluded before any heap, as everywhere. `allowed`: fq bitmap
+    * or null — intersected with the touched set before any sweep (the
+    * caller drops the whole segment when the fq column is covered but has
+    * no bitmap row here).
     */
   def scoreSegmentGrouped(
       segId: Long,
       hits: Iterator[SegHit],
       valueBms: Array[(String, Array[Byte])],
       kill: RoaringBitmap,
+      allowed: RoaringBitmap,
       weights: Map[String, Double],
       avgdl: Double,
       groupLimit: Int,
@@ -398,6 +402,7 @@ object Wand {
       }
     }
     if (scores == null) return Iterator.empty
+    if (allowed != null) touched.and(allowed)
     if (kill != null) touched.andNot(kill)
     if (touched.isEmpty) return Iterator.empty
     val sc = scores

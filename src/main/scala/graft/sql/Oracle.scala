@@ -202,10 +202,11 @@ object Oracle {
     * field value form the null group (hence the null-safe join).
     */
   def groupedSql(terms: Seq[(String, Double)], field: String,
-                 groupLimit: Int, groups: Int): String =
+                 groupLimit: Int, groups: Int,
+                 docPred: Option[String] = None): String =
     withPrelude(
       s"""     , ${qFromValues(terms)},
-         |${bm25Body(None)},
+         |${bm25Body(docPred)},
          |wv AS (
          |  SELECT r.doc_id, r.score_q, c.$field::VARCHAR AS value
          |  FROM ranked r JOIN corpus c ON c.doc_id = r.doc_id),

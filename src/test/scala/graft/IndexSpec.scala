@@ -455,6 +455,29 @@ class IndexSpec extends SparkSpec {
       groupLimit = 3, groups = 8, accuracy = 1.0, forceScan = true)
       .as[(Long, String, Long, Long, Long)].collect().toSeq
     assert(scan == expected, "scan-path grouping diverged from brute")
+    // q+fq+group: the fq bitmap intersects in-segment; brute = the same
+    // grouping over only the docs passing the filter (scores unchanged —
+    // BM25 does not depend on the filter)
+    val langOf = corpus.select($"doc_id", $"lang").as[(Long, String)].collect().toMap
+    val expectedFq = full.filter(s => langOf(s.docId) == "en")
+      .groupBy(s => repoOf(s.docId)).toSeq
+      .map { case (v, ds) => (v, ds.take(3)) }
+      .sortBy { case (_, ds) => (-ds.head.scoreQ, ds.head.docId) }.take(8)
+      .zipWithIndex.flatMap { case ((v, ds), gi) =>
+        ds.zipWithIndex.map { case (s, i) =>
+          ((gi + 1).toLong, v, (i + 1).toLong, s.docId, s.scoreQ)
+        }
+      }
+    val gotFq = engine.searchGrouped(SparkEntry.FlagshipTerms, "repo",
+      groupLimit = 3, groups = 8, docFilter = Some(("lang", "en")))
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(gotFq == expectedFq && gotFq.nonEmpty,
+      s"fq-grouped diverged from brute:\n$gotFq\nvs\n$expectedFq")
+    val scanFq = engine.searchGroupedVia(SparkEntry.FlagshipTerms, "repo",
+      groupLimit = 3, groups = 8, accuracy = 1.0, forceScan = true,
+      docFilter = Some(("lang", "en")))
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(scanFq == expectedFq, "fq-grouped scan fallback diverged from brute")
   }
 
   test("pivot facet: bitmap path == docmeta-scan path; cells sum to the plain facet") {
