@@ -188,6 +188,8 @@ object Bench {
       "grouped_repo" -> (() => engine.searchGrouped(hotRare, "repo",
         groupLimit = 3, groups = 10).count()),
       "facet_pivot" -> (() => engine.facetPivot(hotRare, "lang", "repo").count()),
+      "grouped_filtered" -> (() => engine.searchGrouped(hotRare, "repo",
+        groupLimit = 3, groups = 10, docFilter = Some(("lang", "py"))).count()),
       "wand_paged_1k" -> (() => engine.searchPage(hotRare, start = 1000, rows = 60).count()),
       "wand_cursor_1k" -> (() => engine.searchAfter(hotRare, cursor1k._1, cursor1k._2,
         rows = 60).count()))
