@@ -407,6 +407,17 @@ class IndexSpec extends SparkSpec {
       docPred = Some(col("lang") === lit("en"))).as[(Long, Long, Long)].collect().toSeq
     assert(viaFq == viaPred && viaFq.nonEmpty,
       "partial-coverage fq diverged from the predicate ground truth")
+    // grouped search on the partially-covered field must take the scan
+    // fallback too (the bitmap path would silently drop the truncated
+    // unit's docs into no group at all)
+    val g1 = e.searchGrouped(SparkEntry.FlagshipTerms, "lang",
+      groupLimit = 2, groups = 4)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    val g2 = e.searchGroupedVia(SparkEntry.FlagshipTerms, "lang",
+      groupLimit = 2, groups = 4, accuracy = 1.0, forceScan = true)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(g1 == g2 && g1.nonEmpty,
+      "partial-coverage grouped search diverged from the scan ground truth")
   }
 
   test("facet composes with fq: bitmap path == scan path, fq constrains") {
