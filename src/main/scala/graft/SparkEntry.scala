@@ -221,6 +221,10 @@ object SparkEntry {
     // levels served from the persisted bitmaps in-segment
     "q_facet_pivot" -> ((s, dir) =>
       Engine.forDir(s, dir).facetPivot(FlagshipTerms, "lang", "repo")),
+    // Solr Terms component (terms.prefix / terms.sort=count): served from
+    // the persisted dictionary store, postings untouched
+    "q_terms_enum" -> ((s, dir) =>
+      Engine.forDir(s, dir).termsEnum("w:li", limit = 20)),
     // fq via the PERSISTED per-segment bitmap side-index (built at index
     // time; no docmeta scan per query)
     "q_wand_filtered" -> ((s, dir) =>
@@ -523,6 +527,7 @@ object SparkEntry {
     "q_stats_dl" -> Oracle.statsDlSql(FlagshipTerms),
     "q_facet_range" -> Oracle.facetRangeDlSql(FlagshipTerms, 0L, 1L << 20, 128L),
     "q_facet_pivot" -> Oracle.facetPivotSql(FlagshipTerms, "lang", "repo"),
+    "q_terms_enum" -> Oracle.termsEnumSql("w:li", limit = 20),
     "q_wand_boosted" -> Oracle.bm25TopK(BoostedTerms, 60),
     "q_query_string" -> Oracle.bm25TopK(BoostedTerms, 60),
     "q_wand_filtered" -> Oracle.bm25TopK(FlagshipTerms, 60, Some("lang = 'en'")),

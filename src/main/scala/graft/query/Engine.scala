@@ -906,6 +906,21 @@ final class Engine(val index: Index) {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Solr Terms component (`/terms?terms.prefix=<p>&terms.limit=<k>`,
+    * default `terms.sort=count`): indexed terms with the given prefix,
+    * ordered (df DESC, term ASC — a total order, deterministic cutoff).
+    * Served entirely from the persisted per-unit dictionary store
+    * ([[Index.dictionary]]) — vocabulary-sized, postings never touched.
+    * Note Lucene terms stats: df counts every version of a doc until
+    * compaction reclaims tombstones (stale-until-merge, as everywhere).
+    */
+  def termsEnum(prefix: String, limit: Int = 10): DataFrame =
+    index.dictionary
+      .where(col("term").startsWith(prefix))
+      .select(col("term"), col("df"))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(limit)
+
   /** Solr range faceting (`facet.range=<f>` with start/end/gap) over the
     * query's full match set: one row per non-empty bucket
     * (bucket_start, n), buckets [start + i·gap, start + (i+1)·gap), docs

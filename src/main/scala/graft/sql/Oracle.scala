@@ -223,6 +223,18 @@ object Oracle {
          |WHERE g.group_rank <= $groups AND w.rank <= $groupLimit
          |ORDER BY g.group_rank, w.rank""".stripMargin)
 
+  /** Solr Terms-component twin (Engine.termsEnum): prefix enumeration
+    * from the dict CTE, (df DESC, term ASC) total order.
+    */
+  def termsEnumSql(prefix: String, limit: Int): String = {
+    val esc = prefix.replace("'", "''").replace("%", "\\%").replace("_", "\\_")
+    withPrelude(
+      s"""SELECT term, df FROM dict
+         |WHERE term LIKE '$esc%' ESCAPE '\\'
+         |ORDER BY df DESC, term ASC
+         |LIMIT $limit""".stripMargin)
+  }
+
   /** Solr range-facet twin (Engine.facetRange on the dl field): integer
     * bucket arithmetic, mirrored op for op.
     */
