@@ -225,6 +225,11 @@ object SparkEntry {
     // the persisted dictionary store, postings untouched
     "q_terms_enum" -> ((s, dir) =>
       Engine.forDir(s, dir).termsEnum("w:li", limit = 20)),
+    // Solr sort param (sort=dl asc): match set ordered by a stored field
+    // instead of relevance — TakeOrdered, never a global sort
+    "q_sort_by_dl" -> ((s, dir) =>
+      Engine.forDir(s, dir).searchSortedBy(FlagshipTerms, "dl",
+        ascending = true, rows = 60)),
     // fq via the PERSISTED per-segment bitmap side-index (built at index
     // time; no docmeta scan per query)
     "q_wand_filtered" -> ((s, dir) =>
@@ -528,6 +533,7 @@ object SparkEntry {
     "q_facet_range" -> Oracle.facetRangeDlSql(FlagshipTerms, 0L, 1L << 20, 128L),
     "q_facet_pivot" -> Oracle.facetPivotSql(FlagshipTerms, "lang", "repo"),
     "q_terms_enum" -> Oracle.termsEnumSql("w:li", limit = 20),
+    "q_sort_by_dl" -> Oracle.sortByDlSql(FlagshipTerms, ascending = true, rows = 60),
     "q_wand_boosted" -> Oracle.bm25TopK(BoostedTerms, 60),
     "q_query_string" -> Oracle.bm25TopK(BoostedTerms, 60),
     "q_wand_filtered" -> Oracle.bm25TopK(FlagshipTerms, 60, Some("lang = 'en'")),

@@ -906,6 +906,27 @@ final class Engine(val index: Index) {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Solr sort param (`sort=<f> asc|desc`): the match set ordered by a
+    * stored docmeta field instead of relevance, doc_id-asc tie (a total
+    * order — deterministic cutoff). Output (rank, doc_id, sort_value);
+    * sort_value is string-cast for one schema across field types, the
+    * ORDER itself runs on the raw column. Plan: match-set semi-join +
+    * TakeOrderedAndProject — per-partition bounded heaps, never a global
+    * sort ([[Wand.topK]]'s shape for score-free orderings).
+    */
+  def searchSortedBy(terms: Seq[(String, Double)], field: String,
+                     ascending: Boolean = true, rows: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = if (ascending) col(field).asc else col(field).desc
+    index.docmeta.join(matchSet(terms), Seq("doc_id"), "left_semi")
+      .orderBy(key, col("doc_id").asc)
+      .limit(rows)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(key, col("doc_id").asc)).cast("long"))
+      .select(col("rank"), col("doc_id"),
+        col(field).cast("string").as("sort_value"))
+  }
+
   /** Solr Terms component (`/terms?terms.prefix=<p>&terms.limit=<k>`,
     * default `terms.sort=count`): indexed terms with the given prefix,
     * ordered (df DESC, term ASC — a total order, deterministic cutoff).

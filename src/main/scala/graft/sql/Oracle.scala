@@ -223,6 +223,20 @@ object Oracle {
          |WHERE g.group_rank <= $groups AND w.rank <= $groupLimit
          |ORDER BY g.group_rank, w.rank""".stripMargin)
 
+  /** Solr sort-param twin (Engine.searchSortedBy on the dl field). */
+  def sortByDlSql(terms: Seq[(String, Double)], ascending: Boolean,
+                  rows: Int): String = {
+    val inList = terms.map(_._1).distinct.map(t => s"'$t'").mkString(", ")
+    val dir = if (ascending) "ASC" else "DESC"
+    withPrelude(
+      s"""     , matchset AS (SELECT DISTINCT doc_id FROM post WHERE term IN ($inList))
+         |SELECT row_number() OVER (ORDER BY dl $dir, doc_id ASC)::BIGINT AS rank,
+         |       doc_id, dl::VARCHAR AS sort_value
+         |FROM dl JOIN matchset USING (doc_id)
+         |ORDER BY dl $dir, doc_id ASC
+         |LIMIT $rows""".stripMargin)
+  }
+
   /** Solr Terms-component twin (Engine.termsEnum): prefix enumeration
     * from the dict CTE, (df DESC, term ASC) total order.
     */
