@@ -230,6 +230,10 @@ object SparkEntry {
     "q_sort_by_dl" -> ((s, dir) =>
       Engine.forDir(s, dir).searchSortedBy(FlagshipTerms, "dl",
         ascending = true, rows = 60)),
+    // Solr SpellCheck (spellcheck.q): popularity-ranked suggestions
+    // within edit distance 2, off the persisted dictionary
+    "q_spellcheck" -> ((s, dir) =>
+      Engine.forDir(s, dir).spellcheck("w:licence", maxEdits = 2, limit = 10)),
     // fq via the PERSISTED per-segment bitmap side-index (built at index
     // time; no docmeta scan per query)
     "q_wand_filtered" -> ((s, dir) =>
@@ -534,6 +538,7 @@ object SparkEntry {
     "q_facet_pivot" -> Oracle.facetPivotSql(FlagshipTerms, "lang", "repo"),
     "q_terms_enum" -> Oracle.termsEnumSql("w:li", limit = 20),
     "q_sort_by_dl" -> Oracle.sortByDlSql(FlagshipTerms, ascending = true, rows = 60),
+    "q_spellcheck" -> Oracle.spellcheckSql("w:licence", maxEdits = 2, limit = 10),
     "q_wand_boosted" -> Oracle.bm25TopK(BoostedTerms, 60),
     "q_query_string" -> Oracle.bm25TopK(BoostedTerms, 60),
     "q_wand_filtered" -> Oracle.bm25TopK(FlagshipTerms, 60, Some("lang = 'en'")),

@@ -906,6 +906,22 @@ final class Engine(val index: Index) {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Solr SpellCheck component (`spellcheck.q=<t>&spellcheck.count=<k>`):
+    * indexed terms within `maxEdits` Levenshtein distance of the input,
+    * most-frequent first (df DESC, term ASC total order) — Solr's
+    * popularity-ranked suggestions. Served from the persisted dictionary
+    * (vocabulary-sized scan; codegen'd levenshtein — the n-gram
+    * pre-filter Solr's FST suggester uses is the documented upgrade if a
+    * 100×-vocabulary ever makes the scan hot).
+    */
+  def spellcheck(term: String, maxEdits: Int = 2, limit: Int = 10): DataFrame =
+    index.dictionary
+      .where(levenshtein(col("term"), lit(term)) <= lit(maxEdits) &&
+        col("term") =!= lit(term))
+      .select(col("term"), col("df"))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(limit)
+
   /** Solr sort param (`sort=<f> asc|desc`): the match set ordered by a
     * stored docmeta field instead of relevance, doc_id-asc tie (a total
     * order — deterministic cutoff). Output (rank, doc_id, sort_value);

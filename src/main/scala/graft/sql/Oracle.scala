@@ -223,6 +223,18 @@ object Oracle {
          |WHERE g.group_rank <= $groups AND w.rank <= $groupLimit
          |ORDER BY g.group_rank, w.rank""".stripMargin)
 
+  /** Solr SpellCheck twin (Engine.spellcheck): DuckDB's levenshtein is
+    * the same unweighted edit distance as Spark's.
+    */
+  def spellcheckSql(term: String, maxEdits: Int, limit: Int): String = {
+    val esc = term.replace("'", "''")
+    withPrelude(
+      s"""SELECT term, df FROM dict
+         |WHERE levenshtein(term, '$esc') <= $maxEdits AND term <> '$esc'
+         |ORDER BY df DESC, term ASC
+         |LIMIT $limit""".stripMargin)
+  }
+
   /** Solr sort-param twin (Engine.searchSortedBy on the dl field). */
   def sortByDlSql(terms: Seq[(String, Double)], ascending: Boolean,
                   rows: Int): String = {
