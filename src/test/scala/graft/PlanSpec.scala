@@ -193,6 +193,28 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"), s"cartesian in grouped plan:\n$s")
   }
 
+  test("terms/spellcheck/sort/stats/range plans: pushdown, bounded top-k, map-side partials") {
+    // terms enumeration: the prefix reaches the (cached) dictionary scan —
+    // InMemoryTableScan carries the StartsWith, no parquet re-read per call
+    val pT = plan(engine.termsEnum("w:li", limit = 20))
+    assert(pT.contains("StartsWith(term") && pT.contains("w:li"),
+      s"prefix not pushed into the dictionary scan:\n$pT")
+    assert(pT.contains("TakeOrderedAndProject"), s"terms not bounded top-k:\n$pT")
+    // sort param: bounded top-k, never a global sort
+    val pS = plan(engine.searchSortedBy(SparkEntry.FlagshipTerms, "dl", ascending = true, rows = 10))
+    assert(pS.contains("TakeOrderedAndProject"), s"sort param not bounded:\n$pS")
+    // spellcheck: bounded top-k over the dictionary
+    val pC = plan(engine.spellcheck("w:licence", maxEdits = 2, limit = 10))
+    assert(pC.contains("TakeOrderedAndProject"), s"spellcheck not bounded:\n$pC")
+    // stats + range facet: partial (map-side) aggregation before the exchange
+    for ((tag, df) <- Seq(
+      "stats" -> engine.statsField(SparkEntry.FlagshipTerms, "dl"),
+      "range" -> engine.facetRange(SparkEntry.FlagshipTerms, "dl", 0L, 1L << 20, 64L))) {
+      val p = plan(df)
+      assert(p.contains("partial"), s"$tag lacks map-side partial agg:\n$p")
+    }
+  }
+
   test("two-phase re-rank broadcasts the candidate set (big side never shuffles)") {
     val emb = spark.read.parquet(s"$sfTiny/embeddings.parquet")
     val p = plan(engine.searchRerank(SparkEntry.FlagshipTerms, emb, 42L,
