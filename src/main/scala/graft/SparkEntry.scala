@@ -234,6 +234,11 @@ object SparkEntry {
     // within edit distance 2, off the persisted dictionary
     "q_spellcheck" -> ((s, dir) =>
       Engine.forDir(s, dir).spellcheck("w:licence", maxEdits = 2, limit = 10)),
+    // Solr highlighting (hl.fl=content): snippet around the first
+    // whole-word token match, field-head fallback for shingle-only hits
+    "q_highlight" -> ((s, dir) =>
+      Engine.forDir(s, dir).highlight(Corpus.fromDocuments(s, dir),
+        FlagshipTerms, rows = 20, width = 80)),
     // fq via the PERSISTED per-segment bitmap side-index (built at index
     // time; no docmeta scan per query)
     "q_wand_filtered" -> ((s, dir) =>
@@ -539,6 +544,7 @@ object SparkEntry {
     "q_terms_enum" -> Oracle.termsEnumSql("w:li", limit = 20),
     "q_sort_by_dl" -> Oracle.sortByDlSql(FlagshipTerms, ascending = true, rows = 60),
     "q_spellcheck" -> Oracle.spellcheckSql("w:licence", maxEdits = 2, limit = 10),
+    "q_highlight" -> Oracle.highlightSql(FlagshipTerms, rows = 20, width = 80),
     "q_wand_boosted" -> Oracle.bm25TopK(BoostedTerms, 60),
     "q_query_string" -> Oracle.bm25TopK(BoostedTerms, 60),
     "q_wand_filtered" -> Oracle.bm25TopK(FlagshipTerms, 60, Some("lang = 'en'")),

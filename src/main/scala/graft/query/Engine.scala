@@ -906,6 +906,38 @@ final class Engine(val index: Index) {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Solr highlighting (`hl=true&hl.fl=content`, snippet form): for each
+    * top-`rows` hit, `width` chars of lower(content) starting 30 chars
+    * before the FIRST occurrence of any whole-word query token.
+    * Shingle-hash terms have no stored-text form, so a doc matched only
+    * through them snippets from the field head — Solr's
+    * `hl.alternateField` fallback. Positions via codegen'd instr/least —
+    * no tokenizer round trip, exactly mirrorable in SQL. Plan: the tiny
+    * hit list broadcasts into ONE pass over the doc store (`corpus` —
+    * content is a stored field of the corpus, not the index, as with
+    * [[searchById]]).
+    */
+  def highlight(corpus: DataFrame, terms: Seq[(String, Double)],
+                rows: Int = 20, width: Int = 80): DataFrame = {
+    val hits = searchByTerms(terms, rows).select(col("rank"), col("doc_id"))
+    val toks = terms.map(_._1).distinct.collect {
+      case t if t.startsWith("w:") =>
+        t.substring(2).toLowerCase(java.util.Locale.ROOT)
+    }
+    val lc = lower(col("content"))
+    val posOf = toks.map(t => when(instr(lc, t) > 0, instr(lc, t)))
+    val firstPos: Column = posOf match {
+      case Seq() => lit(1)
+      case Seq(one) => coalesce(one, lit(1))
+      case many => coalesce(least(many: _*), lit(1))
+    }
+    corpus.join(broadcast(hits), Seq("doc_id"))
+      .select(col("rank"), col("doc_id"),
+        substr(lc, greatest(lit(1), firstPos - lit(30)), lit(width))
+          .as("snippet"))
+      .orderBy(col("rank"))
+  }
+
   /** Solr SpellCheck component (`spellcheck.q=<t>&spellcheck.count=<k>`):
     * indexed terms within `maxEdits` Levenshtein distance of the input,
     * most-frequent first (df DESC, term ASC total order) — Solr's

@@ -223,6 +223,30 @@ object Oracle {
          |WHERE g.group_rank <= $groups AND w.rank <= $groupLimit
          |ORDER BY g.group_rank, w.rank""".stripMargin)
 
+  /** Solr highlighting twin (Engine.highlight): snippet of lower(content)
+    * around the first whole-word token occurrence, field-head fallback.
+    */
+  def highlightSql(terms: Seq[(String, Double)], rows: Int,
+                   width: Int): String = {
+    val toks = terms.map(_._1).distinct.collect {
+      case t if t.startsWith("w:") =>
+        t.substring(2).toLowerCase(java.util.Locale.ROOT).replace("'", "''")
+    }
+    val firstPos =
+      if (toks.isEmpty) "1"
+      else {
+        val ps = toks.map(t => s"NULLIF(instr(lower(c.content), '$t'), 0)")
+        s"coalesce(least(${ps.mkString(", ")}), 1)"
+      }
+    withPrelude(
+      s"""     , ${qFromValues(terms)},
+         |${bm25Body(None)}
+         |SELECT r.rank, r.doc_id,
+         |       substr(lower(c.content), greatest(1, $firstPos - 30), $width) AS snippet
+         |FROM ranked r JOIN corpus c ON c.doc_id = r.doc_id
+         |WHERE r.rank <= $rows ORDER BY r.rank""".stripMargin)
+  }
+
   /** Solr SpellCheck twin (Engine.spellcheck): DuckDB's levenshtein is
     * the same unweighted edit distance as Spark's.
     */
