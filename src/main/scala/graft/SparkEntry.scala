@@ -224,7 +224,7 @@ object SparkEntry {
     // Solr Terms component (terms.prefix / terms.sort=count): served from
     // the persisted dictionary store, postings untouched
     "q_terms_enum" -> ((s, dir) =>
-      Engine.forDir(s, dir).termsEnum("w:li", limit = 20)),
+      Engine.forDir(s, dir).termsEnum("w:s", limit = 20)),
     // Solr sort param (sort=dl asc): match set ordered by a stored field
     // instead of relevance — TakeOrdered, never a global sort
     "q_sort_by_dl" -> ((s, dir) =>
@@ -233,7 +233,7 @@ object SparkEntry {
     // Solr SpellCheck (spellcheck.q): popularity-ranked suggestions
     // within edit distance 2, off the persisted dictionary
     "q_spellcheck" -> ((s, dir) =>
-      Engine.forDir(s, dir).spellcheck("w:licence", maxEdits = 2, limit = 10)),
+      Engine.forDir(s, dir).spellcheck("w:hach", maxEdits = 2, limit = 10)),
     // Solr highlighting (hl.fl=content): snippet around the first
     // whole-word token match, field-head fallback for shingle-only hits
     "q_highlight" -> ((s, dir) =>
@@ -541,9 +541,9 @@ object SparkEntry {
     "q_stats_dl" -> Oracle.statsDlSql(FlagshipTerms),
     "q_facet_range" -> Oracle.facetRangeDlSql(FlagshipTerms, 0L, 1L << 20, 128L),
     "q_facet_pivot" -> Oracle.facetPivotSql(FlagshipTerms, "lang", "repo"),
-    "q_terms_enum" -> Oracle.termsEnumSql("w:li", limit = 20),
+    "q_terms_enum" -> Oracle.termsEnumSql("w:s", limit = 20),
     "q_sort_by_dl" -> Oracle.sortByDlSql(FlagshipTerms, ascending = true, rows = 60),
-    "q_spellcheck" -> Oracle.spellcheckSql("w:licence", maxEdits = 2, limit = 10),
+    "q_spellcheck" -> Oracle.spellcheckSql("w:hach", maxEdits = 2, limit = 10),
     "q_highlight" -> Oracle.highlightSql(FlagshipTerms, rows = 20, width = 80),
     "q_wand_boosted" -> Oracle.bm25TopK(BoostedTerms, 60),
     "q_query_string" -> Oracle.bm25TopK(BoostedTerms, 60),
