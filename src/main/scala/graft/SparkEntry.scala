@@ -63,6 +63,20 @@ object SparkEntry {
     */
   val CursorStart = 100
 
+  /** BooleanQuery gate clauses (Lucene `a +b -c` surface): a scoring MUST,
+    * a MUST_NOT exclusion, and a mixed form over the boosted query.
+    */
+  val BoolMustTerms: Seq[(String, Double)] = Seq("w:window" -> 1.0)
+  val BoolNotTerms: Seq[String] = Seq("w:stream")
+  val BoolMixedMust: Seq[(String, Double)] = Seq("w:join" -> 0.5)
+
+  /** PhraseQuery gates: a bigram phrase (~24 matching docs at sf0.001) and
+    * a trigram (~5) — both present at every SF by the generator's fixed
+    * vocabulary.
+    */
+  val PhraseBigram = "hash join"
+  val PhraseTrigram = "key order sort"
+
   /** Contamination-screen benchmark selector: every 13th doc (shifted by
     * 3) of the base corpus plays the benchmark table; the dup-injected
     * corpus is screened against it with 13-token shingles.
@@ -463,6 +477,28 @@ object SparkEntry {
       e.searchAfter(FlagshipTerms, lastScore, lastDoc, rows = 30)
         .select((col("rank") + CursorStart).as("rank"), col("doc_id"), col("score_q"))
     }),
+    // Lucene BooleanQuery MUST: required term filters AND scores; the
+    // boolean bitmap algebra runs inside the segment cogroup
+    "q_bool_must" -> ((s, dir) =>
+      Engine.forDir(s, dir).searchBool(FlagshipTerms,
+        must = BoolMustTerms, rows = 60)),
+    // BooleanQuery MUST_NOT: prohibited term's postings exclude in-segment
+    "q_bool_not" -> ((s, dir) =>
+      Engine.forDir(s, dir).searchBool(FlagshipTerms,
+        mustNot = BoolNotTerms, rows = 60)),
+    // BooleanQuery mixed: boosted SHOULD + scoring MUST + MUST_NOT
+    "q_bool_mixed" -> ((s, dir) =>
+      Engine.forDir(s, dir).searchBool(BoostedTerms,
+        must = BoolMixedMust, mustNot = BoolNotTerms, rows = 60)),
+    // Lucene PhraseQuery: shingle-index candidates (conjunction leapfrog)
+    // + stored-content verify; tf = phrase frequency, weight = Σ idf
+    "q_phrase" -> ((s, dir) =>
+      Engine.forDir(s, dir).searchPhrase(Corpus.fromDocuments(s, dir),
+        PhraseBigram, rows = 60)),
+    // trigram phrase: two shingle terms + three word terms intersected
+    "q_phrase3" -> ((s, dir) =>
+      Engine.forDir(s, dir).searchPhrase(Corpus.fromDocuments(s, dir),
+        PhraseTrigram, rows = 60)),
     // benchmark-contamination screen: dup-injected corpus vs a benchmark
     // table (every 13th base doc), flagged on any shared 13-token shingle
     "q_contamination" -> ((s, dir) => {
@@ -620,6 +656,11 @@ object SparkEntry {
     "q_search_rerank_missing" -> OracleMl.rerankSql(FlagshipTerms, RerankVecId,
       RerankCands, RerankRows, embPred = Some(s"vec_id % 25 = $RerankMissingPred")),
     "q_wand_cursor" -> Oracle.bm25Page(FlagshipTerms, CursorStart, 30),
+    "q_bool_must" -> Oracle.bm25BoolTopK(FlagshipTerms, BoolMustTerms, Nil, 60),
+    "q_bool_not" -> Oracle.bm25BoolTopK(FlagshipTerms, Nil, BoolNotTerms, 60),
+    "q_bool_mixed" -> Oracle.bm25BoolTopK(BoostedTerms, BoolMixedMust, BoolNotTerms, 60),
+    "q_phrase" -> Oracle.phraseSql(PhraseBigram, 60),
+    "q_phrase3" -> Oracle.phraseSql(PhraseTrigram, 60),
     "q_extract" -> Oracle.extractSql(ExtractContent, extractBudget),
     "q_sha_invariant" -> Oracle.withPrelude(
       "SELECT count(*)::BIGINT AS n_docs, 0::BIGINT AS n_mismatch FROM corpus"),

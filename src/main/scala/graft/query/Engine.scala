@@ -3,7 +3,7 @@ package graft.query
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.roaringbitmap.RoaringBitmap
-import graft.index.{IndexBuild, IndexConfig, TermHash}
+import graft.index.{Codec, IndexBuild, IndexConfig, TermHash}
 import graft.corpus.Corpus
 
 /** Read-side view of a built index (segments + docmeta + manifest). Only
@@ -326,6 +326,27 @@ final class Engine(val index: Index) {
     */
   val DenseArraySegShiftMax = 22
 
+  /** Split the caller's doc filters into (bitmap-served fq, predicate).
+    * An equality fq on a filter-indexed column takes the persisted
+    * per-segment bitmap path (no docmeta scan) — but ONLY when it is the
+    * sole filter (a docFilter combined with an arbitrary docPred routes
+    * through the predicate path with both conditions ANDed — the bitmap
+    * path would silently drop the predicate otherwise) and the column's
+    * bitmaps cover EVERY doc-holding unit (a partially-covered column —
+    * added to filterColumns after some units were built — would silently
+    * drop the uncovered units' matches: a segment with no fq bitmap row
+    * scores nothing).
+    */
+  private def fqSplit(docPred: Option[Column],
+      docFilter: Option[(String, String)]): (Option[(String, String)], Option[Column]) =
+    docFilter match {
+      case Some((c, _)) if docPred.isEmpty && index.filterColsComplete.contains(c) =>
+        (docFilter, None)
+      case Some((c, v)) =>
+        (None, Some(docPred.map(_ && col(c) === lit(v)).getOrElse(col(c) === lit(v))))
+      case None => (None, docPred)
+    }
+
   /** Primary programmatic API (reference `hashes` verb, SURVEY.md §3.2).
     * Returns (rank, doc_id, score_q), k=`rows`.
     *
@@ -350,22 +371,7 @@ final class Engine(val index: Index) {
     if (kept.isEmpty) return Wand.topK(spark, spark.emptyDataset[Scored], rows)
     val (n, avgdl) = index.stats
     val weights = weightsOf(kept, n)
-    // equality fq on a filter-indexed column: the persisted per-segment
-    // bitmap path (no docmeta scan) — but ONLY when it is the sole filter
-    // (a docFilter combined with an arbitrary docPred routes through the
-    // predicate path with both conditions ANDed — the bitmap path would
-    // silently drop the predicate otherwise) and the column's bitmaps
-    // cover EVERY doc-holding unit (a partially-covered column — added to
-    // filterColumns after some units were built — would silently drop the
-    // uncovered units' matches: a segment with no fq bitmap row scores
-    // nothing)
-    val (bitmapFq, pred) = docFilter match {
-      case Some((c, v)) if docPred.isEmpty && index.filterColsComplete.contains(c) =>
-        (docFilter, None)
-      case Some((c, v)) =>
-        (None, Some(docPred.map(_ && col(c) === lit(v)).getOrElse(col(c) === lit(v))))
-      case None => (None, docPred)
-    }
+    val (bitmapFq, pred) = fqSplit(docPred, docFilter)
     // density over DOMINANT terms only (weight within half of the max):
     // a rare high-idf term keeps WAND pruning effective no matter how many
     // corpus-wide terms ride along (see HotScanFraction scaladoc)
@@ -411,6 +417,148 @@ final class Engine(val index: Index) {
     searchByTerms(terms, rows, accuracy, candidates, docPred, docFilter,
       after = Some((afterScoreQ, afterDocId)))
 
+  /** Doc ids containing ALL `terms` (Lucene's ConjunctionDISI) — the
+    * phrase-query phase-1 candidate generator. Per segment, a leapfrog
+    * intersection over the block-skipping posting iterators: the rarest
+    * list leads, hot lists `advanceTo`-skip whole blocks (one header read
+    * per skipped block), tombstones excluded at emission. Only candidate
+    * doc ids ever leave the segment task.
+    */
+  private[graft] def conjunctiveDocs(terms: Seq[String]): org.apache.spark.sql.Dataset[Long] = {
+    val names = terms.distinct
+    val ids = names.map(TermHash.hash)
+    val hits = index.segments
+      .where(col("term_id").isin(ids: _*) && col("term").isin(names: _*))
+      .select("seg_id", "term", "df", "max_tf", "min_dl", "postings")
+      .as[SegHit]
+    val cfg = index.cfg
+    val nTerms = names.size
+    index.killBitmapsOpt match {
+      case None =>
+        hits.groupByKey(_.seg_id).flatMapGroups((seg, it) =>
+          Engine.conjunction(seg, it.toArray, nTerms, cfg, null))
+      case Some(k) =>
+        val segShift = cfg.segShift
+        hits.groupByKey(_.seg_id).cogroup(k.groupByKey(_._1)) { (seg, hitIt, bmIt) =>
+          Engine.conjunction(seg, hitIt.toArray, nTerms, cfg,
+            Engine.flipAllow(bmIt.map(_._2).toSeq, segShift))
+        }
+    }
+  }
+
+  /** Lucene PhraseQuery over the word-term field (the Solr host's
+    * `"exact phrase"` query form), two-phase at index speed WITHOUT
+    * positional postings:
+    *
+    *  - phase 1, candidates: conjunction of the phrase's word terms AND
+    *    its adjacent-bigram shingle terms. The 12-bit shingle index
+    *    ([[graft.analyze.Tokenizer.shingleTerms]] — the reference's
+    *    hashing-as-terms trick, ParallelSolrIndexer.java:242-249) doubles
+    *    as a positional surrogate: a doc where the pair is adjacent
+    *    necessarily holds the pair's shingle term, so the candidate set is
+    *    the true match set plus only 12-bit-collision false positives.
+    *  - phase 2, verify: candidates' stored content re-tokenized, the
+    *    exact phrase frequency counted; collision docs drop out (pf = 0).
+    *
+    * Scoring is Lucene's PhraseQuery under BM25: tf = phrase frequency,
+    * weight = Σ idf(term_i) over phrase POSITIONS (duplicates counted, as
+    * BM25Similarity.idfExplain sums over the query's terms array), the
+    * same tfNorm and quantized tie order as every other route. dl
+    * recomputed from content equals the indexed docmeta dl (2n−1,
+    * MaxDl-clamped) — no side-store join. At 100×: candidates are bounded
+    * by the rarest word/shingle posting list and the stored-field verify
+    * touches candidate rows only (semi-join pruned into the corpus scan).
+    */
+  def searchPhrase(corpus: DataFrame, phrase: String, rows: Int = 60): DataFrame = {
+    val toks = graft.analyze.Tokenizer.tokenizeScala(phrase)
+    require(toks.nonEmpty, "empty phrase")
+    if (toks.length == 1) // Lucene parses a one-word phrase as a TermQuery
+      return searchByTerms(Seq(("w:" + toks(0)) -> 1.0), rows)
+    val words = toks.toSeq.map("w:" + _)
+    val shingles = (0 until toks.length - 1)
+      .map(i => graft.analyze.Tokenizer.shingleTerm(toks(i), toks(i + 1)))
+    val dfs = index.dfOf(words.distinct)
+    if (words.exists(w => dfs.getOrElse(w, 0L) == 0L)) // a phrase term absent from the corpus
+      return Wand.topK(spark, spark.emptyDataset[Scored], rows)
+    val (n, avgdl) = index.stats
+    val idfSum = words.map(w => Bm25.idf(dfs(w).toDouble, n.toDouble)).sum
+    val cand = conjunctiveDocs(words ++ shingles).toDF("doc_id")
+    val k = toks.length
+    val ts = graft.analyze.Tokenizer.tokens(col("content"))
+    val pf = when(size(ts) >= lit(k),
+      size(filter(sequence(lit(1), size(ts) - lit(k - 1)),
+        i => toks.toSeq.zipWithIndex.map { case (w, j) =>
+          element_at(ts, i + lit(j)) === lit(w)
+        }.reduce(_ && _))))
+      .otherwise(lit(0))
+    val dl = least(lit(2) * size(ts) - lit(1), lit(IndexBuild.MaxDl)).cast("double")
+    val scored = corpus
+      .join(cand, Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("docId"), pf.as("pf"), dl.as("dl"))
+      .where(col("pf") > 0)
+      .select(col("docId"),
+        (lit(idfSum) * Bm25.tfNormCol(col("pf").cast("double"), col("dl"),
+          lit(avgdl))).as("score"))
+      .as[Scored]
+    Wand.topK(spark, scored, rows)
+  }
+
+  /** Lucene BooleanQuery semantics — the QueryParser `a +b -c` surface the
+    * reference's Solr host exposes on every text field: a result doc must
+    * contain every `must` term and no `mustNot` term; score = the usual
+    * Σ boost·idf·tfNorm over should ∪ must matches (a MUST clause both
+    * filters and scores, as in Lucene; MUST_NOT never scores;
+    * BooleanWeight's required/prohibited scorer split). The boolean algebra
+    * runs inside the segment task as postings-derived bitmaps folded into
+    * the SAME allow bitmap the fq/kill paths feed the scorer
+    * ([[Engine.boolAllow]]) — doc ids never shuffle for it, and it composes
+    * with fq bitmaps, arbitrary predicates and upsert tombstones.
+    *
+    * Accuracy pruning (T1/T2) applies to the SHOULD terms only — a
+    * required or prohibited clause is never pruned away (pruning one would
+    * change the match SET, not just the score detail; the reference's
+    * accuracy budget likewise only thins its OR-of-hash-terms list,
+    * LireRequestHandler.java:697-740). A MUST term with df=0 empties the
+    * result, as in Lucene. Dense routing applies unchanged; the ultra-wide
+    * columnar fallback instead takes the exhaustive DAAT branch (the
+    * boolean bitmaps live in the DAAT cogroup — rare geometry, documented
+    * trade).
+    */
+  def searchBool(should: Seq[(String, Double)],
+                 must: Seq[(String, Double)] = Nil,
+                 mustNot: Seq[String] = Nil,
+                 rows: Int = 60, accuracy: Double = 1.0,
+                 candidates: Int = 10000,
+                 docPred: Option[Column] = None,
+                 docFilter: Option[(String, String)] = None): DataFrame = {
+    val notSet = mustNot.toSet
+    // a term that is also prohibited can never contribute (every doc
+    // holding it is excluded) — drop it from the scoring sets up front
+    val shouldKept = keptTerms(should.filterNot(t => notSet(t._1)), accuracy)
+    val mustClean = must.filterNot(t => notSet(t._1))
+    val mustDfs = index.dfOf(mustClean.map(_._1).distinct)
+    if (mustClean.exists(t => mustDfs.getOrElse(t._1, 0L) == 0L))
+      return Wand.topK(spark, spark.emptyDataset[Scored], rows) // required term absent from the corpus
+    val mustKept = mustClean.map { case (t, b) => (t, b, mustDfs.getOrElse(t, 0L)) }
+    val kept = shouldKept ++ mustKept
+    if (kept.isEmpty) return Wand.topK(spark, spark.emptyDataset[Scored], rows)
+    val (n, avgdl) = index.stats
+    val weights = weightsOf(kept, n)
+    val mustSet = mustClean.map(_._1).toSet
+    val (bitmapFq, pred) = fqSplit(docPred, docFilter)
+    val dfByTerm: Map[String, Long] =
+      kept.iterator.map { case (t, _, df) => t -> df }.toMap
+    val wantsDense = isDenseQuery(weights, t => dfByTerm.getOrElse(t, 0L), n, rows, candidates)
+    if (wantsDense && index.cfg.segShift <= DenseArraySegShiftMax)
+      daatScore(weights, rows, math.min(candidates, rows), avgdl,
+        useWand = false, pred, bitmapFq, None, dense = true,
+        must = mustSet, mustNot = notSet)
+    else
+      daatScore(weights, rows, math.min(candidates, rows), avgdl,
+        useWand = !wantsDense && accuracy < 0.9, pred, bitmapFq, None,
+        must = mustSet, mustNot = notSet)
+  }
+
   /** Per-segment DAAT path (block-max WAND or exhaustive). `heapSize`:
     * per-segment heap — exact global top-`rows` only needs per-segment
     * top-`rows`; a smaller value reproduces the reference's approximate
@@ -421,12 +569,17 @@ final class Engine(val index: Index) {
       useWand: Boolean, docPred: Option[Column],
       bitmapFq: Option[(String, String)] = None,
       after: Option[(Long, Long)] = None,
-      dense: Boolean = false): DataFrame = {
-    val ids = weights.keys.map(TermHash.hash).toSeq
-    val names = weights.keys.toSeq
+      dense: Boolean = false,
+      must: Set[String] = Set.empty,
+      mustNot: Set[String] = Set.empty): DataFrame = {
+    // MUST_NOT terms ride the same postings scan as the scoring terms (one
+    // extra isin value each) but never reach the scorer — their lists only
+    // feed the per-segment exclusion bitmap in scoreSegQ below
+    val allNames = (weights.keys ++ mustNot).toSeq.distinct
+    val ids = allNames.map(TermHash.hash)
     val (aScore, aDoc) = after.getOrElse((Long.MaxValue, Long.MinValue))
     val hits = index.segments
-      .where(col("term_id").isin(ids: _*) && col("term").isin(names: _*))
+      .where(col("term_id").isin(ids: _*) && col("term").isin(allNames: _*))
       .select("seg_id", "term", "df", "max_tf", "min_dl", "postings")
       .as[SegHit]
     val cfg = index.cfg
@@ -434,13 +587,31 @@ final class Engine(val index: Index) {
     // per-segment scorer: WAND/exhaustive DAAT, or the dense-array
     // accumulator for corpus-blanketing queries (a function VAL so the
     // task closures capture only serializable locals, never the Engine)
-    val scoreSeg: (Long, Iterator[SegHit], RoaringBitmap) => Iterator[Scored] =
+    val scoreSeg0: (Long, Iterator[SegHit], RoaringBitmap) => Iterator[Scored] =
       if (dense)
         (seg, it, allow) =>
           Wand.scoreSegmentDense(seg, it, wB.value, avgdl, heapSize, cfg, allow, aScore, aDoc)
       else
         (seg, it, allow) =>
           Wand.scoreSegment(seg, it, wB.value, avgdl, heapSize, cfg, allow, useWand, aScore, aDoc)
+    // Lucene BooleanQuery algebra in-segment: MUST terms' postings AND into
+    // a required bitmap, MUST_NOT postings OR into an exclusion — folded
+    // into the SAME allow bitmap the fq/kill paths already feed the scorer,
+    // so the boolean filter costs zero extra shuffles and composes with
+    // every other doc filter. Boolean-free queries keep the exact old path.
+    val scoreSeg: (Long, Iterator[SegHit], RoaringBitmap) => Iterator[Scored] =
+      if (must.isEmpty && mustNot.isEmpty) scoreSeg0
+      else {
+        val segShift = cfg.segShift
+        (seg, it, allow0) => {
+          val segRows = it.toArray
+          val allow = Engine.boolAllow(segRows, must, mustNot, allow0, segShift)
+          if (allow != null && allow.isEmpty) Iterator.empty
+          else scoreSeg0(seg,
+            segRows.iterator.filter(r => wB.value.contains(r.term) && !mustNot(r.term)),
+            allow)
+        }
+      }
     // Solr-update tombstones: kill bitmaps ride the SAME per-segment
     // cogroup as the fq bitmaps (tagged rows), so exclusion happens inside
     // the segment task BEFORE any top-k heap — a dead doc can never occupy
@@ -1351,6 +1522,89 @@ object Engine {
   private[query] def flipAllow(bs: Seq[Array[Byte]], segShift: Int): RoaringBitmap =
     if (bs.isEmpty) null
     else RoaringBitmap.flip(orAll(bs), 0L, 1L << segShift)
+
+  /** Set every local id of a posting list into `bm` (full decode — the
+    * boolean-clause lists are walked end to end, as Lucene walks the
+    * prohibited/required iterators).
+    */
+  private[query] def addPostings(bm: RoaringBitmap, postings: Array[Byte]): Unit = {
+    val it = new Codec.Iter(postings)
+    while (!it.exhausted) { bm.add(it.curLocal); it.next() }
+  }
+
+  /** Segment-local leapfrog intersection (Lucene ConjunctionDISI): all
+    * `nTerms` lists positioned at a common doc or advanced past it; the
+    * rarest list leads so hot lists skip whole blocks via `advanceTo`.
+    * Emits global doc ids, tombstone/allow-filtered. Empty when any term
+    * is absent from the segment.
+    */
+  private[query] def conjunction(seg: Long, rows: Array[SegHit], nTerms: Int,
+      cfg: IndexConfig, allow: RoaringBitmap): Iterator[Long] = {
+    val byTerm = rows.groupBy(_.term)
+    if (byTerm.size < nTerms) return Iterator.empty
+    val its: Array[Codec.Iter] = byTerm.valuesIterator.map { rs =>
+      if (rs.length == 1) new Codec.Iter(rs(0).postings)
+      else {
+        // defensive: no build path writes two rows for one (segment, term),
+        // but an OR-merge keeps the leapfrog uniform if one ever appears
+        val bm = new RoaringBitmap()
+        rs.foreach(r => addPostings(bm, r.postings))
+        new Codec.Iter(Codec.encode(bm.toArray.map(l => Codec.Posting(l, 1, 1))))
+      }
+    }.toArray.sortBy(_.numEntries)
+    if (its.exists(_.numEntries == 0)) return Iterator.empty
+    val out = Array.newBuilder[Long]
+    var live = true
+    while (live) {
+      var target = its(0).curLocal
+      var settled = false
+      while (!settled && live) {
+        settled = true
+        var i = 0
+        while (i < its.length && live) {
+          if (!its(i).advanceTo(target)) live = false
+          else if (its(i).curLocal > target) { target = its(i).curLocal; settled = false }
+          i += 1
+        }
+      }
+      if (live) {
+        if (allow == null || allow.contains(target)) out += cfg.globalOf(seg, target)
+        if (!its(0).next()) live = false
+      }
+    }
+    out.result().iterator
+  }
+
+  /** Fold Lucene BooleanQuery clauses into a segment's allow bitmap:
+    * required = AND over the MUST terms' postings (a MUST term absent from
+    * the segment empties it — every doc there lacks the term), exclusion =
+    * OR over the MUST_NOT postings. Composes with the incoming fq/kill
+    * `allow0` (null = unconstrained; mutation is safe — each cogroup call
+    * builds its bitmaps fresh). Returns null only when unconstrained.
+    */
+  private[query] def boolAllow(rows: Array[SegHit], must: Set[String],
+      mustNot: Set[String], allow0: RoaringBitmap, segShift: Int): RoaringBitmap = {
+    var allow = allow0
+    if (must.nonEmpty) {
+      val mustRows = rows.filter(r => must(r.term))
+      if (mustRows.iterator.map(_.term).toSet.size < must.size)
+        return new RoaringBitmap() // a required term has no postings here
+      must.foreach { t =>
+        val bm = new RoaringBitmap()
+        mustRows.iterator.filter(_.term == t).foreach(r => addPostings(bm, r.postings))
+        if (allow == null) allow = bm else allow.and(bm)
+      }
+    }
+    if (mustNot.nonEmpty) {
+      val excl = new RoaringBitmap()
+      rows.iterator.filter(r => mustNot(r.term)).foreach(r => addPostings(excl, r.postings))
+      if (!excl.isEmpty) {
+        if (allow == null) allow = RoaringBitmap.flip(excl, 0L, 1L << segShift)
+        else allow.andNot(excl)
+      }
+    }
+    allow
+  }
 
   /** "t1 t2^0.83" -> Seq(("t1", 1.0), ("t2", 0.83)). A trailing `^boost`
     * must parse as a double; otherwise the token is taken verbatim with

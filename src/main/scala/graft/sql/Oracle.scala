@@ -116,11 +116,11 @@ object Oracle {
     * `docPred`: extra predicate over corpus columns (the reference's fq
     * filter-query intersection, LireRequestHandler.java:555).
     */
-  def bm25Body(docPred: Option[String] = None): String = {
-    val filterJoin = docPred match {
+  def bm25Body(docPred: Option[String] = None, extraClauses: String = ""): String = {
+    val filterJoin = (docPred match {
       case Some(p) => s"\n  AND p.doc_id IN (SELECT doc_id FROM corpus WHERE $p)"
       case None => ""
-    }
+    }) + extraClauses
     s"""scored AS (
        |  SELECT p.doc_id,
        |         sum(q.boost * ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
@@ -333,6 +333,74 @@ object Oracle {
       s"""     , ${qFromValues(terms)},
          |${bm25Body(docPred)}
          |${topKSelect(k)}""".stripMargin)
+
+  /** Lucene BooleanQuery clause predicates over `post`: every MUST term's
+    * doc set intersected, the MUST_NOT union excluded (mirrors
+    * Engine.boolAllow's required-AND / exclusion-OR bitmap algebra).
+    */
+  def boolClauses(must: Seq[String], mustNot: Seq[String]): String = {
+    val m = must.distinct.map(t =>
+      s"\n  AND p.doc_id IN (SELECT doc_id FROM post WHERE term = '$t')").mkString
+    val n =
+      if (mustNot.isEmpty) ""
+      else {
+        val vals = mustNot.distinct.map(t => s"'$t'").mkString(", ")
+        s"\n  AND p.doc_id NOT IN (SELECT doc_id FROM post WHERE term IN ($vals))"
+      }
+    m + n
+  }
+
+  /** BooleanQuery top-k: q = should ∪ must (a MUST clause scores too —
+    * duplicate q rows for one term sum their boosts via the scored join,
+    * exactly as Engine.weightsOf sums them); mustNot only excludes.
+    */
+  def bm25BoolTopK(should: Seq[(String, Double)], must: Seq[(String, Double)],
+                   mustNot: Seq[String], k: Int): String =
+    withPrelude(
+      s"""     , ${qFromValues(should.filterNot(t => mustNot.contains(t._1)) ++ must)},
+         |${bm25Body(None, boolClauses(must.map(_._1), mustNot))}
+         |${topKSelect(k)}""".stripMargin)
+
+  /** Lucene PhraseQuery oracle: phrase frequency counted positionally over
+    * the token arrays (list lambda — no positional index needed in SQL),
+    * weight = Σ idf over phrase positions (duplicates counted), tf = pf,
+    * same tfNorm/quantization/tie order as bm25Body. A phrase word missing
+    * from the dictionary empties the result (n_terms < n_q guard), exactly
+    * as Engine.searchPhrase returns empty on a df=0 word.
+    */
+  def phraseSql(phrase: String, k: Int): String = {
+    val toks = graft.analyze.Tokenizer.tokenizeScala(phrase)
+    require(toks.length >= 2, "phraseSql mirrors the multi-token form")
+    val kTok = toks.length
+    val conds = toks.zipWithIndex
+      .map { case (w, j) => s"ts[i + $j] = '$w'" }.mkString(" AND ")
+    val pwVals = toks.map(t => s"('w:$t')").mkString(", ")
+    withPrelude(
+      s"""     , pw(term) AS (SELECT * FROM (VALUES $pwVals) v(term)),
+         |idfs AS (
+         |  SELECT sum(ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5)))::DOUBLE AS idf_sum,
+         |         count(*)::BIGINT AS n_terms,
+         |         (SELECT count(*) FROM pw)::BIGINT AS n_q
+         |  FROM pw JOIN dict f ON f.term = pw.term CROSS JOIN stats s),
+         |pf AS (
+         |  SELECT t.doc_id,
+         |         (CASE WHEN len(ts) >= $kTok
+         |               THEN len(list_filter(generate_series(1, len(ts) - ${kTok - 1}), i -> $conds))
+         |               ELSE 0 END)::BIGINT AS pf
+         |  FROM toks t),
+         |pscored AS (
+         |  SELECT p.doc_id,
+         |         i.idf_sum * (p.pf * 2.2 / (p.pf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS score
+         |  FROM pf p JOIN dl d USING (doc_id) CROSS JOIN stats s CROSS JOIN idfs i
+         |  WHERE p.pf > 0 AND i.n_terms = i.n_q),
+         |ranked AS (
+         |  SELECT doc_id,
+         |         CAST(round(score * 1000000.0) AS BIGINT) AS score_q,
+         |         row_number() OVER (
+         |           ORDER BY CAST(round(score * 1000000.0) AS BIGINT) DESC, doc_id ASC) AS rank
+         |  FROM pscored)
+         |SELECT rank, doc_id, score_q FROM ranked WHERE rank <= $k ORDER BY rank""".stripMargin)
+  }
 
   /** Top-k where the query terms first pass the pruning rule. */
   def bm25TopKPruned(terms: Seq[(String, Double)], budget: Int, k: Int): String =

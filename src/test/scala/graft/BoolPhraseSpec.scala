@@ -1,0 +1,180 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analyze.Tokenizer
+import graft.corpus.Corpus
+import graft.index.IndexBuild
+import graft.query.{Bm25, BruteScorer, Engine}
+
+/** Lucene BooleanQuery (MUST/MUST_NOT) and PhraseQuery semantics vs a
+  * plain-Scala brute reference over the tiny corpus.
+  */
+class BoolPhraseSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val engine = Engine.forDir(spark, sfTiny)
+  lazy val corpus = Corpus.fromDocuments(spark, sfTiny).cache()
+  lazy val docs: Seq[(Long, String)] =
+    corpus.select($"doc_id", $"content").as[(Long, String)].collect().toSeq
+  lazy val termSets: Map[Long, Set[String]] =
+    docs.map { case (id, c) => id -> Tokenizer.termsScala(c).toSet }.toMap
+
+  /** Brute BooleanQuery: global-stats BM25 over should ∪ must (prohibited
+    * should terms dropped), then the match-set filter.
+    */
+  private def bruteBool(should: Seq[(String, Double)], must: Seq[(String, Double)],
+      mustNot: Seq[String], k: Int): Seq[BruteScorer.Scored] = {
+    val notSet = mustNot.toSet
+    val qTerms = should.filterNot(t => notSet(t._1)) ++ must
+    BruteScorer.topK(docs, qTerms, Int.MaxValue)
+      .filter { s =>
+        val ts = termSets(s.docId)
+        must.forall(m => ts(m._1)) && !mustNot.exists(ts)
+      }.take(k)
+  }
+
+  private def checkBool(should: Seq[(String, Double)], must: Seq[(String, Double)],
+      mustNot: Seq[String], k: Int): Unit = {
+    val got = engine.searchBool(should, must, mustNot, rows = k)
+      .as[(Long, Long, Long)].collect().toSeq
+    val exp = bruteBool(should, must, mustNot, k)
+    assert(got.map(_._2) == exp.map(_.docId), "doc order")
+    assert(got.map(_._3) == exp.map(_.scoreQ), "scores")
+  }
+
+  test("MUST term filters AND scores (Lucene BooleanWeight semantics)") {
+    checkBool(SparkEntry.FlagshipTerms, Seq("w:window" -> 1.0), Nil, 60)
+    // required-only query (no should clauses)
+    checkBool(Nil, Seq("w:window" -> 1.0, "w:dup" -> 1.0), Nil, 60)
+  }
+
+  test("MUST_NOT excludes every doc holding the term and never scores") {
+    val got = engine.searchBool(SparkEntry.FlagshipTerms, Nil, Seq("w:stream"), rows = 60)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    got.foreach { case (_, id, _) =>
+      assert(!termSets(id)("w:stream"), s"doc $id holds the prohibited term")
+    }
+    checkBool(SparkEntry.FlagshipTerms, Nil, Seq("w:stream"), 60)
+  }
+
+  test("mixed clauses with boosts; a should term that is also prohibited is dropped") {
+    // BoostedTerms contains w:stream^0.33 — prohibited below, so it must
+    // contribute nothing to surviving docs' scores
+    checkBool(SparkEntry.BoostedTerms, Seq("w:join" -> 0.5), Seq("w:stream"), 60)
+  }
+
+  test("boolean clauses compose with fq and with each other") {
+    val enDocs = corpus.where($"lang" === "en").select($"doc_id").as[Long].collect().toSet
+    val exp = bruteBool(SparkEntry.FlagshipTerms, Seq("w:window" -> 1.0),
+      Seq("w:stream"), Int.MaxValue).filter(s => enDocs.contains(s.docId)).take(40)
+    for (filt <- Seq(
+        engine.searchBool(SparkEntry.FlagshipTerms, Seq("w:window" -> 1.0),
+          Seq("w:stream"), rows = 40, docFilter = Some(("lang", "en"))),
+        engine.searchBool(SparkEntry.FlagshipTerms, Seq("w:window" -> 1.0),
+          Seq("w:stream"), rows = 40, docPred = Some(col("lang") === "en")))) {
+      val got = filt.as[(Long, Long, Long)].collect().toSeq
+      assert(got.map(_._2) == exp.map(_.docId))
+      assert(got.map(_._3) == exp.map(_.scoreQ))
+    }
+  }
+
+  test("a MUST term with df=0 empties the result; empty clauses = plain search") {
+    assert(engine.searchBool(SparkEntry.FlagshipTerms,
+      Seq("w:zzznosuch" -> 1.0), Nil, rows = 60).count() == 0)
+    val plain = engine.searchByTerms(SparkEntry.FlagshipTerms, rows = 60)
+      .collect().map(_.toSeq).toSeq
+    val bool = engine.searchBool(SparkEntry.FlagshipTerms, Nil, Nil, rows = 60)
+      .collect().map(_.toSeq).toSeq
+    assert(bool == plain)
+  }
+
+  test("boolean clauses on the dense-array route stay rank-identical") {
+    val hotTerms = engine.index.dictionary
+      .orderBy($"df".desc, $"term".asc).limit(3)
+      .select($"term").as[String].collect().toSeq.map(_ -> 1.0)
+    assert(engine.routesDense(hotTerms, rows = 30), "precondition: hot query routes dense")
+    checkBool(hotTerms, Seq("w:window" -> 1.0), Seq("w:dup"), 30)
+  }
+
+  // ------------------------------------------------------------------
+  // PhraseQuery
+  // ------------------------------------------------------------------
+
+  /** Brute PhraseQuery: tf = positional phrase count, weight = Σ idf over
+    * phrase positions, global BruteScorer-style stats.
+    */
+  private def brutePhrase(phrase: String, k: Int): Seq[BruteScorer.Scored] = {
+    val toks = Tokenizer.tokenizeScala(phrase)
+    val words = toks.map("w:" + _)
+    val nonEmpty = docs.filter(d => Tokenizer.tokenCountScala(d._2) > 0)
+    val n = nonEmpty.size.toDouble
+    val dls = nonEmpty.map { case (id, c) =>
+      id -> math.min(Tokenizer.dlOf(Tokenizer.tokenCountScala(c)), IndexBuild.MaxDl).toDouble
+    }.toMap
+    val avgdl = dls.values.sum / n
+    val df: Map[String, Int] =
+      words.distinct.map(w => w -> docs.count(d => termSets(d._1)(w))).toMap
+    if (words.exists(w => df(w) == 0)) return Nil
+    val idfSum = words.map(w => Bm25.idf(df(w).toDouble, n)).sum
+    nonEmpty.flatMap { case (id, c) =>
+      val ts = Tokenizer.tokenizeScala(c)
+      val pf = (0 to ts.length - toks.length)
+        .count(i => toks.indices.forall(j => ts(i + j) == toks(j)))
+      if (pf > 0) Some(BruteScorer.Scored(id, idfSum * Bm25.tfNorm(pf.toDouble, dls(id), avgdl)))
+      else None
+    }.sortBy(s => (-s.scoreQ, s.docId)).take(k)
+  }
+
+  private def checkPhrase(phrase: String, k: Int): Unit = {
+    val got = engine.searchPhrase(corpus, phrase, rows = k)
+      .as[(Long, Long, Long)].collect().toSeq
+    val exp = brutePhrase(phrase, k)
+    assert(got.map(_._2) == exp.map(_.docId), s"'$phrase' doc order")
+    assert(got.map(_._3) == exp.map(_.scoreQ), s"'$phrase' scores")
+  }
+
+  test("phrase query rank-identical to brute positional scorer") {
+    checkPhrase(SparkEntry.PhraseBigram, 60)
+    checkPhrase(SparkEntry.PhraseTrigram, 60)
+    checkPhrase("batch batch", 60) // self-adjacent token: overlapping windows count
+  }
+
+  test("phrase verify removes every shingle-collision false positive") {
+    val toks = Tokenizer.tokenizeScala(SparkEntry.PhraseBigram)
+    val got = engine.searchPhrase(corpus, SparkEntry.PhraseBigram, rows = 10000)
+      .select($"doc_id").as[Long].collect().toSet
+    val truth = docs.filter { case (_, c) =>
+      val ts = Tokenizer.tokenizeScala(c)
+      (0 to ts.length - toks.length).exists(i => toks.indices.forall(j => ts(i + j) == toks(j)))
+    }.map(_._1).toSet
+    assert(got == truth, "phrase match set must be exact (no collision FPs, no misses)")
+  }
+
+  test("conjunctive candidate generator equals the brute AND of term doc sets") {
+    val terms = Seq("w:hash", "w:join", "w:window")
+    val got = engine.conjunctiveDocs(terms).collect().toSet
+    val exp = docs.filter(d => terms.forall(termSets(d._1))).map(_._1).toSet
+    assert(got == exp)
+    // a term with no postings empties the conjunction
+    assert(engine.conjunctiveDocs(Seq("w:hash", "w:zzznosuch")).collect().isEmpty)
+  }
+
+  test("one-word phrase degrades to the TermQuery it is in Lucene") {
+    val a = engine.searchPhrase(corpus, "window", rows = 30).collect().map(_.toSeq).toSeq
+    val b = engine.searchByTerms(Seq("w:window" -> 1.0), rows = 30).collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("phrase absent from the corpus returns empty (df=0 word / never-adjacent pair)") {
+    assert(engine.searchPhrase(corpus, "zzznosuch join", rows = 10).count() == 0)
+    // both words exist; the exact adjacency does not have to
+    val never = engine.searchPhrase(corpus, "the the the the the the the the", rows = 10)
+    val toks = Array.fill(8)("the")
+    val truth = docs.count { case (_, c) =>
+      val ts = Tokenizer.tokenizeScala(c)
+      (0 to ts.length - 8).exists(i => (0 until 8).forall(j => ts(i + j) == "the"))
+    }
+    assert(never.count() == truth)
+  }
+}
