@@ -77,6 +77,21 @@ object SparkEntry {
   val PhraseBigram = "hash join"
   val PhraseTrigram = "key order sort"
 
+  /** PrefixQuery gate: "w:s" matches many word terms — the cap (10 of
+    * them) exercises the deterministic top-terms rewrite order. FuzzyQuery
+    * gate: "w:hach" sits at distance 1-2 from several indexed words.
+    */
+  val PrefixQ = "w:s"
+  val PrefixMaxExpansions = 10
+  val FuzzyQ = "w:hach"
+  val FuzzyMaxEdits = 2
+  val FuzzyMaxExpansions = 8
+
+  /** Full-parser gate: MUST phrase + boosted SHOULD term + MUST_NOT +
+    * prefix rewrite + fuzzy rewrite in ONE query string.
+    */
+  val ParsedMixedQuery = "+\"hash join\" w:window^2 -w:stream w:sm*^0.5 w:hach~1"
+
   /** Contamination-screen benchmark selector: every 13th doc (shifted by
     * 3) of the base corpus plays the benchmark table; the dup-injected
     * corpus is screened against it with 13-token shingles.
@@ -490,6 +505,22 @@ object SparkEntry {
     "q_bool_mixed" -> ((s, dir) =>
       Engine.forDir(s, dir).searchBool(BoostedTerms,
         must = BoolMixedMust, mustNot = BoolNotTerms, rows = 60)),
+    // Lucene PrefixQuery (pref*): top-terms scoring-Boolean rewrite off
+    // the persisted dictionary, capped + deterministic, then OR search
+    "q_prefix_search" -> ((s, dir) =>
+      Engine.forDir(s, dir).searchPrefix(PrefixQ,
+        rows = 60, maxExpansions = PrefixMaxExpansions)),
+    // Lucene FuzzyQuery (term~2): distance-decayed boosts 1/(1+d),
+    // (dist, df desc, term) capped expansion, then OR search
+    "q_fuzzy_search" -> ((s, dir) =>
+      Engine.forDir(s, dir).searchFuzzy(FuzzyQ, maxEdits = FuzzyMaxEdits,
+        rows = 60, maxExpansions = FuzzyMaxExpansions)),
+    // the full Lucene QueryParser surface in one string: MUST phrase +
+    // boosted term + MUST_NOT + prefix rewrite + fuzzy rewrite, scores
+    // composed the way BooleanQuery sums subscorers
+    "q_parsed_mixed" -> ((s, dir) =>
+      Engine.forDir(s, dir).searchParsed(Corpus.fromDocuments(s, dir),
+        ParsedMixedQuery, rows = 60)),
     // Lucene PhraseQuery: shingle-index candidates (conjunction leapfrog)
     // + stored-content verify; tf = phrase frequency, weight = Σ idf
     "q_phrase" -> ((s, dir) =>
@@ -661,6 +692,11 @@ object SparkEntry {
     "q_bool_mixed" -> Oracle.bm25BoolTopK(BoostedTerms, BoolMixedMust, BoolNotTerms, 60),
     "q_phrase" -> Oracle.phraseSql(PhraseBigram, 60),
     "q_phrase3" -> Oracle.phraseSql(PhraseTrigram, 60),
+    "q_prefix_search" -> Oracle.prefixSql(PrefixQ, PrefixMaxExpansions, 60),
+    "q_fuzzy_search" -> Oracle.fuzzySql(FuzzyQ, FuzzyMaxEdits, FuzzyMaxExpansions, 60),
+    "q_parsed_mixed" -> Oracle.parsedMixedSql("hash join",
+      Seq("w:window" -> 2.0), "w:sm", 0.5, "w:hach", 1, 1.0,
+      50, Seq("w:stream"), 60),
     "q_extract" -> Oracle.extractSql(ExtractContent, extractBudget),
     "q_sha_invariant" -> Oracle.withPrelude(
       "SELECT count(*)::BIGINT AS n_docs, 0::BIGINT AS n_mismatch FROM corpus"),

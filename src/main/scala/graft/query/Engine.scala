@@ -474,12 +474,21 @@ final class Engine(val index: Index) {
     require(toks.nonEmpty, "empty phrase")
     if (toks.length == 1) // Lucene parses a one-word phrase as a TermQuery
       return searchByTerms(Seq(("w:" + toks(0)) -> 1.0), rows)
+    Wand.topK(spark, phraseScores(corpus, toks, 1.0), rows)
+  }
+
+  /** All (docId, score) phrase contributions, pre-top-k — the phase-1 +
+    * verify pipeline of [[searchPhrase]], reused by the parsed-query score
+    * composition. Empty when a phrase word is unindexed.
+    */
+  private[graft] def phraseScores(corpus: DataFrame, toks: Array[String],
+      boost: Double): org.apache.spark.sql.Dataset[Scored] = {
     val words = toks.toSeq.map("w:" + _)
     val shingles = (0 until toks.length - 1)
       .map(i => graft.analyze.Tokenizer.shingleTerm(toks(i), toks(i + 1)))
     val dfs = index.dfOf(words.distinct)
     if (words.exists(w => dfs.getOrElse(w, 0L) == 0L)) // a phrase term absent from the corpus
-      return Wand.topK(spark, spark.emptyDataset[Scored], rows)
+      return spark.emptyDataset[Scored]
     val (n, avgdl) = index.stats
     val idfSum = words.map(w => Bm25.idf(dfs(w).toDouble, n.toDouble)).sum
     val cand = conjunctiveDocs(words ++ shingles).toDF("doc_id")
@@ -492,15 +501,156 @@ final class Engine(val index: Index) {
         }.reduce(_ && _))))
       .otherwise(lit(0))
     val dl = least(lit(2) * size(ts) - lit(1), lit(IndexBuild.MaxDl)).cast("double")
-    val scored = corpus
+    corpus
       .join(cand, Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("docId"), pf.as("pf"), dl.as("dl"))
       .where(col("pf") > 0)
       .select(col("docId"),
-        (lit(idfSum) * Bm25.tfNormCol(col("pf").cast("double"), col("dl"),
+        (lit(boost * idfSum) * Bm25.tfNormCol(col("pf").cast("double"), col("dl"),
           lit(avgdl))).as("score"))
       .as[Scored]
-    Wand.topK(spark, scored, rows)
+  }
+
+  /** Lucene PrefixQuery (`pref*`) under the top-terms scoring-Boolean
+    * rewrite (TopTermsScoringBooleanQueryRewrite): expand to the top
+    * `maxExpansions` indexed terms with the prefix — highest-df first
+    * (df DESC, term ASC — [[termsEnum]]'s deterministic total order, the
+    * popularity rule Lucene's capped rewrite keeps) — then OR-search them
+    * at the clause boost. Expansion reads the persisted dictionary only
+    * (vocabulary-sized, postings untouched); `accuracy = 1.0` in the
+    * search keeps every expanded term (no T1/T2 pruning of a rewrite).
+    */
+  def searchPrefix(prefix: String, rows: Int = 60, maxExpansions: Int = 50,
+                   boost: Double = 1.0): DataFrame = {
+    val exp = termsEnum(prefix, maxExpansions).select(col("term")).as[String].collect().toSeq
+    if (exp.isEmpty) return Wand.topK(spark, spark.emptyDataset[Scored], rows)
+    searchByTerms(exp.map(_ -> boost), rows, accuracy = 1.0)
+  }
+
+  /** Lucene FuzzyQuery (`term~N`): expand to indexed terms within
+    * `maxEdits` Levenshtein distance (the exact term included at distance
+    * 0), each boosted `boost/(1+dist)` — a deterministic integer-ratio
+    * analog of Lucene's distance-decayed boost (FuzzyTermsEnum's
+    * `1 - dist/len` depends on unicode term length; the 1/(1+d) form keeps
+    * the cross-engine mirror exact). Expansion capped at `maxExpansions`
+    * by (dist ASC, df DESC, term ASC) — closest first, then most popular,
+    * Lucene's order. Same vocabulary-sized dictionary scan as
+    * [[spellcheck]] (the n-gram pre-filter is the documented upgrade if a
+    * 100× vocabulary makes it hot).
+    */
+  def searchFuzzy(term: String, maxEdits: Int = 2, rows: Int = 60,
+                  maxExpansions: Int = 50, boost: Double = 1.0): DataFrame = {
+    val exp = fuzzyExpansions(term, maxEdits, maxExpansions)
+    if (exp.isEmpty) return Wand.topK(spark, spark.emptyDataset[Scored], rows)
+    searchByTerms(exp.map { case (t, d) => t -> boost / (1 + d) }, rows, accuracy = 1.0)
+  }
+
+  /** (term, editDistance) expansions of a fuzzy clause — see [[searchFuzzy]]. */
+  private def fuzzyExpansions(term: String, maxEdits: Int,
+      maxExpansions: Int): Seq[(String, Int)] =
+    index.dictionary
+      .select(col("term"), col("df"), levenshtein(col("term"), lit(term)).as("dist"))
+      .where(col("dist") <= lit(maxEdits))
+      .orderBy(col("dist").asc, col("df").desc, col("term").asc)
+      .limit(maxExpansions)
+      .select(col("term"), col("dist")).as[(String, Int)].collect().toSeq
+
+  /** Execute a full Lucene query string ([[Engine.parseLucene]] grammar):
+    * term / phrase / prefix / fuzzy clauses with `+` / `-` / `^boost`.
+    *
+    * Dispatch: multi-term clauses resolve to weighted term lists off the
+    * persisted dictionary (driver-side, vocabulary-sized); a query without
+    * phrase clauses runs as one [[searchBool]] (everything in-segment). A
+    * query MIXING phrases with other clauses composes scores the way
+    * Lucene's BooleanQuery sums its subscorers:
+    *
+    *   score(doc) = Σ term-clause BM25 (the exploded-postings exact-score
+    *                plan, [[scanScoreAll]])
+    *              + Σ phrase-clause scores ([[phraseScores]])
+    *
+    * summed by one hash aggregation over the unioned contribution tables,
+    * then MUST clauses intersect ([[conjunctiveDocs]] / the phrase match
+    * set), MUST_NOT clauses anti-join, and the bounded heap ranks. No
+    * global sort, no driver-side scoring; every contribution table is
+    * doc_id-keyed so AQE plans the final joins.
+    *
+    * Unsupported (documented out, throws): MUST on a prefix/fuzzy clause —
+    * Lucene's "required wildcard" is an OR-required group, which the
+    * in-segment bitmap algebra does not model yet.
+    */
+  def searchParsed(corpus: DataFrame, q: String, rows: Int = 60,
+                   maxExpansions: Int = 50): DataFrame = {
+    import Engine.{FuzzyClause, Occur, PhraseClause, PrefixClause, TermClause}
+    val should = Seq.newBuilder[(String, Double)]
+    val must = Seq.newBuilder[(String, Double)]
+    val mustNot = Seq.newBuilder[String]
+    val phrases = Seq.newBuilder[(Array[String], Double, Engine.Occur)]
+    Engine.parseLucene(q).foreach {
+      case TermClause(t, b, Occur.Should) => should += (t -> b)
+      case TermClause(t, b, Occur.Must) => must += (t -> b)
+      case TermClause(t, _, Occur.MustNot) => mustNot += t
+      case PrefixClause(p, b, Occur.Should) =>
+        should ++= termsEnum(p, maxExpansions).select(col("term")).as[String].collect().map(_ -> b)
+      case PrefixClause(p, _, Occur.MustNot) =>
+        mustNot ++= termsEnum(p, maxExpansions).select(col("term")).as[String].collect()
+      case FuzzyClause(t, e, b, Occur.Should) =>
+        should ++= fuzzyExpansions(t, e, maxExpansions).map { case (x, d) => x -> (b / (1 + d)) }
+      case FuzzyClause(t, e, _, Occur.MustNot) =>
+        mustNot ++= fuzzyExpansions(t, e, maxExpansions).map(_._1)
+      case PhraseClause(toks, b, occ) if toks.length == 1 => // Lucene: a one-word phrase IS a TermQuery
+        occ match {
+          case Occur.Should => should += (("w:" + toks.head) -> b)
+          case Occur.Must => must += (("w:" + toks.head) -> b)
+          case Occur.MustNot => mustNot += ("w:" + toks.head)
+        }
+      case PhraseClause(toks, b, occ) => phrases += ((toks.toArray, b, occ))
+      case c => throw new IllegalArgumentException(
+        s"unsupported clause $c: a required multi-term rewrite needs an OR-required group")
+    }
+    val shouldSeq = should.result()
+    val mustSeq = must.result()
+    val notSeq = mustNot.result().distinct
+    val phraseSeq = phrases.result()
+    if (phraseSeq.isEmpty)
+      return searchBool(shouldSeq, mustSeq, notSeq, rows)
+    val notSet = notSeq.toSet
+    if (mustSeq.exists(t => notSet(t._1))) // +t -t: unsatisfiable
+      return Wand.topK(spark, spark.emptyDataset[Scored], rows)
+    val scoringTerms = shouldSeq.filterNot(t => notSet(t._1)) ++ mustSeq
+    val dfs = index.dfOf(scoringTerms.map(_._1).distinct)
+    if (mustSeq.exists(t => dfs.getOrElse(t._1, 0L) == 0L)) // required term absent
+      return Wand.topK(spark, spark.emptyDataset[Scored], rows)
+    val kept = scoringTerms.map { case (t, b) => (t, b, dfs.getOrElse(t, 0L)) }
+      .filter(_._3 > 0)
+    val (n, avgdl) = index.stats
+    val weights = weightsOf(kept, n)
+    val parts: Seq[DataFrame] =
+      (if (weights.isEmpty) Nil else Seq(scanScoreAll(weights, avgdl))) ++
+        phraseSeq.collect { case (toks, b, occ) if occ != Occur.MustNot =>
+          phraseScores(corpus, toks, b).toDF("doc_id", "score")
+        }
+    if (parts.isEmpty) // purely negative query matches nothing, as in Lucene
+      return Wand.topK(spark, spark.emptyDataset[Scored], rows)
+    var res = parts.reduce(_ unionAll _)
+      .groupBy(col("doc_id")).agg(sum(col("score")).as("score"))
+    if (mustSeq.nonEmpty)
+      res = res.join(conjunctiveDocs(mustSeq.map(_._1)).toDF("doc_id"),
+        Seq("doc_id"), "left_semi")
+    phraseSeq.foreach { case (toks, _, occ) =>
+      occ match {
+        case Occur.Must => res = res.join(
+          phraseScores(corpus, toks, 1.0).toDF("doc_id", "score").select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        case Occur.MustNot => res = res.join(
+          phraseScores(corpus, toks, 1.0).toDF("doc_id", "score").select("doc_id"),
+          Seq("doc_id"), "left_anti")
+        case Occur.Should => ()
+      }
+    }
+    if (notSeq.nonEmpty)
+      res = res.join(matchSet(notSeq.map(_ -> 1.0)), Seq("doc_id"), "left_anti")
+    Wand.topK(spark,
+      res.select(col("doc_id").as("docId"), col("score")).as[Scored], rows)
   }
 
   /** Lucene BooleanQuery semantics — the QueryParser `a +b -c` surface the
@@ -532,10 +682,13 @@ final class Engine(val index: Index) {
                  docPred: Option[Column] = None,
                  docFilter: Option[(String, String)] = None): DataFrame = {
     val notSet = mustNot.toSet
-    // a term that is also prohibited can never contribute (every doc
-    // holding it is excluded) — drop it from the scoring sets up front
+    // +t -t is unsatisfiable (Lucene: required AND prohibited -> no doc)
+    if (must.exists(t => notSet(t._1)))
+      return Wand.topK(spark, spark.emptyDataset[Scored], rows)
+    // a SHOULD term that is also prohibited can never contribute (every
+    // doc holding it is excluded) — drop it from the scoring set up front
     val shouldKept = keptTerms(should.filterNot(t => notSet(t._1)), accuracy)
-    val mustClean = must.filterNot(t => notSet(t._1))
+    val mustClean = must
     val mustDfs = index.dfOf(mustClean.map(_._1).distinct)
     if (mustClean.exists(t => mustDfs.getOrElse(t._1, 0L) == 0L))
       return Wand.topK(spark, spark.emptyDataset[Scored], rows) // required term absent from the corpus
@@ -1604,6 +1757,81 @@ object Engine {
       }
     }
     allow
+  }
+
+  /** Occurrence flag of a parsed clause (Lucene BooleanClause.Occur). */
+  sealed trait Occur
+  object Occur {
+    case object Should extends Occur
+    case object Must extends Occur
+    case object MustNot extends Occur
+  }
+
+  /** One parsed query clause (the Lucene QueryParser single-field surface). */
+  sealed trait QClause { def occur: Occur; def boost: Double }
+  final case class TermClause(term: String, boost: Double, occur: Occur) extends QClause
+  final case class PrefixClause(prefix: String, boost: Double, occur: Occur) extends QClause
+  final case class FuzzyClause(term: String, maxEdits: Int, boost: Double, occur: Occur) extends QClause
+  final case class PhraseClause(toks: Seq[String], boost: Double, occur: Occur) extends QClause
+
+  private val QuotedRe = """([+-]?)"([^"]*)"(?:\^(\S+))?""".r
+
+  /** Full Lucene QueryParser grammar over one field:
+    *
+    *   clause := [+|-] body [^boost]
+    *   body   := "phrase words" | prefix* | term~[N] | term
+    *
+    * `+` = MUST, `-` = MUST_NOT, bare = SHOULD; `^boost` scales the
+    * clause; a bare `~` means fuzzy with Lucene's default 2 edits. Boost
+    * leniency matches [[parseQuery]]: an unparseable `^suffix` is part of
+    * the term. Phrase words are analyzer-tokenized ([[graft.analyze.Tokenizer]]),
+    * so `"Hash-JOIN"` and `"hash join"` parse identically.
+    */
+  def parseLucene(q: String): Seq[QClause] = {
+    val out = Seq.newBuilder[QClause]
+    // quoted phrases first (they may contain whitespace), remainder = terms
+    var rest = q
+    var m = QuotedRe.findFirstMatchIn(rest)
+    while (m.isDefined) {
+      val mm = m.get
+      val occ = occurOf(mm.group(1))
+      val boost = Option(mm.group(3)).flatMap(b => b.toDoubleOption).getOrElse(1.0)
+      val toks = graft.analyze.Tokenizer.tokenizeScala(mm.group(2))
+      if (toks.nonEmpty) out += PhraseClause(toks.toSeq, boost, occ)
+      rest = rest.substring(0, mm.start) + " " + rest.substring(mm.end)
+      m = QuotedRe.findFirstMatchIn(rest)
+    }
+    rest.trim.split("\\s+").iterator.filter(_.nonEmpty).foreach { tok0 =>
+      val (occ, tok1) =
+        if (tok0.startsWith("+")) (Occur.Must: Occur, tok0.substring(1))
+        else if (tok0.startsWith("-")) (Occur.MustNot: Occur, tok0.substring(1))
+        else (Occur.Should: Occur, tok0)
+      if (tok1.nonEmpty) {
+        // trailing ^boost (lenient), then the multi-term markers
+        val (body, boost) = tok1.lastIndexOf('^') match {
+          case -1 | 0 => (tok1, 1.0)
+          case i => tok1.substring(i + 1).toDoubleOption match {
+            case Some(b) => (tok1.substring(0, i), b)
+            case None => (tok1, 1.0)
+          }
+        }
+        val tilde = body.lastIndexOf('~')
+        if (body.length > 1 && body.endsWith("*"))
+          out += PrefixClause(body.dropRight(1), boost, occ)
+        else if (tilde > 0 &&
+            (tilde == body.length - 1 || body.substring(tilde + 1).forall(_.isDigit))) {
+          val edits = if (tilde == body.length - 1) 2 else body.substring(tilde + 1).toInt
+          out += FuzzyClause(body.substring(0, tilde), edits, boost, occ)
+        } else out += TermClause(body, boost, occ)
+      }
+    }
+    out.result()
+  }
+
+  private def occurOf(s: String): Occur = s match {
+    case "+" => Occur.Must
+    case "-" => Occur.MustNot
+    case _ => Occur.Should
   }
 
   /** "t1 t2^0.83" -> Seq(("t1", 1.0), ("t2", 0.83)). A trailing `^boost`

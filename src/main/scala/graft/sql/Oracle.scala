@@ -361,6 +361,35 @@ object Oracle {
          |${bm25Body(None, boolClauses(must.map(_._1), mustNot))}
          |${topKSelect(k)}""".stripMargin)
 
+  /** PrefixQuery oracle: top-terms scoring-Boolean rewrite from the
+    * dictionary (df DESC, term ASC, capped), boost 1, then plain BM25.
+    * Terms contain only [a-z0-9:_] minus '_', so LIKE needs no escaping.
+    */
+  def prefixSql(prefix: String, maxExpansions: Int, k: Int): String =
+    withPrelude(
+      s"""     , q(term, boost) AS (
+         |  SELECT term, 1.0::DOUBLE AS boost FROM dict
+         |  WHERE term LIKE '$prefix%'
+         |  ORDER BY df DESC, term ASC LIMIT $maxExpansions),
+         |${bm25Body(None)}
+         |${topKSelect(k)}""".stripMargin)
+
+  /** FuzzyQuery oracle: expansion within `maxEdits` Levenshtein distance,
+    * boost 1/(1+dist) (exact integer-ratio doubles in both engines),
+    * (dist ASC, df DESC, term ASC) capped order — mirrors
+    * Engine.searchFuzzy. DuckDB's levenshtein == Spark's levenshtein
+    * (unit-cost edits; parity already pinned by the spellcheck gate).
+    */
+  def fuzzySql(term: String, maxEdits: Int, maxExpansions: Int, k: Int): String =
+    withPrelude(
+      s"""     , q(term, boost) AS (
+         |  SELECT term, 1.0::DOUBLE / (1 + levenshtein(term, '$term')) AS boost
+         |  FROM dict WHERE levenshtein(term, '$term') <= $maxEdits
+         |  ORDER BY levenshtein(term, '$term') ASC, df DESC, term ASC
+         |  LIMIT $maxExpansions),
+         |${bm25Body(None)}
+         |${topKSelect(k)}""".stripMargin)
+
   /** Lucene PhraseQuery oracle: phrase frequency counted positionally over
     * the token arrays (list lambda — no positional index needed in SQL),
     * weight = Σ idf over phrase positions (duplicates counted), tf = pf,
@@ -368,37 +397,103 @@ object Oracle {
     * from the dictionary empties the result (n_terms < n_q guard), exactly
     * as Engine.searchPhrase returns empty on a df=0 word.
     */
-  def phraseSql(phrase: String, k: Int): String = {
-    val toks = graft.analyze.Tokenizer.tokenizeScala(phrase)
-    require(toks.length >= 2, "phraseSql mirrors the multi-token form")
-    val kTok = toks.length
-    val conds = toks.zipWithIndex
-      .map { case (w, j) => s"ts[i + $j] = '$w'" }.mkString(" AND ")
-    val pwVals = toks.map(t => s"('w:$t')").mkString(", ")
+  def phraseSql(phrase: String, k: Int): String =
     withPrelude(
-      s"""     , pw(term) AS (SELECT * FROM (VALUES $pwVals) v(term)),
-         |idfs AS (
-         |  SELECT sum(ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5)))::DOUBLE AS idf_sum,
-         |         count(*)::BIGINT AS n_terms,
-         |         (SELECT count(*) FROM pw)::BIGINT AS n_q
-         |  FROM pw JOIN dict f ON f.term = pw.term CROSS JOIN stats s),
-         |pf AS (
-         |  SELECT t.doc_id,
-         |         (CASE WHEN len(ts) >= $kTok
-         |               THEN len(list_filter(generate_series(1, len(ts) - ${kTok - 1}), i -> $conds))
-         |               ELSE 0 END)::BIGINT AS pf
-         |  FROM toks t),
-         |pscored AS (
-         |  SELECT p.doc_id,
-         |         i.idf_sum * (p.pf * 2.2 / (p.pf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS score
-         |  FROM pf p JOIN dl d USING (doc_id) CROSS JOIN stats s CROSS JOIN idfs i
-         |  WHERE p.pf > 0 AND i.n_terms = i.n_q),
+      s"""     , ${phraseCtes(phrase, 1.0, "")},
          |ranked AS (
          |  SELECT doc_id,
          |         CAST(round(score * 1000000.0) AS BIGINT) AS score_q,
          |         row_number() OVER (
          |           ORDER BY CAST(round(score * 1000000.0) AS BIGINT) DESC, doc_id ASC) AS rank
          |  FROM pscored)
+         |SELECT rank, doc_id, score_q FROM ranked WHERE rank <= $k ORDER BY rank""".stripMargin)
+
+  /** The phrase-scoring CTE chain (pw/idfs/pf/pscored, suffixed with `tag`
+    * so several phrases can coexist in one query): ends with
+    * pscored$tag(doc_id, score).
+    */
+  def phraseCtes(phrase: String, boost: Double, tag: String): String = {
+    val toks = graft.analyze.Tokenizer.tokenizeScala(phrase)
+    require(toks.length >= 2, "phraseCtes mirrors the multi-token form")
+    val kTok = toks.length
+    val conds = toks.zipWithIndex
+      .map { case (w, j) => s"ts[i + $j] = '$w'" }.mkString(" AND ")
+    val pwVals = toks.map(t => s"('w:$t')").mkString(", ")
+    s"""pw$tag(term) AS (SELECT * FROM (VALUES $pwVals) v(term)),
+       |idfs$tag AS (
+       |  SELECT sum(ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5)))::DOUBLE AS idf_sum,
+       |         count(*)::BIGINT AS n_terms,
+       |         (SELECT count(*) FROM pw$tag)::BIGINT AS n_q
+       |  FROM pw$tag JOIN dict f ON f.term = pw$tag.term CROSS JOIN stats s),
+       |pf$tag AS (
+       |  SELECT t.doc_id,
+       |         (CASE WHEN len(ts) >= $kTok
+       |               THEN len(list_filter(generate_series(1, len(ts) - ${kTok - 1}), i -> $conds))
+       |               ELSE 0 END)::BIGINT AS pf
+       |  FROM toks t),
+       |pscored$tag AS (
+       |  SELECT p.doc_id,
+       |         ($boost::DOUBLE) * i.idf_sum
+       |           * (p.pf * 2.2 / (p.pf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS score
+       |  FROM pf$tag p JOIN dl d USING (doc_id) CROSS JOIN stats s CROSS JOIN idfs$tag i
+       |  WHERE p.pf > 0 AND i.n_terms = i.n_q)""".stripMargin
+  }
+
+  /** Parsed mixed-query oracle (Engine.searchParsed composition): one MUST
+    * phrase + SHOULD terms + a SHOULD prefix rewrite + a SHOULD fuzzy
+    * rewrite + MUST_NOT terms. score = Σ term-clause BM25 + phrase score;
+    * the MUST phrase intersects, MUST_NOT excludes. SHOULD terms that are
+    * also prohibited are dropped from scoring (they cannot contribute), as
+    * the engine does.
+    */
+  def parsedMixedSql(mustPhrase: String, shouldTerms: Seq[(String, Double)],
+      prefix: String, prefixBoost: Double,
+      fuzzyTerm: String, fuzzyEdits: Int, fuzzyBoost: Double,
+      maxExpansions: Int, mustNot: Seq[String], k: Int): String = {
+    val notVals = mustNot.map(t => s"'$t'").mkString(", ")
+    val terms = shouldTerms.filterNot(t => mustNot.contains(t._1))
+    withPrelude(
+      s"""     , qt(term, boost) AS (SELECT * FROM (VALUES ${termValues(terms)}) v(term, boost)),
+         |qp(term, boost) AS (
+         |  SELECT term, boost FROM (
+         |    SELECT term, $prefixBoost::DOUBLE AS boost FROM dict
+         |    WHERE term LIKE '$prefix%'
+         |    ORDER BY df DESC, term ASC LIMIT $maxExpansions)
+         |  WHERE term NOT IN ($notVals)),
+         |qf(term, boost) AS (
+         |  SELECT term, boost FROM (
+         |    SELECT term, $fuzzyBoost::DOUBLE / (1 + levenshtein(term, '$fuzzyTerm')) AS boost,
+         |           levenshtein(term, '$fuzzyTerm') AS dist, df
+         |    FROM dict WHERE levenshtein(term, '$fuzzyTerm') <= $fuzzyEdits
+         |    ORDER BY dist ASC, df DESC, term ASC
+         |    LIMIT $maxExpansions)
+         |  WHERE term NOT IN ($notVals)),
+         |q AS (SELECT * FROM qt UNION ALL SELECT * FROM qp UNION ALL SELECT * FROM qf),
+         |tscored AS (
+         |  SELECT p.doc_id,
+         |         sum(q.boost * ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+         |             * p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS score
+         |  FROM post p
+         |  JOIN q ON p.term = q.term
+         |  JOIN dict f ON f.term = p.term
+         |  JOIN dl d ON d.doc_id = p.doc_id
+         |  CROSS JOIN stats s
+         |  GROUP BY 1),
+         |${phraseCtes(mustPhrase, 1.0, "1")},
+         |contrib AS (
+         |  SELECT doc_id, score FROM tscored
+         |  UNION ALL SELECT doc_id, score FROM pscored1),
+         |summed AS (SELECT doc_id, sum(score) AS score FROM contrib GROUP BY 1),
+         |filtered AS (
+         |  SELECT * FROM summed
+         |  WHERE doc_id IN (SELECT doc_id FROM pscored1)
+         |    AND doc_id NOT IN (SELECT doc_id FROM post WHERE term IN ($notVals))),
+         |ranked AS (
+         |  SELECT doc_id,
+         |         CAST(round(score * 1000000.0) AS BIGINT) AS score_q,
+         |         row_number() OVER (
+         |           ORDER BY CAST(round(score * 1000000.0) AS BIGINT) DESC, doc_id ASC) AS rank
+         |  FROM filtered)
          |SELECT rank, doc_id, score_q FROM ranked WHERE rank <= $k ORDER BY rank""".stripMargin)
   }
 

@@ -1,0 +1,183 @@
+package graft
+
+import graft.analyze.Tokenizer
+import graft.corpus.Corpus
+import graft.index.IndexBuild
+import graft.query.{Bm25, Engine}
+
+/** Lucene QueryParser surface: grammar ([[Engine.parseLucene]]), the
+  * PrefixQuery / FuzzyQuery multi-term rewrites, and the full parsed-query
+  * score composition ([[Engine.searchParsed]]) vs a plain-Scala brute
+  * reference over the tiny corpus.
+  */
+class ParsedQuerySpec extends SparkSpec {
+  import spark.implicits._
+  import Engine.{FuzzyClause, Occur, PhraseClause, PrefixClause, TermClause}
+
+  lazy val engine = Engine.forDir(spark, sfTiny)
+  lazy val corpus = Corpus.fromDocuments(spark, sfTiny).cache()
+  lazy val docs: Seq[(Long, String)] =
+    corpus.select($"doc_id", $"content").as[(Long, String)].collect().toSeq
+  lazy val termSets: Map[Long, Set[String]] =
+    docs.map { case (id, c) => id -> Tokenizer.termsScala(c).toSet }.toMap
+  lazy val dfMap: Map[String, Int] =
+    termSets.values.flatMap(_.iterator).groupBy(identity).view.mapValues(_.size).toMap
+
+  /** Unit-cost Levenshtein (the same semantics as Spark's / DuckDB's). */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1)(i => i)
+    for (j <- 1 to b.length) {
+      var prev = d(0)
+      d(0) = j
+      for (i <- 1 to a.length) {
+        val t = d(i)
+        d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = t
+      }
+    }
+    d(a.length)
+  }
+
+  // ------------------------------------------------------------------
+  // grammar
+  // ------------------------------------------------------------------
+
+  test("parseLucene: the mixed gate query parses clause by clause") {
+    assert(Engine.parseLucene(SparkEntry.ParsedMixedQuery) == Seq(
+      PhraseClause(Seq("hash", "join"), 1.0, Occur.Must),
+      TermClause("w:window", 2.0, Occur.Should),
+      TermClause("w:stream", 1.0, Occur.MustNot),
+      PrefixClause("w:sm", 0.5, Occur.Should),
+      FuzzyClause("w:hach", 1, 1.0, Occur.Should)))
+  }
+
+  test("parseLucene: boost leniency, bare ~, phrase occur/boost, analyzer in phrases") {
+    // unparseable ^suffix stays part of the term (parseQuery's rule)
+    assert(Engine.parseLucene("w:x^y") == Seq(TermClause("w:x^y", 1.0, Occur.Should)))
+    // bare ~ = Lucene's default 2 edits; +prefix* keeps MUST occur
+    assert(Engine.parseLucene("term~ +pre*") == Seq(
+      FuzzyClause("term", 2, 1.0, Occur.Should),
+      PrefixClause("pre", 1.0, Occur.Must)))
+    // prohibited boosted phrase; phrase words go through the analyzer
+    assert(Engine.parseLucene("-\"Hash-JOIN\"^2.5") ==
+      Seq(PhraseClause(Seq("hash", "join"), 2.5, Occur.MustNot)))
+    // digits-only suffix after ~ is the edit budget; otherwise a plain term
+    assert(Engine.parseLucene("a~1x") == Seq(TermClause("a~1x", 1.0, Occur.Should)))
+  }
+
+  // ------------------------------------------------------------------
+  // PrefixQuery / FuzzyQuery rewrites
+  // ------------------------------------------------------------------
+
+  test("prefix expansion = brute (df desc, term asc) cap; search == OR of the expansion") {
+    val all = dfMap.iterator
+      .filter(_._1.startsWith(SparkEntry.PrefixQ))
+      .toSeq.sortBy { case (t, df) => (-df, t) }
+    assert(all.size > 3, "gate precondition: several w:s terms exist")
+    // cap=3 binds even on the tiny vocabulary; the uncapped form too
+    for (cap <- Seq(3, SparkEntry.PrefixMaxExpansions)) {
+      val exp = all.take(cap).map(_._1)
+      val enumed = engine.termsEnum(SparkEntry.PrefixQ, cap)
+        .select($"term").as[String].collect().toSeq
+      assert(enumed == exp, s"dictionary rewrite order (cap=$cap)")
+      val got = engine.searchPrefix(SparkEntry.PrefixQ, rows = 60,
+        maxExpansions = cap).collect().map(_.toSeq).toSeq
+      val or = engine.searchByTerms(exp.map(_ -> 1.0), rows = 60, accuracy = 1.0)
+        .collect().map(_.toSeq).toSeq
+      assert(got == or, s"cap=$cap")
+    }
+    // no indexed term with the prefix -> empty, not an error
+    assert(engine.searchPrefix("w:zzznosuch", rows = 10).count() == 0)
+  }
+
+  test("fuzzy expansion = brute (dist, df desc, term) cap with 1/(1+d) boosts") {
+    val exp = dfMap.keysIterator
+      .map(t => (t, lev(t, SparkEntry.FuzzyQ)))
+      .filter(_._2 <= SparkEntry.FuzzyMaxEdits)
+      .toSeq.sortBy { case (t, d) => (d, -dfMap(t), t) }
+      .take(SparkEntry.FuzzyMaxExpansions)
+    assert(exp.nonEmpty, "gate precondition: w:hach has neighbors")
+    val got = engine.searchFuzzy(SparkEntry.FuzzyQ, maxEdits = SparkEntry.FuzzyMaxEdits,
+      rows = 60, maxExpansions = SparkEntry.FuzzyMaxExpansions).collect().map(_.toSeq).toSeq
+    val or = engine.searchByTerms(exp.map { case (t, d) => t -> (1.0 / (1 + d)) },
+      rows = 60, accuracy = 1.0).collect().map(_.toSeq).toSeq
+    assert(got == or)
+    assert(engine.searchFuzzy("w:qqqqqqqqqqqq", maxEdits = 1, rows = 10).count() == 0)
+  }
+
+  // ------------------------------------------------------------------
+  // searchParsed composition
+  // ------------------------------------------------------------------
+
+  test("phrase-free parsed query == searchBool of the same clauses") {
+    val q = "w:hash^2 +w:window -w:stream w:join"
+    val parsed = engine.searchParsed(corpus, q, rows = 60).collect().map(_.toSeq).toSeq
+    val bool = engine.searchBool(Seq("w:hash" -> 2.0, "w:join" -> 1.0),
+      Seq("w:window" -> 1.0), Seq("w:stream"), rows = 60).collect().map(_.toSeq).toSeq
+    assert(parsed == bool)
+  }
+
+  test("one-word phrase in a parsed query is the TermQuery it is in Lucene") {
+    val a = engine.searchParsed(corpus, "\"window\"", rows = 30).collect().map(_.toSeq).toSeq
+    val b = engine.searchByTerms(Seq("w:window" -> 1.0), rows = 30).collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("unsatisfiable and purely-negative parsed queries match nothing") {
+    assert(engine.searchParsed(corpus, "+w:hash -w:hash", rows = 10).count() == 0)
+    assert(engine.searchParsed(corpus, "-w:hash -w:join", rows = 10).count() == 0)
+    assert(engine.searchParsed(corpus, "\"hash join\" +w:zzznosuch", rows = 10).count() == 0)
+  }
+
+  test("mixed parsed query (MUST phrase + terms + rewrites + NOT) == brute composition") {
+    val nonEmpty = docs.filter(d => Tokenizer.tokenCountScala(d._2) > 0)
+    val n = nonEmpty.size.toDouble
+    val dls = nonEmpty.map { case (id, c) =>
+      id -> math.min(Tokenizer.dlOf(Tokenizer.tokenCountScala(c)), IndexBuild.MaxDl).toDouble
+    }.toMap
+    val avgdl = dls.values.sum / n
+    // term clauses after rewrite, prohibited dropped — mirrors the gate query
+    val prefExp = dfMap.iterator.filter(_._1.startsWith("w:sm"))
+      .toSeq.sortBy { case (t, df) => (-df, t) }.take(50)
+      .map { case (t, _) => t -> 0.5 }
+    val fuzzExp = dfMap.keysIterator.map(t => (t, lev(t, "w:hach")))
+      .filter(_._2 <= 1).toSeq.sortBy { case (t, d) => (d, -dfMap(t), t) }
+      .take(50).map { case (t, d) => t -> (1.0 / (1 + d)) }
+    val terms = (Seq("w:window" -> 2.0) ++ prefExp ++ fuzzExp)
+      .filterNot(_._1 == "w:stream")
+    val phraseToks = Array("hash", "join")
+    def pf(ts: Array[String]): Int =
+      (0 to ts.length - phraseToks.length)
+        .count(i => phraseToks.indices.forall(j => ts(i + j) == phraseToks(j)))
+    val idfSum = phraseToks.map(w => Bm25.idf(dfMap("w:" + w).toDouble, n)).sum
+    val exp = nonEmpty.flatMap { case (id, c) =>
+      val ts = Tokenizer.tokenizeScala(c)
+      val p = pf(ts)
+      if (p == 0 || termSets(id)("w:stream")) None // MUST phrase + MUST_NOT
+      else {
+        val tc = Tokenizer.termsScala(c).groupBy(identity).view
+          .mapValues(x => math.min(x.length, IndexBuild.MaxTf)).toMap
+        var s = 0.0
+        terms.foreach { case (t, boost) =>
+          tc.get(t).foreach { tf =>
+            s += boost * Bm25.idf(dfMap(t).toDouble, n) *
+              Bm25.tfNorm(tf.toDouble, dls(id), avgdl)
+          }
+        }
+        val total = s + idfSum * Bm25.tfNorm(p.toDouble, dls(id), avgdl)
+        Some((id, math.round(total * Bm25.Quant)))
+      }
+    }.sortBy { case (id, sq) => (-sq, id) }.take(60)
+    val got = engine.searchParsed(corpus, SparkEntry.ParsedMixedQuery, rows = 60)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(_._2) == exp.map(_._1), "doc order")
+    assert(got.map(_._3) == exp.map(_._2), "scores")
+  }
+
+  test("a MUST multi-term rewrite is rejected loudly, not silently mis-ranked") {
+    intercept[IllegalArgumentException] {
+      engine.searchParsed(corpus, "+w:sm* w:hash", rows = 10)
+    }
+  }
+}
