@@ -87,6 +87,12 @@ object SparkEntry {
   val FuzzyMaxEdits = 2
   val FuzzyMaxExpansions = 8
 
+  /** WildcardQuery gate: "w:s?a*" matches 3 word terms (scan/small/spark)
+    * at every SF; the cap (2) exercises the df-ordered capped rewrite.
+    */
+  val WildcardQ = "w:s?a*"
+  val WildcardMaxExpansions = 2
+
   /** Full-parser gate: MUST phrase + boosted SHOULD term + MUST_NOT +
     * prefix rewrite + fuzzy rewrite in ONE query string.
     */
@@ -515,6 +521,11 @@ object SparkEntry {
     "q_fuzzy_search" -> ((s, dir) =>
       Engine.forDir(s, dir).searchFuzzy(FuzzyQ, maxEdits = FuzzyMaxEdits,
         rows = 60, maxExpansions = FuzzyMaxExpansions)),
+    // Lucene WildcardQuery (w:s?a*): LIKE-translated dictionary rewrite,
+    // capped + df-ordered, then OR search
+    "q_wildcard_search" -> ((s, dir) =>
+      Engine.forDir(s, dir).searchWildcard(WildcardQ,
+        rows = 60, maxExpansions = WildcardMaxExpansions)),
     // the full Lucene QueryParser surface in one string: MUST phrase +
     // boosted term + MUST_NOT + prefix rewrite + fuzzy rewrite, scores
     // composed the way BooleanQuery sums subscorers
@@ -694,6 +705,7 @@ object SparkEntry {
     "q_phrase3" -> Oracle.phraseSql(PhraseTrigram, 60),
     "q_prefix_search" -> Oracle.prefixSql(PrefixQ, PrefixMaxExpansions, 60),
     "q_fuzzy_search" -> Oracle.fuzzySql(FuzzyQ, FuzzyMaxEdits, FuzzyMaxExpansions, 60),
+    "q_wildcard_search" -> Oracle.wildcardSql(WildcardQ, WildcardMaxExpansions, 60),
     "q_parsed_mixed" -> Oracle.parsedMixedSql("hash join",
       Seq("w:window" -> 2.0), "w:sm", 0.5, "w:hach", 1, 1.0,
       50, Seq("w:stream"), 60),

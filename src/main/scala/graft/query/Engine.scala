@@ -545,6 +545,33 @@ final class Engine(val index: Index) {
     searchByTerms(exp.map { case (t, d) => t -> boost / (1 + d) }, rows, accuracy = 1.0)
   }
 
+  /** Lucene WildcardQuery (`?` = one char, `*` = any run, whole-term
+    * anchored) under the same top-terms scoring-Boolean rewrite as
+    * [[searchPrefix]]: the top `maxExpansions` matching indexed terms by
+    * (df DESC, term ASC), OR-searched at the clause boost. Expansion
+    * pushes a LIKE predicate into the persisted dictionary — the
+    * translation `*`→`%`, `?`→`_` is collision-free because the term
+    * alphabet is [a-z0-9:] ([[graft.analyze.Tokenizer.SplitRe]]), no LIKE
+    * metachars. A leading-wildcard pattern degrades to a vocabulary scan —
+    * Lucene's documented cost cliff for leading wildcards (the
+    * reversed-term side dictionary is the documented upgrade); the scan is
+    * still vocabulary-sized and never touches postings.
+    */
+  def searchWildcard(pattern: String, rows: Int = 60, maxExpansions: Int = 50,
+                     boost: Double = 1.0): DataFrame = {
+    val exp = wildcardExpansions(pattern, maxExpansions)
+    if (exp.isEmpty) return Wand.topK(spark, spark.emptyDataset[Scored], rows)
+    searchByTerms(exp.map(_ -> boost), rows, accuracy = 1.0)
+  }
+
+  /** Matching terms of a wildcard clause, (df DESC, term ASC) capped. */
+  private def wildcardExpansions(pattern: String, maxExpansions: Int): Seq[String] =
+    index.dictionary
+      .where(col("term").like(Engine.wildcardToLike(pattern)))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(maxExpansions)
+      .select(col("term")).as[String].collect().toSeq
+
   /** (term, editDistance) expansions of a fuzzy clause — see [[searchFuzzy]]. */
   private def fuzzyExpansions(term: String, maxEdits: Int,
       maxExpansions: Int): Seq[(String, Int)] =
@@ -556,7 +583,8 @@ final class Engine(val index: Index) {
       .select(col("term"), col("dist")).as[(String, Int)].collect().toSeq
 
   /** Execute a full Lucene query string ([[Engine.parseLucene]] grammar):
-    * term / phrase / prefix / fuzzy clauses with `+` / `-` / `^boost`.
+    * term / phrase / prefix / wildcard / fuzzy clauses with `+` / `-` /
+    * `^boost`.
     *
     * Dispatch: multi-term clauses resolve to weighted term lists off the
     * persisted dictionary (driver-side, vocabulary-sized); a query without
@@ -580,7 +608,7 @@ final class Engine(val index: Index) {
     */
   def searchParsed(corpus: DataFrame, q: String, rows: Int = 60,
                    maxExpansions: Int = 50): DataFrame = {
-    import Engine.{FuzzyClause, Occur, PhraseClause, PrefixClause, TermClause}
+    import Engine.{FuzzyClause, Occur, PhraseClause, PrefixClause, TermClause, WildcardClause}
     val should = Seq.newBuilder[(String, Double)]
     val must = Seq.newBuilder[(String, Double)]
     val mustNot = Seq.newBuilder[String]
@@ -597,6 +625,10 @@ final class Engine(val index: Index) {
         should ++= fuzzyExpansions(t, e, maxExpansions).map { case (x, d) => x -> (b / (1 + d)) }
       case FuzzyClause(t, e, _, Occur.MustNot) =>
         mustNot ++= fuzzyExpansions(t, e, maxExpansions).map(_._1)
+      case WildcardClause(p, b, Occur.Should) =>
+        should ++= wildcardExpansions(p, maxExpansions).map(_ -> b)
+      case WildcardClause(p, _, Occur.MustNot) =>
+        mustNot ++= wildcardExpansions(p, maxExpansions)
       case PhraseClause(toks, b, occ) if toks.length == 1 => // Lucene: a one-word phrase IS a TermQuery
         occ match {
           case Occur.Should => should += (("w:" + toks.head) -> b)
@@ -1772,6 +1804,7 @@ object Engine {
   final case class TermClause(term: String, boost: Double, occur: Occur) extends QClause
   final case class PrefixClause(prefix: String, boost: Double, occur: Occur) extends QClause
   final case class FuzzyClause(term: String, maxEdits: Int, boost: Double, occur: Occur) extends QClause
+  final case class WildcardClause(pattern: String, boost: Double, occur: Occur) extends QClause
   final case class PhraseClause(toks: Seq[String], boost: Double, occur: Occur) extends QClause
 
   private val QuotedRe = """([+-]?)"([^"]*)"(?:\^(\S+))?""".r
@@ -1779,7 +1812,7 @@ object Engine {
   /** Full Lucene QueryParser grammar over one field:
     *
     *   clause := [+|-] body [^boost]
-    *   body   := "phrase words" | prefix* | term~[N] | term
+    *   body   := "phrase words" | prefix* | wild?car*d | term~[N] | term
     *
     * `+` = MUST, `-` = MUST_NOT, bare = SHOULD; `^boost` scales the
     * clause; a bare `~` means fuzzy with Lucene's default 2 edits. Boost
@@ -1816,8 +1849,11 @@ object Engine {
           }
         }
         val tilde = body.lastIndexOf('~')
-        if (body.length > 1 && body.endsWith("*"))
+        if (body.length > 1 && body.endsWith("*") &&
+            !body.dropRight(1).exists(c => c == '*' || c == '?'))
           out += PrefixClause(body.dropRight(1), boost, occ)
+        else if (body.length > 1 && body.exists(c => c == '*' || c == '?'))
+          out += WildcardClause(body, boost, occ)
         else if (tilde > 0 &&
             (tilde == body.length - 1 || body.substring(tilde + 1).forall(_.isDigit))) {
           val edits = if (tilde == body.length - 1) 2 else body.substring(tilde + 1).toInt
@@ -1827,6 +1863,12 @@ object Engine {
     }
     out.result()
   }
+
+  /** Wildcard pattern -> LIKE pattern (`*`→`%`, `?`→`_`). Collision-free:
+    * the indexed term alphabet [a-z0-9:] holds no LIKE metachars.
+    */
+  def wildcardToLike(pattern: String): String =
+    pattern.replace('*', '%').replace('?', '_')
 
   private def occurOf(s: String): Occur = s match {
     case "+" => Occur.Must

@@ -374,6 +374,20 @@ object Oracle {
          |${bm25Body(None)}
          |${topKSelect(k)}""".stripMargin)
 
+  /** WildcardQuery oracle: same capped (df DESC, term ASC) top-terms
+    * rewrite as [[prefixSql]], match via LIKE on the translated pattern
+    * (`*`→`%`, `?`→`_` — Engine.wildcardToLike; the term alphabet
+    * [a-z0-9:] holds no LIKE metachars, so no escaping).
+    */
+  def wildcardSql(pattern: String, maxExpansions: Int, k: Int): String =
+    withPrelude(
+      s"""     , q(term, boost) AS (
+         |  SELECT term, 1.0::DOUBLE AS boost FROM dict
+         |  WHERE term LIKE '${graft.query.Engine.wildcardToLike(pattern)}'
+         |  ORDER BY df DESC, term ASC LIMIT $maxExpansions),
+         |${bm25Body(None)}
+         |${topKSelect(k)}""".stripMargin)
+
   /** FuzzyQuery oracle: expansion within `maxEdits` Levenshtein distance,
     * boost 1/(1+dist) (exact integer-ratio doubles in both engines),
     * (dist ASC, df DESC, term ASC) capped order — mirrors

@@ -12,7 +12,7 @@ import graft.query.{Bm25, Engine}
   */
 class ParsedQuerySpec extends SparkSpec {
   import spark.implicits._
-  import Engine.{FuzzyClause, Occur, PhraseClause, PrefixClause, TermClause}
+  import Engine.{FuzzyClause, Occur, PhraseClause, PrefixClause, TermClause, WildcardClause}
 
   lazy val engine = Engine.forDir(spark, sfTiny)
   lazy val corpus = Corpus.fromDocuments(spark, sfTiny).cache()
@@ -64,6 +64,34 @@ class ParsedQuerySpec extends SparkSpec {
       Seq(PhraseClause(Seq("hash", "join"), 2.5, Occur.MustNot)))
     // digits-only suffix after ~ is the edit budget; otherwise a plain term
     assert(Engine.parseLucene("a~1x") == Seq(TermClause("a~1x", 1.0, Occur.Should)))
+    // wildcard bodies: trailing-star-only stays a PrefixClause; any other
+    // *(/? placement is a WildcardClause (occur + boost preserved)
+    assert(Engine.parseLucene("w:s?a* -mid*dle^2") == Seq(
+      WildcardClause("w:s?a*", 1.0, Occur.Should),
+      WildcardClause("mid*dle", 2.0, Occur.MustNot)))
+  }
+
+  test("wildcard expansion = brute LIKE-order cap; search == OR of the expansion") {
+    // brute wildcard match: translate to a regex over the term
+    val re = ("^" + SparkEntry.WildcardQ.flatMap {
+      case '*' => ".*"
+      case '?' => "."
+      case c => java.util.regex.Pattern.quote(c.toString)
+    } + "$").r
+    val all = dfMap.iterator.filter(t => re.findFirstIn(t._1).isDefined)
+      .toSeq.sortBy { case (t, df) => (-df, t) }
+    assert(all.size >= 3, "gate precondition: several w:s?a* terms exist")
+    val exp = all.take(SparkEntry.WildcardMaxExpansions).map(_._1)
+    val got = engine.searchWildcard(SparkEntry.WildcardQ, rows = 60,
+      maxExpansions = SparkEntry.WildcardMaxExpansions).collect().map(_.toSeq).toSeq
+    val or = engine.searchByTerms(exp.map(_ -> 1.0), rows = 60, accuracy = 1.0)
+      .collect().map(_.toSeq).toSeq
+    assert(got == or)
+    // parsed dispatch: a wildcard SHOULD clause routes through the rewrite
+    val parsed = engine.searchParsed(corpus, SparkEntry.WildcardQ, rows = 60,
+      maxExpansions = SparkEntry.WildcardMaxExpansions).collect().map(_.toSeq).toSeq
+    assert(parsed == or)
+    assert(engine.searchWildcard("w:zz?zz*", rows = 10).count() == 0)
   }
 
   // ------------------------------------------------------------------
