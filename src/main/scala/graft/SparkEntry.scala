@@ -93,6 +93,11 @@ object SparkEntry {
   val WildcardQ = "w:s?a*"
   val WildcardMaxExpansions = 2
 
+  /** Stratified-sample gate: expected survivors per language stratum —
+    * below the per-lang count at every SF, so the keep rule binds.
+    */
+  val SampleTarget = 60L
+
   /** Full-parser gate: MUST phrase + boosted SHOULD term + MUST_NOT +
     * prefix rewrite + fuzzy rewrite in ONE query string.
     */
@@ -459,6 +464,14 @@ object SparkEntry {
     "q_quality" -> ((s, dir) => TextStats.quality(Corpus.fromDocuments(s, dir))),
     "q_token_count" -> ((s, dir) => TextStats.tokenCounts(Corpus.fromDocuments(s, dir))),
     "q_fingerprint" -> ((s, dir) => TextStats.fingerprint(Corpus.fromDocuments(s, dir))),
+    // Gopher repetition signals (dup-line / dup-char / top-2-gram share)
+    "q_repetition" -> ((s, dir) => TextStats.repetition(Corpus.fromDocuments(s, dir))),
+    // PII redaction counts + redacted-content sha over the PII-injected corpus
+    "q_pii_redact" -> ((s, dir) =>
+      TextStats.redactPii(TextStats.withPii(Corpus.fromDocuments(s, dir)))),
+    // deterministic stratified sampler: ~SampleTarget docs per language
+    "q_stratified_sample" -> ((s, dir) =>
+      ml.Sample.stratified(Corpus.fromDocuments(s, dir), "lang", SampleTarget)),
     // multimodal: opaque binary payload + typed metadata
     "q_binary_meta" -> ((s, dir) =>
       Binary.asBinaryTable(Corpus.fromDocuments(s, dir))
@@ -685,6 +698,9 @@ object SparkEntry {
     "q_quality" -> OracleMl.qualitySql,
     "q_token_count" -> OracleMl.tokenCountsSql,
     "q_fingerprint" -> OracleMl.fingerprintSql,
+    "q_repetition" -> OracleMl.repetitionSql,
+    "q_pii_redact" -> OracleMl.piiSql,
+    "q_stratified_sample" -> OracleMl.stratifiedSampleSql("lang", SampleTarget, "samp"),
     "q_binary_meta" -> OracleMl.binaryMetaSql,
     "q_frame_sample" -> OracleMl.frameSampleSql(32, 2),
     "q_search_fields" -> Oracle.withPrelude(

@@ -154,6 +154,73 @@ case class GraftFingerprint(child: Expression)
     copy(child = newChild)
 }
 
+/** Repetition statistics for quality filtering — the Gopher-style
+  * repetition signals (Rae et al. 2021, "Scaling Language Models", §A1.1:
+  * duplicate-line fraction, duplicate-line character fraction, top
+  * n-gram share) — in ONE eval per row. The line and 2-gram tallies need
+  * per-row hash maps, which built-in compositions can only express as
+  * interpreted higher-order lambdas or an explode + per-doc shuffle; this
+  * keeps the op per-row and shuffle-free at any corpus size.
+  *
+  * Returns struct(n_lines, n_dup_lines, line_chars, dup_line_chars, top2,
+  * total2) — INTEGER tallies only; the fraction/quantization math stays in
+  * column space ([[graft.ml.TextStats.repetition]]) so the DuckDB oracle
+  * mirrors the same integer inputs through the same arithmetic.
+  *
+  * Cross-engine contract: lines split on '\n' keeping trailing empties
+  * (SQL string_split); chars counted as code points (SQL length());
+  * 2-grams joined with a single space over the analyzer tokens
+  * ([[Tokenizer.tokenizeScala]] — lowercase alnum runs).
+  */
+case class GraftRepStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_lines", IntegerType, nullable = false),
+    StructField("n_dup_lines", IntegerType, nullable = false),
+    StructField("line_chars", LongType, nullable = false),
+    StructField("dup_line_chars", LongType, nullable = false),
+    StructField("top2", IntegerType, nullable = false),
+    StructField("total2", IntegerType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_rep_stats"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.toString
+    // limit -1: trailing empty lines kept, exactly like SQL string_split
+    val lines = s.split("\n", -1)
+    val seen = new java.util.HashMap[String, Integer]()
+    var lineChars = 0L
+    var dupChars = 0L
+    var nDup = 0
+    var i = 0
+    while (i < lines.length) {
+      val ln = lines(i)
+      val cp = ln.codePointCount(0, ln.length).toLong
+      lineChars += cp
+      val prev = seen.merge(ln, 1, Integer.sum(_, _))
+      if (prev > 1) { nDup += 1; dupChars += cp }
+      i += 1
+    }
+    val toks = Tokenizer.tokenizeScala(s)
+    var top2 = 0
+    val total2 = math.max(0, toks.length - 1)
+    if (total2 > 0) {
+      val grams = new java.util.HashMap[String, Integer]()
+      var j = 0
+      while (j < toks.length - 1) {
+        val c = grams.merge(toks(j) + " " + toks(j + 1), 1, Integer.sum(_, _))
+        if (c > top2) top2 = c
+        j += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      lines.length, nDup, lineChars, dupChars, top2, total2)
+  }
+  override protected def withNewChildInternal(newChild: Expression): GraftRepStats =
+    copy(child = newChild)
+}
+
 /** Double-precision dot product of two numeric arrays, summed left to
   * right — the arithmetic twin of the `aggregate(zip_with(...))` built-in
   * composition (kept as [[GraftFunctions.dotHof]] and pinned equal in
@@ -297,6 +364,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       info(classOf[GraftFingerprint], "graft_fingerprint",
         "graft_fingerprint(content) - min-hash 8-gram fingerprint"),
       (exprs: Seq[Expression]) => GraftFingerprint(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("graft_rep_stats"),
+      info(classOf[GraftRepStats], "graft_rep_stats",
+        "graft_rep_stats(content) - duplicate-line / top-2-gram repetition tallies"),
+      (exprs: Seq[Expression]) => GraftRepStats(exprs.head)))
     ext.injectFunction((FunctionIdentifier("graft_dot"),
       info(classOf[GraftDot], "graft_dot",
         "graft_dot(a, b) - double-precision dot product of two arrays"),
@@ -318,6 +389,8 @@ object GraftFunctions {
     GraftBridge.column(GraftPostings(GraftBridge.expression(c)))
   def graft_fingerprint(c: Column): Column =
     GraftBridge.column(GraftFingerprint(GraftBridge.expression(c)))
+  def graft_rep_stats(c: Column): Column =
+    GraftBridge.column(GraftRepStats(GraftBridge.expression(c)))
   def graft_dot(a: Column, b: Column): Column =
     GraftBridge.column(GraftDot(GraftBridge.expression(a), GraftBridge.expression(b)))
   def graft_cosine(a: Column, b: Column): Column =
@@ -333,6 +406,8 @@ object GraftFunctions {
       "graft_postings", exprs => GraftPostings(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_fingerprint", exprs => GraftFingerprint(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_rep_stats", exprs => GraftRepStats(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => GraftDot(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

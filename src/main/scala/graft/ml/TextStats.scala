@@ -89,6 +89,82 @@ object TextStats {
       regexp_count(lower(col("content")), lit(BpeRe)).cast("long").as("bpe_tokens"),
       length(col("content")).cast("long").as("n_chars"))
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1) for quality
+    * filtering: per doc,
+    *   dup_line_q  — duplicate-line fraction (occurrences beyond a line's
+    *                 first, over all lines),
+    *   dup_char_q  — characters inside those duplicate occurrences, over
+    *                 all line characters,
+    *   top2_q      — the most frequent token 2-gram's share of all 2-grams;
+    * all quantized round(1e6·x), 0 when the denominator is 0. Tallies come
+    * from ONE [[graft.functions.GraftRepStats]] eval per row (per-row,
+    * shuffle-free at any corpus size — see its scaladoc for why built-ins
+    * can't express the per-row hash maps); the fraction arithmetic here is
+    * mirrored by the DuckDB oracle over the same integer tallies. The
+    * two-projection shape keeps the expression evaluated once
+    * (CollapseProject does not duplicate non-cheap expressions; pinned in
+    * PlanSpec).
+    */
+  def repetition(corpus: DataFrame): DataFrame = {
+    val withR = corpus.select(col("doc_id"),
+      graft.functions.GraftFunctions.graft_rep_stats(col("content")).as("r"))
+    def frac(num: Column, den: Column): Column =
+      round(when(den > 0, num.cast("double") / den.cast("double"))
+        .otherwise(lit(0.0)) * 1e6).cast("long")
+    withR.select(
+      col("doc_id"),
+      col("r.n_lines").cast("long").as("n_lines"),
+      frac(col("r.n_dup_lines"), col("r.n_lines")).as("dup_line_q"),
+      frac(col("r.dup_line_chars"), col("r.line_chars")).as("dup_char_q"),
+      frac(col("r.top2"), col("r.total2")).as("top2_q"))
+  }
+
+  /** PII pattern set — single source of truth for engine + oracle. Both
+    * regexes restrict to constructs with identical semantics in Java regex
+    * (Spark) and RE2 (DuckDB): character classes, bounded/unbounded
+    * repetition, no backrefs or lookaround.
+    */
+  val EmailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Deterministic PII injection for gates/tests — the synthetic corpus
+    * contains no natural addresses, so the redaction gate would otherwise
+    * pass vacuously. Every doc_id ≡ 0 (mod 7) gains two emails; every
+    * doc_id ≡ 3 (mod 11) gains an IPv4. Mirrored CTE:
+    * [[graft.sql.OracleMl.piiCtes]].
+    */
+  def withPii(corpus: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    corpus.withColumn("content",
+      when(id % 7 === 0,
+        concat(col("content"), lit(" contact user"), id.cast("string"),
+          lit("@example.com or admin@test"), (id % 10).cast("string"), lit(".org")))
+      .when(id % 11 === 3,
+        concat(col("content"), lit(" from 10."), (id % 200).cast("string"),
+          lit(".0."), (id % 250).cast("string")))
+      .otherwise(col("content")))
+  }
+
+  /** PII scrub — the standard pre-training redaction pass: emails →
+    * `<EMAIL>`, IPv4s → `<IP>` (emails first: an address can contain an
+    * IP-shaped substring, never the reverse once emails are gone).
+    * Returns (doc_id, n_emails, n_ips, redacted_sha) — the sha256 of the
+    * redacted content attests the rewrite byte-for-byte without shipping
+    * it. Pure codegen'd built-ins (regexp_count / regexp_replace / sha2):
+    * per-row, no shuffle, whole-stage codegen at any corpus size.
+    */
+  def redactPii(corpus: DataFrame): DataFrame = {
+    val lc = lower(col("content"))
+    val red = regexp_replace(
+      regexp_replace(lc, EmailRe, "<EMAIL>"), Ipv4Re, "<IP>")
+    corpus.select(
+      col("doc_id"),
+      regexp_count(lc, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(regexp_replace(lc, EmailRe, "<EMAIL>"), lit(Ipv4Re))
+        .cast("long").as("n_ips"),
+      sha2(red, 256).as("redacted_sha"))
+  }
+
   /** Min-hash fingerprint over character 8-grams (winnowing-lite): the
     * lexical min of md5 over all 8-char windows; null for content < 8
     * chars. A content-defined identity robust to doc reordering at corpus

@@ -585,4 +585,82 @@ object OracleMl {
        |       sha256(content) AS sha,
        |       lower(hex(substr(content, 1, 8)::BLOB)) AS head_hex
        |FROM corpus""".stripMargin)
+
+  /** Gopher repetition signals (mirror of TextStats.repetition /
+    * GraftRepStats): duplicate-line tallies from per-(doc, line) group
+    * counts (n_dup = Σ(c−1), dup chars = Σ(c−1)·len); 2-gram share off
+    * the prelude's `toks`. string_split keeps trailing empties and
+    * length() counts code points — both matching the expression's
+    * split("\n", −1) / codePointCount contract.
+    */
+  def repetitionSql: String = {
+    def frac(num: String, den: String): String =
+      s"CAST(round(CASE WHEN $den > 0 THEN 1000000.0 * $num / $den ELSE 0 END) AS BIGINT)"
+    withPrelude(
+      s"""     , lns AS (
+         |  SELECT doc_id, unnest(string_split(content, chr(10))) AS ln FROM corpus),
+         |lgrp AS (SELECT doc_id, ln, count(*)::BIGINT AS c FROM lns GROUP BY 1, 2),
+         |lstats AS (
+         |  SELECT doc_id, sum(c)::BIGINT AS n_lines,
+         |         sum(c * length(ln))::BIGINT AS line_chars,
+         |         sum(c - 1)::BIGINT AS n_dup_lines,
+         |         sum((c - 1) * length(ln))::BIGINT AS dup_line_chars
+         |  FROM lgrp GROUP BY 1),
+         |g2 AS (
+         |  SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS g, count(*)::BIGINT AS c
+         |  FROM toks, unnest(generate_series(1, len(ts) - 1)) AS gg(i)
+         |  GROUP BY 1, 2),
+         |g2c AS (SELECT doc_id, max(c) AS top2, sum(c)::BIGINT AS total2 FROM g2 GROUP BY 1)
+         |SELECT l.doc_id, l.n_lines,
+         |       ${frac("l.n_dup_lines", "l.n_lines")} AS dup_line_q,
+         |       ${frac("l.dup_line_chars", "l.line_chars")} AS dup_char_q,
+         |       ${frac("coalesce(g.top2, 0)", "coalesce(g.total2, 0)")} AS top2_q
+         |FROM lstats l LEFT JOIN g2c g ON g.doc_id = l.doc_id""".stripMargin)
+  }
+
+  /** PII-injected corpus CTE chain (mirror of TextStats.withPii) — ends
+    * by redefining `corpus`, for [[Oracle.withCorpusCtes]].
+    */
+  val piiCtes: String =
+    s"""corpus0 AS (
+       |${Oracle.corpusBody}),
+       |corpus AS (
+       |  SELECT doc_id, repo, path, "commit", lang,
+       |         CASE WHEN doc_id % 7 = 0 THEN content || ' contact user' || doc_id
+       |                   || '@example.com or admin@test' || (doc_id % 10) || '.org'
+       |              WHEN doc_id % 11 = 3 THEN content || ' from 10.' || (doc_id % 200)
+       |                   || '.0.' || (doc_id % 250)
+       |              ELSE content END AS content
+       |  FROM corpus0)""".stripMargin
+
+  /** PII redaction (mirror of TextStats.redactPii over withPii): counts
+    * + sha256 attestation of the redacted text. regexp_replace needs the
+    * explicit 'g' flag — DuckDB replaces first-match-only by default
+    * where Spark's is global.
+    */
+  def piiSql: String = {
+    val email = TextStats.EmailRe
+    val ip = TextStats.Ipv4Re
+    Oracle.withCorpusCtes(piiCtes,
+      s"""SELECT doc_id,
+         |       len(regexp_extract_all(lower(content), '$email'))::BIGINT AS n_emails,
+         |       len(regexp_extract_all(regexp_replace(lower(content), '$email', '<EMAIL>', 'g'), '$ip'))::BIGINT AS n_ips,
+         |       sha256(regexp_replace(regexp_replace(lower(content), '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g')) AS redacted_sha
+         |FROM corpus""".stripMargin)
+  }
+
+  /** Stratified sample (mirror of Sample.stratified): same integer-exact
+    * keep rule — h < min(2^32, (target·2^32) // n_stratum), h = first 8
+    * md5 hex chars of 'salt:doc_id' via the ('0x'||hex)::BIGINT cast.
+    */
+  def stratifiedSampleSql(strataCol: String, target: Long, salt: String): String =
+    withPrelude(
+      s"""     , n_s AS (
+         |  SELECT $strataCol AS stratum, count(*)::BIGINT AS n_stratum
+         |  FROM corpus GROUP BY 1)
+         |SELECT c.doc_id, n_s.stratum,
+         |       ('0x' || substr(md5('$salt:' || c.doc_id), 1, 8))::BIGINT AS samp_hash
+         |FROM corpus c JOIN n_s ON n_s.stratum = c.$strataCol
+         |WHERE ('0x' || substr(md5('$salt:' || c.doc_id), 1, 8))::BIGINT <
+         |      least(${1L << 32}, ${target * (1L << 32)} // n_stratum)""".stripMargin)
 }

@@ -585,4 +585,70 @@ class MlSpec extends SparkSpec {
     assert(e.title == "ns title" && e.mediaUrl == "https://example.org/m/1.jpg")
     assert(e.authorId == "users/dave" && e.tags == Seq("t1", "t2"))
   }
+
+  test("repetition signals: hand-computed tallies, one expression eval per row") {
+    val docs = Seq(
+      (1L, "a\na\nb"),            // 1 dup line of 1 char; 2-grams "a a","a b"
+      (2L, "x y x y x y"),        // no dup lines; "x y"x3 of 5 2-grams
+      (3L, ""),                   // 1 empty line, zero denominators
+      (4L, "Hello!\nHello!\nHello!") // 2 dup lines; "hello hello" is all 2-grams
+    ).toDF("doc_id", "content")
+    val r = TextStats.repetition(docs)
+    val rows = r.collect().map(x => x.getLong(0) ->
+      (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(rows(1L) == ((3L, 333333L, 333333L, 500000L)))
+    assert(rows(2L) == ((1L, 0L, 0L, 600000L)))
+    assert(rows(3L) == ((1L, 0L, 0L, 0L)))
+    assert(rows(4L) == ((3L, 666667L, 666667L, 1000000L)))
+    // the struct-producing expression must be evaluated once per row, not
+    // re-expanded per output column by CollapseProject (a literal Seq
+    // constant-folds away, so pin the plan on the parquet-backed corpus)
+    val plan = TextStats.repetition(corpus).queryExecution.executedPlan.toString
+    val evals = "graft_rep_stats".r.findAllIn(plan).size
+    assert(evals == 1, s"graft_rep_stats evaluated $evals times in:\n$plan")
+  }
+
+  test("pii redaction: counts, email-before-ip order, sha attests the rewrite") {
+    val docs = Seq(
+      (1L, "Contact Bob99@Example.COM at 10.1.2.3 or 999.999.999.999"),
+      (2L, "no pii here"),
+      (3L, "two mails a1@b.c and x@y.zz")).toDF("doc_id", "content")
+    val out = TextStats.redactPii(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L)._1 == 1 && out(1L)._2 == 2) // {1,3} octets admit 999
+    assert(out(2L) == ((0L, 0L, sha256Hex("no pii here"))))
+    assert(out(3L)._1 == 2 && out(3L)._2 == 0)
+    assert(out(1L)._3 == sha256Hex("contact <EMAIL> at <IP> or <IP>"))
+    assert(out(3L)._3 == sha256Hex("two mails <EMAIL> and <EMAIL>"))
+  }
+
+  private def sha256Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("stratified sample: exact integer rule, partition-invariant, caps bind") {
+    import graft.ml.Sample
+    val target = 60L
+    val got = Sample.stratified(corpus, "lang", target)
+      .select($"doc_id", $"stratum", $"samp_hash")
+      .as[(Long, String, Long)].collect().toSet
+    // brute twin on the driver
+    val base = corpus.select($"doc_id", $"lang").as[(Long, String)].collect()
+    val n = base.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    def h(id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"samp:$id".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+    val want = base.collect { case (id, lang)
+        if h(id) < math.min(1L << 32, (target * (1L << 32)) / n(lang)) =>
+      (id, lang, h(id))
+    }.toSet
+    assert(got == want)
+    assert(want.nonEmpty && want.size < base.length, "rule must bind at sfTiny")
+    // partitioning must not change the survivor set
+    val re = Sample.stratified(corpus.repartition(7), "lang", target)
+      .as[(Long, String, Long)].collect().toSet
+    assert(re == got)
+    // a target >= every stratum keeps the whole corpus
+    assert(Sample.stratified(corpus, "lang", 1L << 30).count() == base.length)
+  }
 }
