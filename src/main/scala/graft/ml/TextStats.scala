@@ -108,9 +108,12 @@ object TextStats {
   def repetition(corpus: DataFrame): DataFrame = {
     val withR = corpus.select(col("doc_id"),
       graft.functions.GraftFunctions.graft_rep_stats(col("content")).as("r"))
+    // op order (1e6·num)/den mirrors the oracle's `1000000.0 * num / den`
+    // exactly — a different association produces different doubles that
+    // can round across a .5 boundary
     def frac(num: Column, den: Column): Column =
-      round(when(den > 0, num.cast("double") / den.cast("double"))
-        .otherwise(lit(0.0)) * 1e6).cast("long")
+      round(when(den > 0, (lit(1e6) * num.cast("double")) / den.cast("double"))
+        .otherwise(lit(0.0))).cast("long")
     withR.select(
       col("doc_id"),
       col("r.n_lines").cast("long").as("n_lines"),

@@ -656,11 +656,19 @@ final class Engine(val index: Index) {
       .filter(_._3 > 0)
     val (n, avgdl) = index.stats
     val weights = weightsOf(kept, n)
+    // build each phrase's contribution ONCE and reuse the same DataFrame
+    // for both the score union and the MUST/MUST_NOT membership join —
+    // identical canonical subtrees let Catalyst/AQE reuse the exchange,
+    // where the previous shape (a second phraseScores call at boost 1.0)
+    // guaranteed two full postings + verify passes per required phrase
+    val phraseDfs =
+      phraseSeq.map { case p @ (toks, b, occ) =>
+        val boost = if (occ == Occur.MustNot) 1.0 else b
+        p -> phraseScores(corpus, toks, boost).toDF("doc_id", "score")
+      }
     val parts: Seq[DataFrame] =
       (if (weights.isEmpty) Nil else Seq(scanScoreAll(weights, avgdl))) ++
-        phraseSeq.collect { case (toks, b, occ) if occ != Occur.MustNot =>
-          phraseScores(corpus, toks, b).toDF("doc_id", "score")
-        }
+        phraseDfs.collect { case (((_, _, occ), df0)) if occ != Occur.MustNot => df0 }
     if (parts.isEmpty) // purely negative query matches nothing, as in Lucene
       return Wand.topK(spark, spark.emptyDataset[Scored], rows)
     var res = parts.reduce(_ unionAll _)
@@ -668,14 +676,12 @@ final class Engine(val index: Index) {
     if (mustSeq.nonEmpty)
       res = res.join(conjunctiveDocs(mustSeq.map(_._1)).toDF("doc_id"),
         Seq("doc_id"), "left_semi")
-    phraseSeq.foreach { case (toks, _, occ) =>
+    phraseDfs.foreach { case ((_, _, occ), df0) =>
       occ match {
-        case Occur.Must => res = res.join(
-          phraseScores(corpus, toks, 1.0).toDF("doc_id", "score").select("doc_id"),
-          Seq("doc_id"), "left_semi")
-        case Occur.MustNot => res = res.join(
-          phraseScores(corpus, toks, 1.0).toDF("doc_id", "score").select("doc_id"),
-          Seq("doc_id"), "left_anti")
+        case Occur.Must =>
+          res = res.join(df0.select("doc_id"), Seq("doc_id"), "left_semi")
+        case Occur.MustNot =>
+          res = res.join(df0.select("doc_id"), Seq("doc_id"), "left_anti")
         case Occur.Should => ()
       }
     }
@@ -720,16 +726,15 @@ final class Engine(val index: Index) {
     // a SHOULD term that is also prohibited can never contribute (every
     // doc holding it is excluded) — drop it from the scoring set up front
     val shouldKept = keptTerms(should.filterNot(t => notSet(t._1)), accuracy)
-    val mustClean = must
-    val mustDfs = index.dfOf(mustClean.map(_._1).distinct)
-    if (mustClean.exists(t => mustDfs.getOrElse(t._1, 0L) == 0L))
+    val mustDfs = index.dfOf(must.map(_._1).distinct)
+    if (must.exists(t => mustDfs.getOrElse(t._1, 0L) == 0L))
       return Wand.topK(spark, spark.emptyDataset[Scored], rows) // required term absent from the corpus
-    val mustKept = mustClean.map { case (t, b) => (t, b, mustDfs.getOrElse(t, 0L)) }
+    val mustKept = must.map { case (t, b) => (t, b, mustDfs.getOrElse(t, 0L)) }
     val kept = shouldKept ++ mustKept
     if (kept.isEmpty) return Wand.topK(spark, spark.emptyDataset[Scored], rows)
     val (n, avgdl) = index.stats
     val weights = weightsOf(kept, n)
-    val mustSet = mustClean.map(_._1).toSet
+    val mustSet = must.map(_._1).toSet
     val (bitmapFq, pred) = fqSplit(docPred, docFilter)
     val dfByTerm: Map[String, Long] =
       kept.iterator.map { case (t, _, df) => t -> df }.toMap
@@ -1519,19 +1524,13 @@ final class Engine(val index: Index) {
     val (n, avgdl) = index.stats
     val weights = weightsOf(kept, n)
     val cfg = index.cfg
-    // fq resolution mirrors searchByTerms: a sole equality fq on a fully
-    // covered column rides the bitmap cogroup; anything else — an
-    // arbitrary docPred (Solr q+fq+group), a combined pred+fq, or an
-    // uncovered column — becomes a predicate on the scan fallback
-    // (silently ignoring it would be the P2 bug class all over again)
-    val (bitmapFq, pred0) = docFilter match {
-      case Some((c, _)) if docPred.isEmpty &&
-          index.filterColsComplete.contains(c) => (docFilter, None)
-      case Some((c, v)) =>
-        (None, Some(docPred.map(_ && col(c) === lit(v))
-          .getOrElse(col(c) === lit(v))))
-      case None => (None, docPred)
-    }
+    // fq resolution is the ONE rule shared with searchByTerms/searchBool
+    // ([[fqSplit]]): a sole equality fq on a fully covered column rides
+    // the bitmap cogroup; anything else — an arbitrary docPred (Solr
+    // q+fq+group), a combined pred+fq, or an uncovered column — becomes a
+    // predicate on the scan fallback (silently ignoring it would be the
+    // P2 bug class all over again)
+    val (bitmapFq, pred0) = fqSplit(docPred, docFilter)
     val viaBitmap = !forceScan && pred0.isEmpty && index.hasFilters &&
       index.filterColsComplete.contains(field) &&
       cfg.segShift <= DenseArraySegShiftMax
@@ -1864,11 +1863,21 @@ object Engine {
     out.result()
   }
 
-  /** Wildcard pattern -> LIKE pattern (`*`→`%`, `?`→`_`). Collision-free:
-    * the indexed term alphabet [a-z0-9:] holds no LIKE metachars.
+  /** Wildcard pattern -> LIKE pattern (`*`→`%`, `?`→`_`); literal `%`,
+    * `_` and `\` in the PATTERN are backslash-escaped so they stay
+    * literal (Lucene wildcard semantics: only `*`/`?` are special). The
+    * indexed term alphabet [a-z0-9:] holds none of them, so such a
+    * pattern simply matches nothing — but it must not silently act as an
+    * extra wildcard. Spark's LIKE escape char is `\` by default; the
+    * DuckDB oracle says ESCAPE '\' explicitly.
     */
   def wildcardToLike(pattern: String): String =
-    pattern.replace('*', '%').replace('?', '_')
+    pattern.flatMap {
+      case '*' => "%"
+      case '?' => "_"
+      case c @ ('%' | '_' | '\\') => "\\" + c
+      case c => c.toString
+    }
 
   private def occurOf(s: String): Occur = s match {
     case "+" => Occur.Must

@@ -376,14 +376,15 @@ object Oracle {
 
   /** WildcardQuery oracle: same capped (df DESC, term ASC) top-terms
     * rewrite as [[prefixSql]], match via LIKE on the translated pattern
-    * (`*`→`%`, `?`→`_` — Engine.wildcardToLike; the term alphabet
-    * [a-z0-9:] holds no LIKE metachars, so no escaping).
+    * (`*`→`%`, `?`→`_`, literal metachars backslash-escaped —
+    * Engine.wildcardToLike; ESCAPE '\' matches Spark's default LIKE
+    * escape so both engines read the escapes identically).
     */
   def wildcardSql(pattern: String, maxExpansions: Int, k: Int): String =
     withPrelude(
       s"""     , q(term, boost) AS (
          |  SELECT term, 1.0::DOUBLE AS boost FROM dict
-         |  WHERE term LIKE '${graft.query.Engine.wildcardToLike(pattern)}'
+         |  WHERE term LIKE '${graft.query.Engine.wildcardToLike(pattern)}' ESCAPE '\\'
          |  ORDER BY df DESC, term ASC LIMIT $maxExpansions),
          |${bm25Body(None)}
          |${topKSelect(k)}""".stripMargin)

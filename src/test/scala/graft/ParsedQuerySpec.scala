@@ -92,6 +92,11 @@ class ParsedQuerySpec extends SparkSpec {
       maxExpansions = SparkEntry.WildcardMaxExpansions).collect().map(_.toSeq).toSeq
     assert(parsed == or)
     assert(engine.searchWildcard("w:zz?zz*", rows = 10).count() == 0)
+    // literal LIKE metachars in the PATTERN stay literal (Lucene: only
+    // */? are special): no indexed term contains '%' or '_', so these
+    // match nothing — without escaping, 'w:s_a*' would act like 'w:s?a*'
+    assert(engine.searchWildcard("w:s_a*", rows = 10).count() == 0)
+    assert(engine.searchWildcard("w:s%a*", rows = 10).count() == 0)
   }
 
   // ------------------------------------------------------------------
