@@ -472,6 +472,9 @@ object SparkEntry {
     // deterministic stratified sampler: ~SampleTarget docs per language
     "q_stratified_sample" -> ((s, dir) =>
       ml.Sample.stratified(Corpus.fromDocuments(s, dir), "lang", SampleTarget)),
+    // full Gopher rule set (signals + keep) over the structure-injected corpus
+    "q_gopher_rules" -> ((s, dir) =>
+      TextStats.gopherRules(TextStats.withStructure(Corpus.fromDocuments(s, dir)))),
     // multimodal: opaque binary payload + typed metadata
     "q_binary_meta" -> ((s, dir) =>
       Binary.asBinaryTable(Corpus.fromDocuments(s, dir))
@@ -701,6 +704,7 @@ object SparkEntry {
     "q_repetition" -> OracleMl.repetitionSql,
     "q_pii_redact" -> OracleMl.piiSql,
     "q_stratified_sample" -> OracleMl.stratifiedSampleSql("lang", SampleTarget, "samp"),
+    "q_gopher_rules" -> OracleMl.gopherSql,
     "q_binary_meta" -> OracleMl.binaryMetaSql,
     "q_frame_sample" -> OracleMl.frameSampleSql(32, 2),
     "q_search_fields" -> Oracle.withPrelude(

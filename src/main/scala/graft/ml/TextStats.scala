@@ -168,6 +168,108 @@ object TextStats {
       sha2(red, 256).as("redacted_sha"))
   }
 
+  /** Gopher quality-rule constants (Rae et al. 2021 §A1.1, Table A1) —
+    * single source of truth for engine + oracle. Ratio thresholds are the
+    * quantized (×1e6) integers the keep rule compares, so the decision is
+    * integer-exact across engines.
+    */
+  val RequiredWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  val GopherMinWords = 50L
+  val GopherMaxWords = 100000L
+  val GopherMinWlenQ = 3000000L // mean word length in [3, 10]
+  val GopherMaxWlenQ = 10000000L
+  val GopherMaxSymbolQ = 100000L // symbol-to-word ratio <= 0.1
+  val GopherMaxBulletQ = 900000L // <= 90% of lines bullet-started
+  val GopherMaxEllipsisQ = 300000L // <= 30% of lines ellipsis-ended
+  val GopherMinAlphaQ = 800000L // >= 80% of words contain a letter
+  val GopherMinRequired = 2L // >= 2 of the 8 required words
+
+  /** Deterministic structure injection for the Gopher-rule gate — the
+    * synthetic corpus is single-line, punctuation-free lowercase prose, so
+    * the line-level and symbol rules would otherwise never fire (same
+    * non-vacuity reasoning as [[withPii]]). Composable appended fragments,
+    * one per rule exercised; mirrored CTE:
+    * [[graft.sql.OracleMl.structureCtes]].
+    */
+  def withStructure(corpus: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    def frag(cond: Column, s: String): Column =
+      when(cond, lit(s)).otherwise(lit(""))
+    corpus.withColumn("content", concat(
+      col("content"),
+      // required words: only these docs can clear GopherMinRequired (the
+      // synthetic vocabulary carries just "the" of the eight)
+      frag(id % 3 === 1, " and that of have"),
+      // benign bullets: 2 of 3 lines (0.667 <= 0.9) — exercises the
+      // arithmetic on docs that still keep
+      frag(id % 10 === 1, "\n- one\n- two"),
+      // bullet wall: 10 of 11 lines (0.909 > 0.9) -> drop
+      frag(id % 10 === 4, Seq.fill(10)("\n- item").mkString),
+      // ellipsis ends: 3 of 4 lines (0.75 > 0.3) -> drop
+      frag(id % 10 === 7, "\nwait...\nmore...\nhmm..."),
+      // symbol flood: 12 '#' words -> ratio > 0.1 for any doc under 120
+      // words (the corpus caps at ~103) -> drop
+      frag(id % 10 === 9, " " + Seq.fill(12)("#").mkString(" ")),
+      // numeric flood: 30 digit-words -> alpha fraction < 0.8 for any doc
+      // under 120 words -> drop
+      frag(id % 10 === 3, (" " + (0 to 9).mkString(" ")) * 3)))
+  }
+
+  /** Gopher quality rules (Rae et al. 2021 §A1.1): per doc the quantized
+    * rule inputs and the composite keep decision —
+    *   n_words        whitespace words,
+    *   mean_wlen_q    non-space chars / words,
+    *   symbol_q       ('#' + '...') occurrences / words,
+    *   bullet_q       bullet-started lines / lines,
+    *   ellipsis_q     ellipsis-ended lines / lines,
+    *   alpha_q        words containing a letter / words,
+    *   n_required     how many of the 8 required words appear,
+    *   keep           1 iff every rule passes (thresholds above).
+    * All ratios round(1e6·x), 0 when the denominator is 0; keep compares
+    * the quantized integers so no float boundary can flip across engines.
+    * Pure codegen'd built-ins (regexp_count / replace / rlike) — per-row,
+    * no shuffle, whole-stage codegen at any corpus size. Regex subset
+    * restricted to Java-regex/RE2-identical constructs (see [[EmailRe]]
+    * note); `$`-vs-final-newline divergence avoided because `\n` is the
+    * first alternative everywhere it could fire. Mirror:
+    * [[graft.sql.OracleMl.gopherSql]].
+    */
+  def gopherRules(corpus: DataFrame): DataFrame = {
+    val c = col("content")
+    def frac(num: Column, den: Column): Column =
+      round(when(den > 0, (lit(1e6) * num.cast("double")) / den.cast("double"))
+        .otherwise(lit(0.0))).cast("long")
+    val nWords = regexp_count(c, lit("[^\\s]+")).cast("long")
+    val nonSpace = length(regexp_replace(c, "\\s", "")).cast("long")
+    val nLines = (length(c) - length(replace(c, lit("\n"), lit(""))) + 1).cast("long")
+    val nSymbols = (length(c) - length(replace(c, lit("#"), lit(""))) +
+      regexp_count(c, lit("\\.\\.\\."))).cast("long")
+    val nBullet = regexp_count(c, lit("(^|\\n)- ")).cast("long")
+    val nEllEnd = regexp_count(c, lit("\\.\\.\\.(\\n|$)")).cast("long")
+    val nAlpha = regexp_count(c, lit("[^\\s]*[a-z][^\\s]*")).cast("long")
+    val nRequired = RequiredWords
+      .map(w => when(c.rlike("(^|\\s)" + w + "(\\s|$)"), lit(1L)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val sig = corpus.select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      frac(nonSpace, nWords).as("mean_wlen_q"),
+      frac(nSymbols, nWords).as("symbol_q"),
+      frac(nBullet, nLines).as("bullet_q"),
+      frac(nEllEnd, nLines).as("ellipsis_q"),
+      frac(nAlpha, nWords).as("alpha_q"),
+      nRequired.as("n_required"))
+    sig.withColumn("keep",
+      (col("n_words").between(GopherMinWords, GopherMaxWords) &&
+        col("mean_wlen_q").between(GopherMinWlenQ, GopherMaxWlenQ) &&
+        col("symbol_q") <= GopherMaxSymbolQ &&
+        col("bullet_q") <= GopherMaxBulletQ &&
+        col("ellipsis_q") <= GopherMaxEllipsisQ &&
+        col("alpha_q") >= GopherMinAlphaQ &&
+        col("n_required") >= GopherMinRequired).cast("long"))
+  }
+
   /** Min-hash fingerprint over character 8-grams (winnowing-lite): the
     * lexical min of md5 over all 8-char windows; null for content < 8
     * chars. A content-defined identity robust to doc reordering at corpus

@@ -649,6 +649,73 @@ object OracleMl {
          |FROM corpus""".stripMargin)
   }
 
+  /** Structure-injected corpus CTE chain (mirror of
+    * TextStats.withStructure) — ends by redefining `corpus`, for
+    * [[Oracle.withCorpusCtes]]. Fragment strings are built from the same
+    * Scala expressions the engine concatenates.
+    */
+  val structureCtes: String = {
+    val syms = " " + Seq.fill(12)("#").mkString(" ")
+    val nums = (" " + (0 to 9).mkString(" ")) * 3
+    s"""corpus0 AS (
+       |${Oracle.corpusBody}),
+       |corpus AS (
+       |  SELECT doc_id, repo, path, "commit", lang,
+       |         content
+       |         || CASE WHEN doc_id % 3 = 1 THEN ' and that of have' ELSE '' END
+       |         || CASE WHEN doc_id % 10 = 1 THEN chr(10) || '- one' || chr(10) || '- two' ELSE '' END
+       |         || CASE WHEN doc_id % 10 = 4 THEN repeat(chr(10) || '- item', 10) ELSE '' END
+       |         || CASE WHEN doc_id % 10 = 7 THEN chr(10) || 'wait...' || chr(10) || 'more...' || chr(10) || 'hmm...' ELSE '' END
+       |         || CASE WHEN doc_id % 10 = 9 THEN '$syms' ELSE '' END
+       |         || CASE WHEN doc_id % 10 = 3 THEN '$nums' ELSE '' END
+       |         AS content
+       |  FROM corpus0)""".stripMargin
+  }
+
+  /** Gopher quality rules (mirror of TextStats.gopherRules over
+    * withStructure): same counts, same (1e6·num)/den op order, keep
+    * decided on the quantized integers.
+    */
+  def gopherSql: String = {
+    def frac(num: String, den: String): String =
+      s"CAST(round(CASE WHEN $den > 0 THEN 1000000.0 * $num / $den ELSE 0 END) AS BIGINT)"
+    val req = TextStats.RequiredWords
+      .map(w => s"regexp_matches(content, '(^|\\s)$w(\\s|$$)')::INT")
+      .mkString("\n           + ")
+    Oracle.withCorpusCtes(structureCtes,
+      s"""     , gstats AS (
+         |  SELECT doc_id,
+         |         len(regexp_extract_all(content, '[^\\s]+'))::BIGINT AS n_words,
+         |         length(regexp_replace(content, '\\s', '', 'g'))::BIGINT AS non_space,
+         |         (length(content) - length(replace(content, chr(10), '')) + 1)::BIGINT AS n_lines,
+         |         (length(content) - length(replace(content, '#', ''))
+         |           + len(regexp_extract_all(content, '\\.\\.\\.')))::BIGINT AS n_symbols,
+         |         len(regexp_extract_all(content, '(^|\\n)- '))::BIGINT AS n_bullet,
+         |         len(regexp_extract_all(content, '\\.\\.\\.(\\n|$$)'))::BIGINT AS n_ell_end,
+         |         len(regexp_extract_all(content, '[^\\s]*[a-z][^\\s]*'))::BIGINT AS n_alpha,
+         |         ($req)::BIGINT AS n_required
+         |  FROM corpus),
+         |sig AS (
+         |  SELECT doc_id, n_words,
+         |         ${frac("non_space", "n_words")} AS mean_wlen_q,
+         |         ${frac("n_symbols", "n_words")} AS symbol_q,
+         |         ${frac("n_bullet", "n_lines")} AS bullet_q,
+         |         ${frac("n_ell_end", "n_lines")} AS ellipsis_q,
+         |         ${frac("n_alpha", "n_words")} AS alpha_q,
+         |         n_required
+         |  FROM gstats)
+         |SELECT doc_id, n_words, mean_wlen_q, symbol_q, bullet_q, ellipsis_q,
+         |       alpha_q, n_required,
+         |       (n_words BETWEEN ${TextStats.GopherMinWords} AND ${TextStats.GopherMaxWords}
+         |        AND mean_wlen_q BETWEEN ${TextStats.GopherMinWlenQ} AND ${TextStats.GopherMaxWlenQ}
+         |        AND symbol_q <= ${TextStats.GopherMaxSymbolQ}
+         |        AND bullet_q <= ${TextStats.GopherMaxBulletQ}
+         |        AND ellipsis_q <= ${TextStats.GopherMaxEllipsisQ}
+         |        AND alpha_q >= ${TextStats.GopherMinAlphaQ}
+         |        AND n_required >= ${TextStats.GopherMinRequired})::BIGINT AS keep
+         |FROM sig""".stripMargin)
+  }
+
   /** Stratified sample (mirror of Sample.stratified): same integer-exact
     * keep rule — h < min(2^32, (target·2^32) // n_stratum), h = first 8
     * md5 hex chars of 'salt:doc_id' via the ('0x'||hex)::BIGINT cast.

@@ -651,4 +651,37 @@ class MlSpec extends SparkSpec {
     // a target >= every stratum keeps the whole corpus
     assert(Sample.stratified(corpus, "lang", 1L << 30).count() == base.length)
   }
+
+  test("gopher rules: each rule flips keep on a crafted doc") {
+    val base = (Seq.fill(48)("word") ++ Seq("that", "have")).mkString(" ")
+    val docs = Seq(
+      1L -> base, // 50 words, mean len 4, all-alpha, 2 required -> keep
+      2L -> base.split(" ").take(49).mkString(" "), // 49 words -> word count
+      3L -> ((Seq.fill(48)("a") ++ Seq("be", "to")).mkString(" ")), // mean len 1.04
+      4L -> (base + " # # # # # #"), // 6/56 symbols > 0.1
+      5L -> (base + "\n- item" * 10), // 10/11 bullet lines > 0.9
+      6L -> (base + "\nok...\nok..."), // 2/3 ellipsis-end lines > 0.3
+      7L -> (base + " 1 2 3 4 5 6 7 8 9 10 11 12 13"), // alpha 50/63 < 0.8
+      8L -> Seq.fill(50)("word").mkString(" ") // zero required words
+    ).toDF("doc_id", "content")
+    val r = TextStats.gopherRules(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Long]("keep") == 1L)
+    (2L to 8L).foreach(i => assert(r(i).getAs[Long]("keep") == 0L, s"doc $i"))
+    // the specific signal crossed its threshold (not a different rule)
+    assert(r(1L).getAs[Long]("mean_wlen_q") == 4000000L)
+    assert(r(2L).getAs[Long]("n_words") == 49L)
+    assert(r(3L).getAs[Long]("mean_wlen_q") < TextStats.GopherMinWlenQ)
+    assert(r(4L).getAs[Long]("symbol_q") > TextStats.GopherMaxSymbolQ)
+    assert(r(4L).getAs[Long]("alpha_q") >= TextStats.GopherMinAlphaQ)
+    assert(r(5L).getAs[Long]("bullet_q") > TextStats.GopherMaxBulletQ)
+    assert(r(6L).getAs[Long]("ellipsis_q") > TextStats.GopherMaxEllipsisQ)
+    assert(r(7L).getAs[Long]("alpha_q") < TextStats.GopherMinAlphaQ)
+    assert(r(8L).getAs[Long]("n_required") == 0L)
+    // the structure injection makes the real-corpus gate non-vacuous
+    val injected = TextStats.gopherRules(TextStats.withStructure(corpus))
+    val keeps = injected.groupBy("keep").count()
+      .as[(Long, Long)].collect().toMap
+    assert(keeps.getOrElse(1L, 0L) > 0 && keeps.getOrElse(0L, 0L) > 0)
+  }
 }
