@@ -93,6 +93,12 @@ object SparkEntry {
   val WildcardQ = "w:s?a*"
   val WildcardMaxExpansions = 2
 
+  /** Leading-wildcard gate: "*ark" routes to the reversed-term dictionary
+    * (rterm LIKE 'kra%', a StartsWith pushdown); the oracle runs the
+    * equivalent forward LIKE '%ark' — route-invariance IS the check.
+    */
+  val WildcardLeadQ = "*ark"
+
   /** Stratified-sample gate: expected survivors per language stratum —
     * below the per-lang count at every SF, so the keep rule binds.
     */
@@ -542,6 +548,11 @@ object SparkEntry {
     "q_wildcard_search" -> ((s, dir) =>
       Engine.forDir(s, dir).searchWildcard(WildcardQ,
         rows = 60, maxExpansions = WildcardMaxExpansions)),
+    // leading wildcard: served off the reversed-term dictionary (StartsWith
+    // pushdown), oracle scans forward — identical results by construction
+    "q_wildcard_leading" -> ((s, dir) =>
+      Engine.forDir(s, dir).searchWildcard(WildcardLeadQ,
+        rows = 60, maxExpansions = WildcardMaxExpansions)),
     // the full Lucene QueryParser surface in one string: MUST phrase +
     // boosted term + MUST_NOT + prefix rewrite + fuzzy rewrite, scores
     // composed the way BooleanQuery sums subscorers
@@ -726,6 +737,7 @@ object SparkEntry {
     "q_prefix_search" -> Oracle.prefixSql(PrefixQ, PrefixMaxExpansions, 60),
     "q_fuzzy_search" -> Oracle.fuzzySql(FuzzyQ, FuzzyMaxEdits, FuzzyMaxExpansions, 60),
     "q_wildcard_search" -> Oracle.wildcardSql(WildcardQ, WildcardMaxExpansions, 60),
+    "q_wildcard_leading" -> Oracle.wildcardSql(WildcardLeadQ, WildcardMaxExpansions, 60),
     "q_parsed_mixed" -> Oracle.parsedMixedSql("hash join",
       Seq("w:window" -> 2.0), "w:sm", 0.5, "w:hach", 1, 1.0,
       50, Seq("w:stream"), 60),

@@ -114,6 +114,7 @@ object IndexBuild {
   def filtersDir(indexDir: String) = s"$indexDir/filters"
   def tombstonesDir(indexDir: String) = s"$indexDir/tombstones"
   def dictionaryDir(indexDir: String) = s"$indexDir/dictionary"
+  def rdictionaryDir(indexDir: String) = s"$indexDir/rdictionary"
 
   /** Write the per-unit term dictionary (term, term_id, df) for `unit`
     * from its just-written segments: ONE metadata-column aggregation per
@@ -127,7 +128,7 @@ object IndexBuild {
     * commit gate covers it.
     */
   private def writeDictionary(spark: SparkSession, indexDir: String, unit: Long): Unit = {
-    import org.apache.spark.sql.functions.{col, sum}
+    import org.apache.spark.sql.functions.{col, reverse, sum}
     spark.read.parquet(s"${segmentsDir(indexDir)}/range=$unit")
       .groupBy(col("term"), col("term_id"))
       .agg(sum(col("df")).cast("long").as("df"))
@@ -136,6 +137,17 @@ object IndexBuild {
       .repartition(1)
       .sortWithinPartitions(col("term_id"))
       .write.mode("overwrite").parquet(s"${dictionaryDir(indexDir)}/range=$unit")
+    // reversed-term side store (Solr's ReversedWildcardFilterFactory
+    // analog): (rterm, term, df) sorted by rterm so a leading-wildcard
+    // query becomes a StartsWith pushdown against tight row-group stats
+    // instead of a full-vocabulary LIKE scan (Engine.shouldReverse).
+    // Derived from the just-written dictionary file — one vocab-sized read,
+    // the segment aggregation above is not repeated.
+    spark.read.parquet(s"${dictionaryDir(indexDir)}/range=$unit")
+      .select(reverse(col("term")).as("rterm"), col("term"), col("df"))
+      .repartition(1)
+      .sortWithinPartitions(col("rterm"))
+      .write.mode("overwrite").parquet(s"${rdictionaryDir(indexDir)}/range=$unit")
   }
 
   /** Pack (local, tf, dl) into one long — the shuffle row stays (String,
@@ -386,7 +398,7 @@ object IndexBuild {
     val gcFs = new Path(indexDir).getFileSystem(spark.sessionState.newHadoopConf())
     val stores = Seq(segmentsDir(indexDir), docmetaDir(indexDir),
       filtersDir(indexDir), tombstonesDir(indexDir), manifestDir(indexDir),
-      dictionaryDir(indexDir))
+      dictionaryDir(indexDir), rdictionaryDir(indexDir))
     (if (gc) committed.toSet -- live else Set.empty[Long]).foreach { u =>
       stores.foreach(d => gcFs.delete(new Path(s"$d/range=$u"), true))
     }
@@ -976,6 +988,9 @@ object IndexBuild {
       if (fs.exists(new Path(s"${dictionaryDir(indexDir)}/range=$tmpl")))
         spark.read.parquet(s"${dictionaryDir(indexDir)}/range=$tmpl").limit(0)
           .write.mode("overwrite").parquet(s"${dictionaryDir(indexDir)}/range=$unit")
+      if (fs.exists(new Path(s"${rdictionaryDir(indexDir)}/range=$tmpl")))
+        spark.read.parquet(s"${rdictionaryDir(indexDir)}/range=$tmpl").limit(0)
+          .write.mode("overwrite").parquet(s"${rdictionaryDir(indexDir)}/range=$unit")
       Seq((unit, 0L, 0L, 0L, 0L, cfg.segShift, cfg.rangeSegsShift, 0L,
         Seq.empty[DocRangeStat], Seq.empty[Long]))
         .toDF("range_id", "n_docs", "sum_dl", "n_rows", "checksum",

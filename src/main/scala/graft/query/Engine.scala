@@ -191,6 +191,31 @@ final class Index(val spark: SparkSession, val indexDir: String) {
     base.cache()
   }
 
+  /** Reversed-term dictionary present for every live unit? (Same one-glob
+    * contract as [[hasDictStore]]; absent on pre-v6 indexes, where leading
+    * wildcards keep the forward-scan fallback.)
+    */
+  lazy val hasRDict: Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val present = Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+      s"${IndexBuild.rdictionaryDir(indexDir)}/range=*")))
+      .getOrElse(Array.empty)
+      .map(_.getPath.getName.stripPrefix("range=").toLong).toSet
+    ranges.nonEmpty && ranges.forall(present.contains)
+  }
+
+  /** Per-unit reversed-term rows (rterm, term, df) — deliberately NOT
+    * pre-aggregated or cached: a reversed-routed wildcard filters by rterm
+    * prefix FIRST (parquet StringStartsWith pushdown against the
+    * rterm-sorted row groups — [[IndexBuild]].writeDictionary), then sums
+    * df over only the matching rows. Caching a second vocabulary-sized
+    * table would defeat the point at 100× vocab.
+    */
+  def rdictStore: DataFrame = spark.read
+    .option("basePath", IndexBuild.rdictionaryDir(indexDir))
+    .parquet(ranges.map(r => s"${IndexBuild.rdictionaryDir(indexDir)}/range=$r"): _*)
+
   /** Driver-resident dictionary map when the vocabulary is small enough —
     * the reference's HashTermStatistics in-memory term→df map verbatim.
     * Above the threshold, per-query df lookups fall back to a filtered
@@ -564,13 +589,29 @@ final class Engine(val index: Index) {
     searchByTerms(exp.map(_ -> boost), rows, accuracy = 1.0)
   }
 
-  /** Matching terms of a wildcard clause, (df DESC, term ASC) capped. */
-  private def wildcardExpansions(pattern: String, maxExpansions: Int): Seq[String] =
-    index.dictionary
-      .where(col("term").like(Engine.wildcardToLike(pattern)))
+  /** Matching terms of a wildcard clause, (df DESC, term ASC) capped.
+    * Leading-wildcard patterns with a literal tail route to the reversed
+    * dictionary ([[Engine.shouldReverse]]): the reversed pattern's literal
+    * head becomes a StartsWith pushdown on the rterm-sorted store, so
+    * `*suffix` prunes row groups instead of scanning the vocabulary —
+    * Solr's ReversedWildcardFilterFactory semantics. Both routes produce
+    * the same (term, df) rows (per-unit dfs sum to the dictionary's), so
+    * the (df DESC, term ASC) cap is route-invariant (pinned in
+    * ParsedQuerySpec).
+    */
+  private[graft] def wildcardExpansions(pattern: String, maxExpansions: Int,
+      forceForward: Boolean = false): Seq[String] = {
+    val matched =
+      if (!forceForward && index.hasRDict && Engine.shouldReverse(pattern))
+        index.rdictStore
+          .where(col("rterm").like(Engine.wildcardToLike(pattern.reverse)))
+          .groupBy(col("term")).agg(sum("df").cast("long").as("df"))
+      else index.dictionary.where(col("term").like(Engine.wildcardToLike(pattern)))
+    matched
       .orderBy(col("df").desc, col("term").asc)
       .limit(maxExpansions)
       .select(col("term")).as[String].collect().toSeq
+  }
 
   /** (term, editDistance) expansions of a fuzzy clause — see [[searchFuzzy]]. */
   private def fuzzyExpansions(term: String, maxEdits: Int,
@@ -1879,6 +1920,17 @@ object Engine {
       case c => c.toString
     }
 
+  /** Route a wildcard pattern to the reversed-term dictionary when the
+    * longest wildcard-free run sits at the END: leading wildcard, literal
+    * tail (Solr ReversedWildcardFilterFactory's query-side rule). Reversing
+    * both sides turns `*suffix` into prefix-matching, where the parquet
+    * StartsWith pushdown applies; a both-ends-wildcard pattern gains
+    * nothing from reversal and stays forward.
+    */
+  def shouldReverse(pattern: String): Boolean =
+    pattern.nonEmpty && (pattern.head == '*' || pattern.head == '?') &&
+      pattern.last != '*' && pattern.last != '?'
+
   private def occurOf(s: String): Occur = s match {
     case "+" => Occur.Must
     case "-" => Occur.MustNot
@@ -1911,7 +1963,7 @@ object Engine {
   def forDir(spark: SparkSession, sfDir: String): Engine =
     cache.computeIfAbsent(sfDir, { _ =>
       val key = sfDir.replaceAll("[^a-zA-Z0-9.]+", "_")
-      val dir = s"$indexRoot/v5-$key" // bump on index-format changes (v5: repo filter bitmaps)
+      val dir = s"$indexRoot/v6-$key" // bump on index-format changes (v6: reversed-term dictionary)
       val cfg = IndexConfig(segShift = 7, rangeSegsShift = 2)
       val corpus = Corpus.fromDocuments(spark, sfDir)
       IndexBuild.build(spark, corpus, dir, cfg) // resumes/no-ops if committed

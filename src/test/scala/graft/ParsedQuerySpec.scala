@@ -99,6 +99,35 @@ class ParsedQuerySpec extends SparkSpec {
     assert(engine.searchWildcard("w:s%a*", rows = 10).count() == 0)
   }
 
+  test("leading wildcard routes reversed: route-invariant, StartsWith pushdown") {
+    import org.apache.spark.sql.functions.col
+    val pat = SparkEntry.WildcardLeadQ
+    assert(Engine.shouldReverse(pat) && engine.index.hasRDict)
+    // both routes produce the identical capped expansion list
+    val rev = engine.wildcardExpansions(pat, 5)
+    val fwd = engine.wildcardExpansions(pat, 5, forceForward = true)
+    assert(rev == fwd && rev.nonEmpty, s"rev=$rev fwd=$fwd")
+    // ... and they match the brute LIKE-order cap
+    val re = ("^" + pat.flatMap {
+      case '*' => ".*"
+      case '?' => "."
+      case c => java.util.regex.Pattern.quote(c.toString)
+    } + "$").r
+    val brute = dfMap.iterator.filter(t => re.findFirstIn(t._1).isDefined)
+      .toSeq.sortBy { case (t, df) => (-df, t) }.take(5).map(_._1)
+    assert(rev == brute)
+    // the reversed route reaches parquet as a StartsWith on rterm — the
+    // row-group prune that replaces the forward path's vocabulary scan
+    val plan = engine.index.rdictStore
+      .where(col("rterm").like(Engine.wildcardToLike(pat.reverse)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("StringStartsWith(rterm,kra"),
+      s"no StartsWith pushdown:\n$plan")
+    // routing rule: reversal only pays when the literal run is the tail
+    assert(!Engine.shouldReverse("*ab*") && !Engine.shouldReverse("ab*"))
+    assert(Engine.shouldReverse("?ab") && Engine.shouldReverse("*a?b"))
+  }
+
   // ------------------------------------------------------------------
   // PrefixQuery / FuzzyQuery rewrites
   // ------------------------------------------------------------------
