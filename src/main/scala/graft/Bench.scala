@@ -180,8 +180,12 @@ object Bench {
       "search_rerank" -> (() => Engine.forDir(spark, sfDir).searchRerank(
         SparkEntry.FlagshipTerms, spark.read.parquet(s"$sfDir/embeddings.parquet"),
         SparkEntry.RerankVecId, rows = 60, candidates = 1000).count()),
+      // forced with an aggregate over fp: .count() lets ColumnPruning drop
+      // the fingerprint expression entirely, so the pre-r4 records for this
+      // section measured a bare parquet scan (disclosed in BASELINE.md)
       "fingerprint" -> (() => graft.ml.TextStats.fingerprint(
-        Corpus.fromDocuments(spark, sfDir)).count()),
+        Corpus.fromDocuments(spark, sfDir))
+        .agg(org.apache.spark.sql.functions.min("fp")).collect().length.toLong),
       "facet_lang" -> (() => engine.facet(hotRare, "lang").count()),
       "facet_filtered" -> (() => engine.facet(hotRare, "repo",
         docFilter = Some(("lang", "py"))).count()),
@@ -192,7 +196,27 @@ object Bench {
         groupLimit = 3, groups = 10, docFilter = Some(("lang", "py"))).count()),
       "wand_paged_1k" -> (() => engine.searchPage(hotRare, start = 1000, rows = 60).count()),
       "wand_cursor_1k" -> (() => engine.searchAfter(hotRare, cursor1k._1, cursor1k._2,
-        rows = 60).count()))
+        rows = 60).count()),
+      // round-4 surfaces. Per-row expression sections force evaluation
+      // with aggregates over their output columns (count() would prune the
+      // projection); join/filter-driven sections count() safely.
+      "wildcard_leading" -> (() => engine.searchWildcard("*factory", rows = 60,
+        maxExpansions = 8).count()),
+      "parsed_mixed" -> (() => engine.searchParsed(corpus,
+        "+w:license \"get geter\" w:scanptr^2 -w:stream w:merge*^0.5 w:hach~1",
+        rows = 60).count()),
+      "gopher_rules" -> (() => graft.ml.TextStats.gopherRules(corpus)
+        .agg(org.apache.spark.sql.functions.sum("keep"),
+          org.apache.spark.sql.functions.min("mean_wlen_q")).collect().length.toLong),
+      "pii_redact" -> (() => graft.ml.TextStats.redactPii(corpus)
+        .agg(org.apache.spark.sql.functions.min("redacted_sha"),
+          org.apache.spark.sql.functions.sum("n_emails")).collect().length.toLong),
+      "repetition" -> (() => graft.ml.TextStats.repetition(corpus)
+        .agg(org.apache.spark.sql.functions.sum("top2_q"),
+          org.apache.spark.sql.functions.sum("dup_line_q")).collect().length.toLong),
+      "stratified_sample" -> (() => graft.ml.Sample.stratified(corpus, "lang", 10000L).count()),
+      "contamination" -> (() => Dedup.contamination(corpus,
+        corpus.where(org.apache.spark.sql.functions.col("doc_id") % 997 === 0)).count()))
 
     // INTERLEAVED replicate draws (VERDICT r03 "What's wrong" #2): the
     // whole query list runs as one round, k rounds total, min per query —

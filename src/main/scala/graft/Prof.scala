@@ -13,6 +13,7 @@ import graft.ml.Dedup
 object Prof {
   def main(args: Array[String]): Unit = {
     if (args(0) == "queries") { profQueries(args.drop(1)); return }
+    if (args(0) == "smoke") { profSmoke(); return }
     val cores = args(0).toInt
     val sp = args(1).toInt
     val n = args(2).toLong
@@ -90,6 +91,82 @@ object Prof {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     bench("dedup_minhash")(Dedup.minhashPairs(Dedup.minhashBands(
       Dedup.minhashSignatures(Dedup.withDups(Corpus.fromDocuments(spark, sfDir))))).count())
+    spark.stop()
+  }
+
+  /** One-shot dry run of each round-4 Bench query section on a tiny
+    * corpus/index — catches a section that throws (wrong column name,
+    * bad signature) without paying the ~40 min full bench.
+    */
+  def profSmoke(): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val corpus = Corpus.synthesize(spark, 5000L, 42L, 16).cache()
+    corpus.count()
+    val idxDir = Files.createTempDirectory("prof-smoke-idx-").toString
+    IndexBuild.build(spark, corpus, idxDir, IndexConfig(segShift = 9, rangeSegsShift = 7))
+    val engine = new graft.query.Engine(new graft.query.Index(spark, idxDir))
+    val sections = Seq[(String, () => Long)](
+      "wildcard_leading" -> (() => engine.searchWildcard("*factory", rows = 60,
+        maxExpansions = 8).count()),
+      "parsed_mixed" -> (() => engine.searchParsed(corpus,
+        "+w:license \"get geter\" w:scanptr^2 -w:stream w:merge*^0.5 w:hach~1",
+        rows = 60).count()),
+      "gopher_rules" -> (() => graft.ml.TextStats.gopherRules(corpus)
+        .agg(sum("keep"), min("mean_wlen_q")).collect().length.toLong),
+      "pii_redact" -> (() => graft.ml.TextStats.redactPii(corpus)
+        .agg(min("redacted_sha"), sum("n_emails")).collect().length.toLong),
+      "repetition" -> (() => graft.ml.TextStats.repetition(corpus)
+        .agg(sum("top2_q"), sum("dup_line_q")).collect().length.toLong),
+      "stratified_sample" -> (() => graft.ml.Sample.stratified(corpus, "lang", 1000L).count()),
+      "contamination" -> (() => Dedup.contamination(corpus,
+        corpus.where(col("doc_id") % 997 === 0)).count()))
+    sections.foreach { case (tag, fn) =>
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime(); fn(); (System.nanoTime() - t0) / 1e9
+      }
+      println(f"SMOKE $tag n=${fn()} cold=${times(0)}%.2f s warm=${times(1)}%.2f s")
+    }
+    // parsed-path sub-step breakdown (warm)
+    def t(tag: String)(f: => Any): Unit = {
+      f // warm
+      val t0 = System.nanoTime(); f
+      println(f"SMOKE sub:$tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    t("wildcard_exp")(engine.wildcardExpansions("w:merge*", 50))
+    t("parsed_noPhrase")(engine.searchParsed(corpus,
+      "+w:license w:scanptr^2 -w:stream w:merge*^0.5 w:hach~1", rows = 60).count())
+    t("phrase_only")(engine.searchPhrase(corpus, "get geter", rows = 60).count())
+    t("parsed_phrase_only")(engine.searchParsed(corpus, "\"get geter\"", rows = 60).count())
+    t("dfOf")(engine.index.dfOf(Seq("w:get", "w:geter")))
+    t("conjunctive")(engine.conjunctiveDocs(Seq("w:get", "w:geter",
+      graft.analyze.Tokenizer.shingleTerm("get", "geter"))).count())
+    t("phraseScores")(engine.phraseScores(corpus,
+      Array("get", "geter"), 1.0).count())
+    locally {
+      val cand = engine.conjunctiveDocs(Seq("w:get", "w:geter",
+        graft.analyze.Tokenizer.shingleTerm("get", "geter"))).toDF("doc_id")
+      t("semi_join")(corpus.join(cand, Seq("doc_id"), "left_semi").count())
+      t("semi_join_toks")(corpus.join(cand, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), graft.analyze.Tokenizer.tokens(col("content")).as("ts"))
+        .agg(sum(size(col("ts")))).collect())
+      val ts = col("ts")
+      val k = 2
+      val toksArr = Array("get", "geter")
+      val pf = when(size(ts) >= lit(k),
+        size(filter(sequence(lit(1), size(ts) - lit(k - 1)),
+          i => toksArr.toSeq.zipWithIndex.map { case (w, j) =>
+            element_at(ts, i + lit(j)) === lit(w)
+          }.reduce(_ && _))))
+        .otherwise(lit(0))
+      t("semi_join_pf")(corpus.join(cand, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), graft.analyze.Tokenizer.tokens(col("content")).as("ts"))
+        .select(col("doc_id"), pf.as("pf"))
+        .agg(sum(col("pf"))).collect())
+    }
     spark.stop()
   }
 }

@@ -42,6 +42,20 @@ object Tokenizer {
   def tokens(content: Column): Column =
     filter(split(lower(content), SplitRe), t => length(t) > 0)
 
+  /** Evaluates `arr` ONCE and hands it to `f` as a lambda-bound variable.
+    * Catalyst never hoists common subexpressions out of higher-order-
+    * function lambda bodies, so an expensive array expression (e.g. a
+    * regexp tokenization) referenced via `element_at(toks, i)` inside a
+    * `transform`/`filter` lambda re-evaluates the WHOLE tokenization per
+    * element — O(positions × tokenize) per row instead of O(tokenize).
+    * `element_at(transform(array(arr), f), 1)` turns every reference in
+    * `f`'s body into a cheap bound-variable read. Null-transparent: a
+    * null `arr` reaches `f` as a null element, exactly as the inlined
+    * subtree would.
+    */
+  def bindOnce(arr: Column)(f: Column => Column): Column =
+    element_at(transform(array(arr), f), 1)
+
   /** tokens -> "w:<tok>" word terms. */
   def wordTerms(toks: Column): Column =
     transform(toks, t => concat(lit("w:"), t))

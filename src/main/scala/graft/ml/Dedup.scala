@@ -65,12 +65,15 @@ object Dedup {
     */
   def shingleSetW(content: Column, w: Int): Column = {
     require(w >= 2, "shingle width must be >= 2")
-    val toks = Tokenizer.tokens(content)
-    array_distinct(
+    // bindOnce: the lambda below reads the token array w times per shingle
+    // position — inlining the tokenization there re-splits the content
+    // O(w·positions) times per row (measured 40x on the 13-gram screen)
+    array_distinct(Tokenizer.bindOnce(Tokenizer.tokens(content)) { toks =>
       when(size(toks) >= w,
         transform(sequence(lit(1), size(toks) - (w - 1)),
           i => concat_ws(" ", (0 until w).map(k => element_at(toks, i + lit(k))): _*)))
-        .otherwise(lit(Array.empty[String])))
+        .otherwise(lit(Array.empty[String]))
+    })
   }
 
   /** Benchmark-contamination screen — the standard curation step that

@@ -518,17 +518,28 @@ final class Engine(val index: Index) {
     val idfSum = words.map(w => Bm25.idf(dfs(w).toDouble, n.toDouble)).sum
     val cand = conjunctiveDocs(words ++ shingles).toDF("doc_id")
     val k = toks.length
-    val ts = graft.analyze.Tokenizer.tokens(col("content"))
-    val pf = when(size(ts) >= lit(k),
-      size(filter(sequence(lit(1), size(ts) - lit(k - 1)),
-        i => toks.toSeq.zipWithIndex.map { case (w, j) =>
-          element_at(ts, i + lit(j)) === lit(w)
-        }.reduce(_ && _))))
-      .otherwise(lit(0))
-    val dl = least(lit(2) * size(ts) - lit(1), lit(IndexBuild.MaxDl)).cast("double")
+    // bindOnce: the occurrence-count lambda reads the token array k times
+    // per position, and the pf > 0 filter below gets predicate-pushed
+    // through any projection — re-inlining a bare tokenization there makes
+    // every read re-split the content, O(k·positions·tokenize) per row
+    // (measured ~30x on the verify pass). Binding the array as a lambda
+    // variable keeps any inlined copy at one tokenization per evaluation.
+    val pfDl = graft.analyze.Tokenizer.bindOnce(
+        graft.analyze.Tokenizer.tokens(col("content"))) { ts =>
+      struct(
+        when(size(ts) >= lit(k),
+          size(filter(sequence(lit(1), size(ts) - lit(k - 1)),
+            i => toks.toSeq.zipWithIndex.map { case (w, j) =>
+              element_at(ts, i + lit(j)) === lit(w)
+            }.reduce(_ && _))))
+          .otherwise(lit(0)).as("pf"),
+        least(lit(2) * size(ts) - lit(1), lit(IndexBuild.MaxDl))
+          .cast("double").as("dl"))
+    }
     corpus
       .join(cand, Seq("doc_id"), "left_semi")
-      .select(col("doc_id").as("docId"), pf.as("pf"), dl.as("dl"))
+      .select(col("doc_id").as("docId"), pfDl.as("pd"))
+      .select(col("docId"), col("pd.pf").as("pf"), col("pd.dl").as("dl"))
       .where(col("pf") > 0)
       .select(col("docId"),
         (lit(boost * idfSum) * Bm25.tfNormCol(col("pf").cast("double"), col("dl"),
