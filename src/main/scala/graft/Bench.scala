@@ -49,7 +49,7 @@ object Bench {
 
     // Stage the synthesized corpus as parquet ONCE (outside all timings):
     // the input contract is a table on disk, not a recomputable view.
-    val corpusDir = Files.createTempDirectory("graft-bench-corpus-").toString
+    val corpusDir = tempDir("graft-bench-corpus-")
     val nFiles: Long = {
       val s = session(cpus)
       try {
@@ -137,7 +137,7 @@ object Bench {
     // ---- query benchmarks on a session at full width --------------------
     val spark = session(cpus)
     val corpus = spark.read.parquet(corpusDir)
-    val benchIdx = Files.createTempDirectory("graft-bench-q-").toString
+    val benchIdx = tempDir("graft-bench-q-")
     IndexBuild.build(spark, corpus, benchIdx, cfg)
     val engine = new Engine(new Index(spark, benchIdx))
     engine.index.stats // warm manifest/stats
@@ -208,9 +208,13 @@ object Bench {
       "gopher_rules" -> (() => graft.ml.TextStats.gopherRules(corpus)
         .agg(org.apache.spark.sql.functions.sum("keep"),
           org.apache.spark.sql.functions.min("mean_wlen_q")).collect().length.toLong),
+      // n_ips must appear in the aggregate: it is its own regexp pass over
+      // the email-redacted text (redacted_sha forces the replaces but not
+      // this count) and ColumnPruning would drop it
       "pii_redact" -> (() => graft.ml.TextStats.redactPii(corpus)
         .agg(org.apache.spark.sql.functions.min("redacted_sha"),
-          org.apache.spark.sql.functions.sum("n_emails")).collect().length.toLong),
+          org.apache.spark.sql.functions.sum("n_emails"),
+          org.apache.spark.sql.functions.sum("n_ips")).collect().length.toLong),
       "repetition" -> (() => graft.ml.TextStats.repetition(corpus)
         .agg(org.apache.spark.sql.functions.sum("top2_q"),
           org.apache.spark.sql.functions.sum("dup_line_q")).collect().length.toLong),
@@ -363,6 +367,7 @@ object Bench {
     deleteRecursively(work.toFile)
     require(code == 0 && res.isDefined,
       s"child build (cores=$cores) failed: exit=$code, tail=${lines.takeRight(5).mkString(" | ")}")
+    out.delete(): Unit // keep the log only when the require above threw
     val parts = res.get.split(" ")
     (parts(1).toDouble, parts(2).toLong)
   }
@@ -370,6 +375,16 @@ object Bench {
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit
+  }
+
+  /** Temp dir deleted at JVM exit — the staged corpus and the query index
+    * are hundreds of MB each and a bare createTempDirectory outlives the
+    * run (measured tens of GB of /tmp across rounds of bench runs).
+    */
+  private def tempDir(tag: String): String = {
+    val p = Files.createTempDirectory(tag)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(p.toFile)))
+    p.toString
   }
 
   /** Recursive local copy (untimed draw setup for the maintenance

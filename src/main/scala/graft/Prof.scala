@@ -11,9 +11,21 @@ import graft.ml.Dedup
   * args: cores shufflePartitions nFiles [concurrentRanges]
   */
 object Prof {
+  /** Temp dir deleted at JVM exit (profiling indexes are GB-scale). */
+  private def tempDir(tag: String): String = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    val p = Files.createTempDirectory(tag)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => rm(p.toFile)))
+    p.toString
+  }
+
   def main(args: Array[String]): Unit = {
     if (args(0) == "queries") { profQueries(args.drop(1)); return }
     if (args(0) == "smoke") { profSmoke(); return }
+    if (args(0) == "curation") { profCuration(); return }
     val cores = args(0).toInt
     val sp = args(1).toInt
     val n = args(2).toLong
@@ -40,9 +52,9 @@ object Prof {
       filterColumns = if (filters) Seq("lang") else Seq.empty)
     // JIT warmup
     IndexBuild.build(spark, corpus.where(col("doc_id") < 2000),
-      Files.createTempDirectory("prof-warm-").toString, cfg)
+      tempDir("prof-warm-"), cfg)
     time(s"full build cores=$cores sp=$sp n=$n conc=$conc") {
-      IndexBuild.build(spark, corpus, Files.createTempDirectory("prof-idx-").toString, cfg)
+      IndexBuild.build(spark, corpus, tempDir("prof-idx-"), cfg)
     }
     // fingerprint: native Expression vs interpreted HOF composition.
     // agg(min(fp)) forces the fp column (count() would prune it away).
@@ -94,6 +106,77 @@ object Prof {
     spark.stop()
   }
 
+  /** Bench-corpus-scale (600k docs) probe of the heavy curation sections
+    * (contamination / gopher / pii / parsed query) — min of 3 draws each,
+    * the shape the full bench times.
+    */
+  def profCuration(): Unit = {
+    val cores = 32
+    val spark = SparkSession.builder().master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", (cores * 4).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val n = 600000L
+    val dir = s"/tmp/prof-corpus-$n"
+    if (!new java.io.File(s"$dir/_SUCCESS").exists())
+      Corpus.synthesize(spark, n, 42L, 128).write.mode("overwrite").parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    val idxDir = s"/tmp/prof-qidx-$n"
+    val cfg = IndexConfig(segShift = 9, rangeSegsShift = 7)
+    if (!new java.io.File(s"$idxDir/manifests").exists())
+      IndexBuild.build(spark, corpus, idxDir, cfg)
+    val engine = new graft.query.Engine(new graft.query.Index(spark, idxDir))
+    engine.index.stats
+    def bench(tag: String)(fn: => Long): Unit = {
+      fn // warm
+      val secs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9 }
+      println(f"PROF $tag min=${secs.min}%.3f s runs=${secs.map(s => f"$s%.3f").mkString(",")}")
+    }
+    bench("contamination")(Dedup.contamination(corpus,
+      corpus.where(col("doc_id") % 997 === 0)).count())
+    // sub-steps: corpus-side shingle explode+md5 alone, then without md5
+    bench("contam_sub_explode_md5")(corpus
+      .select(col("doc_id"), explode(Dedup.shingleSetW(col("content"), 13)).as("sh"))
+      .select(col("doc_id"), md5(col("sh")).as("shh"))
+      .agg(count(col("shh"))).collect().length.toLong)
+    bench("contam_sub_explode")(corpus
+      .select(col("doc_id"), explode(Dedup.shingleSetW(col("content"), 13)).as("sh"))
+      .agg(count(col("sh"))).collect().length.toLong)
+    bench("contam_sub_shingle")(corpus
+      .select(col("doc_id"), Dedup.shingleSetW(col("content"), 13).as("sh"))
+      .agg(sum(size(col("sh")))).collect().length.toLong)
+    val contamDf = Dedup.contamination(corpus,
+      corpus.where(col("doc_id") % 997 === 0))
+    contamDf.count()
+    println("PROF contam plan:\n" + contamDf.queryExecution.executedPlan.toString.take(4000))
+    bench("gopher_rules")(graft.ml.TextStats.gopherRules(corpus)
+      .agg(sum("keep"), min("mean_wlen_q")).collect().length.toLong)
+    bench("pii_redact")(graft.ml.TextStats.redactPii(corpus)
+      .agg(min("redacted_sha"), sum("n_emails"), sum("n_ips")).collect().length.toLong)
+    bench("parsed_mixed")(engine.searchParsed(corpus,
+      "+w:license \"get geter\" w:scanptr^2 -w:stream w:merge*^0.5 w:hach~1",
+      rows = 60).count())
+    bench("parsed_noPhrase")(engine.searchParsed(corpus,
+      "+w:license w:scanptr^2 -w:stream w:merge*^0.5 w:hach~1", rows = 60).count())
+    bench("parsed_noFuzzy")(engine.searchParsed(corpus,
+      "+w:license \"get geter\" w:scanptr^2 -w:stream w:merge*^0.5", rows = 60).count())
+    bench("parsed_noWild")(engine.searchParsed(corpus,
+      "+w:license \"get geter\" w:scanptr^2 -w:stream w:hach~1", rows = 60).count())
+    bench("phrase_only")(engine.searchPhrase(corpus, "get geter", rows = 60).count())
+    val phraseTerms = Seq("w:get", "w:geter",
+      graft.analyze.Tokenizer.shingleTerm("get", "geter"))
+    bench("phrase_sub_conj")(engine.conjunctiveDocs(phraseTerms).count())
+    bench("phrase_sub_scores")(engine.phraseScores(corpus,
+      Array("get", "geter"), 1.0).count())
+    bench("fuzzy_only")(engine.searchFuzzy("w:hach", rows = 60).count())
+    bench("wildcard_trailing")(engine.searchWildcard("w:merge*", rows = 60).count())
+    bench("wildcard_leading")(engine.searchWildcard("*factory", rows = 60,
+      maxExpansions = 8).count())
+    spark.stop()
+  }
+
   /** One-shot dry run of each round-4 Bench query section on a tiny
     * corpus/index — catches a section that throws (wrong column name,
     * bad signature) without paying the ~40 min full bench.
@@ -106,7 +189,7 @@ object Prof {
     spark.sparkContext.setLogLevel("WARN")
     val corpus = Corpus.synthesize(spark, 5000L, 42L, 16).cache()
     corpus.count()
-    val idxDir = Files.createTempDirectory("prof-smoke-idx-").toString
+    val idxDir = tempDir("prof-smoke-idx-")
     IndexBuild.build(spark, corpus, idxDir, IndexConfig(segShift = 9, rangeSegsShift = 7))
     val engine = new graft.query.Engine(new graft.query.Index(spark, idxDir))
     val sections = Seq[(String, () => Long)](
@@ -118,7 +201,8 @@ object Prof {
       "gopher_rules" -> (() => graft.ml.TextStats.gopherRules(corpus)
         .agg(sum("keep"), min("mean_wlen_q")).collect().length.toLong),
       "pii_redact" -> (() => graft.ml.TextStats.redactPii(corpus)
-        .agg(min("redacted_sha"), sum("n_emails")).collect().length.toLong),
+        .agg(min("redacted_sha"), sum("n_emails"),
+          sum("n_ips")).collect().length.toLong),
       "repetition" -> (() => graft.ml.TextStats.repetition(corpus)
         .agg(sum("top2_q"), sum("dup_line_q")).collect().length.toLong),
       "stratified_sample" -> (() => graft.ml.Sample.stratified(corpus, "lang", 1000L).count()),

@@ -379,6 +379,207 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   }
 }
 
+/** Distinct word-`width`-gram shingle strings (first-appearance order) —
+  * the shingling primitive of the dedup/contamination screens, in ONE
+  * eval per row. Byte-identical to the built-in composition kept as
+  * [[graft.ml.Dedup.shingleSetWHof]] (tokens → per-position concat_ws →
+  * array_distinct): that form routes every element_at/concat through
+  * interpreted higher-order lambdas — profiled 4x slower end-to-end on
+  * the 13-gram contamination screen at the 600k-doc bench corpus, where
+  * it built ~120M shingle strings interpreter-step by interpreter-step.
+  *
+  * Cross-engine contract: tokens = [[Tokenizer.tokenizeScala]] (lowercase
+  * alnum runs), shingles joined with a single space, fewer than `width`
+  * tokens -> empty array — exactly the DuckDB twin's
+  * [[graft.sql.OracleMl]] shingle CTE shape at any width. Null content ->
+  * null where the HOF twin yields an empty array; every consumer
+  * (explode, size(..) > 0) treats the two identically.
+  */
+case class GraftShingles(child: Expression, width: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(width >= 2, "shingle width must be >= 2")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = Tokenizer.tokenizeScala(input.toString)
+    if (toks.length < width)
+      return new GenericArrayData(Array.empty[Any])
+    // LinkedHashSet: dedupe keeping FIRST occurrence, matching
+    // array_distinct's order contract
+    val seen = new java.util.LinkedHashSet[UTF8String]
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= toks.length - width) {
+      sb.setLength(0)
+      var k = 0
+      while (k < width) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      seen.add(UTF8String.fromString(sb.toString)): Unit
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GraftShingles =
+    copy(child = newChild)
+}
+
+/** Exact phrase verification for the PhraseQuery route — per row, the
+  * struct (pf, dl): pf = occurrences of the token sequence `toks` among
+  * the content's analyzer tokens (overlaps counted, Lucene exact-phrase
+  * semantics), dl = min(2·n_tokens − 1, maxDl), the indexed docmeta
+  * length. ONE eval per row: the built-in composition (position sequence
+  * → per-position k-way element_at conjunction) runs every step as an
+  * interpreted higher-order lambda — the phrase verify was ~1.7 s of a
+  * 2.9 s phrase search at the 600k-doc bench corpus; this pass is a plain
+  * token-array scan. The composition is kept as the spec twin in
+  * FunctionsSpec (pinned equal), and the DuckDB oracle mirrors the same
+  * position-window count in SQL.
+  */
+case class GraftPhrasePfDl(child: Expression, toks: Seq[String], maxDl: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(toks.nonEmpty, "empty phrase")
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    org.apache.spark.sql.types.StructField("pf",
+      org.apache.spark.sql.types.IntegerType, nullable = false) ::
+    org.apache.spark.sql.types.StructField("dl",
+      org.apache.spark.sql.types.IntegerType, nullable = false) :: Nil)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_phrase_pfdl"
+
+  override def nullSafeEval(input: Any): Any = {
+    val ts = Tokenizer.tokenizeScala(input.toString)
+    val k = toks.length
+    var pf = 0
+    var i = 0
+    while (i <= ts.length - k) {
+      var j = 0
+      while (j < k && ts(i + j) == toks(j)) j += 1
+      if (j == k) pf += 1
+      i += 1
+    }
+    val dl = math.min(2 * ts.length - 1, maxDl)
+    org.apache.spark.sql.catalyst.InternalRow(pf, dl)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GraftPhrasePfDl =
+    copy(child = newChild)
+}
+
+/** All Gopher quality-rule integer tallies in ONE content pass — the
+  * struct (n_words, non_space, n_lines, n_symbols, n_bullet, n_ell_end,
+  * n_alpha, n_required). The built-in composition
+  * ([[graft.ml.TextStats.gopherRulesBuiltins]], the pinned spec twin and
+  * the DuckDB oracle's shape) runs ~10 independent regex passes over
+  * every document — ~9.4 s at the 600k-doc bench corpus vs one linear
+  * scan here. Each tally replicates its regex's exact semantics
+  * (left-to-right non-overlapping matches, whitespace = the explicit
+  * cross-engine [ \t\n\f\r] class of [[graft.ml.TextStats.WsChars]]):
+  *
+  *  - n_words    maximal non-ws runs            (`[^ \t\n\f\r]+`)
+  *  - non_space  chars outside the ws class     (regexp_replace length)
+  *  - n_lines    '\n' count + 1
+  *  - n_symbols  '#' count + non-overlapping "..." count
+  *  - n_bullet   "- " at start or after '\n'    (`(^|\n)- `)
+  *  - n_ell_end  non-overlapping "..." + ('\n' | end)  (`\.\.\.(\n|\z)`)
+  *  - n_alpha    non-ws runs containing [a-z]   (`[^ \t\n\f\r]*[a-z][^ \t\n\f\r]*`,
+  *               one match per qualifying run: the greedy tails make each
+  *               match consume its whole run)
+  *  - n_required how many of `required` occur as a COMPLETE run (the
+  *               `(^|ws)w(ws|\z)` delimiters bound a maximal run exactly)
+  */
+case class GraftGopherStats(child: Expression, required: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq("n_words", "non_space", "n_lines", "n_symbols", "n_bullet",
+      "n_ell_end", "n_alpha", "n_required").map(f =>
+      org.apache.spark.sql.types.StructField(f,
+        org.apache.spark.sql.types.LongType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_gopher_stats"
+
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.toString
+    val len = s.length
+    var nWords = 0L; var nonSpace = 0L; var nLines = 1L; var nSymbols = 0L
+    var nBullet = 0L; var nEllEnd = 0L; var nAlpha = 0L
+    val reqHit = new Array[Boolean](required.length)
+    var i = 0
+    var runStart = -1 // current non-ws run, -1 = outside
+    var runHasAlpha = false
+    def closeRun(end: Int): Unit = {
+      nWords += 1
+      if (runHasAlpha) nAlpha += 1
+      val rl = end - runStart
+      var w = 0
+      while (w < required.length) {
+        val word = required(w)
+        if (!reqHit(w) && word.length == rl && s.regionMatches(runStart, word, 0, rl))
+          reqHit(w) = true
+        w += 1
+      }
+      runStart = -1; runHasAlpha = false
+    }
+    while (i < len) {
+      val c = s.charAt(i)
+      if (isWs(c)) {
+        if (runStart >= 0) closeRun(i)
+        if (c == '\n') {
+          nLines += 1
+          // "(^|\n)- ": bullet right after this newline
+          if (i + 2 < len && s.charAt(i + 1) == '-' && s.charAt(i + 2) == ' ')
+            nBullet += 1
+        }
+      } else {
+        // code points, not UTF-16 units: the twin's length(regexp_replace)
+        // counts code points (a surrogate pair is ONE non-space char)
+        if (!Character.isLowSurrogate(c)) nonSpace += 1
+        if (runStart < 0) { runStart = i; runHasAlpha = false }
+        if (c >= 'a' && c <= 'z') runHasAlpha = true
+        if (c == '#') nSymbols += 1
+      }
+      i += 1
+    }
+    if (runStart >= 0) closeRun(len)
+    if (len >= 2 && s.charAt(0) == '-' && s.charAt(1) == ' ') nBullet += 1
+    // non-overlapping "..." (left-to-right) and "...(\n|\z)" — separate
+    // scans because their regexes consume independently
+    i = 0
+    while (i <= len - 3) {
+      if (s.charAt(i) == '.' && s.charAt(i + 1) == '.' && s.charAt(i + 2) == '.') {
+        nSymbols += 1; i += 3
+      } else i += 1
+    }
+    i = 0
+    while (i <= len - 3) {
+      if (s.charAt(i) == '.' && s.charAt(i + 1) == '.' && s.charAt(i + 2) == '.' &&
+          (i + 3 == len || s.charAt(i + 3) == '\n')) {
+        nEllEnd += 1; i += (if (i + 3 == len) 3 else 4)
+      } else i += 1
+    }
+    var nReq = 0L
+    var w = 0
+    while (w < reqHit.length) { if (reqHit(w)) nReq += 1; w += 1 }
+    org.apache.spark.sql.catalyst.InternalRow(
+      nWords, nonSpace, nLines, nSymbols, nBullet, nEllEnd, nAlpha, nReq)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GraftGopherStats =
+    copy(child = newChild)
+}
+
 object GraftFunctions {
   /** Column-space entry points (no registration needed). */
   def graft_terms(c: Column): Column =
@@ -391,6 +592,12 @@ object GraftFunctions {
     GraftBridge.column(GraftFingerprint(GraftBridge.expression(c)))
   def graft_rep_stats(c: Column): Column =
     GraftBridge.column(GraftRepStats(GraftBridge.expression(c)))
+  def graft_shingles(c: Column, width: Int): Column =
+    GraftBridge.column(GraftShingles(GraftBridge.expression(c), width))
+  def graft_phrase_pfdl(c: Column, toks: Seq[String], maxDl: Int): Column =
+    GraftBridge.column(GraftPhrasePfDl(GraftBridge.expression(c), toks, maxDl))
+  def graft_gopher_stats(c: Column, required: Seq[String]): Column =
+    GraftBridge.column(GraftGopherStats(GraftBridge.expression(c), required))
   def graft_dot(a: Column, b: Column): Column =
     GraftBridge.column(GraftDot(GraftBridge.expression(a), GraftBridge.expression(b)))
   def graft_cosine(a: Column, b: Column): Column =
@@ -408,6 +615,14 @@ object GraftFunctions {
       "graft_fingerprint", exprs => GraftFingerprint(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_rep_stats", exprs => GraftRepStats(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingles", exprs => GraftShingles(exprs(0),
+        exprs(1).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_shingles width must be an integer literal, got $other")
+        }), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => GraftDot(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -61,13 +61,23 @@ object Dedup {
 
   /** Distinct word-`w`-gram shingle strings per doc (null-safe, per-row):
     * the generalized shingle used by the contamination screen (w=13, the
-    * standard benchmark-decontamination n-gram width).
+    * standard benchmark-decontamination n-gram width). Evaluated by the
+    * native [[graft.functions.GraftShingles]] expression — one eval per
+    * row; the built-in composition it replaced is kept as
+    * [[shingleSetWHof]] for the equivalence pin.
     */
-  def shingleSetW(content: Column, w: Int): Column = {
+  def shingleSetW(content: Column, w: Int): Column =
+    graft.functions.GraftFunctions.graft_shingles(content, w)
+
+  /** Built-in-composed specification twin of [[shingleSetW]] (pinned equal
+    * in MlSpec, not on any hot path): every per-position element_at/concat
+    * runs as an interpreted higher-order lambda — 4x slower end-to-end on
+    * the 13-gram screen at the bench corpus. bindOnce keeps the
+    * tokenization at one eval per row even here (the lambda body reads the
+    * token array w times per shingle position).
+    */
+  private[graft] def shingleSetWHof(content: Column, w: Int): Column = {
     require(w >= 2, "shingle width must be >= 2")
-    // bindOnce: the lambda below reads the token array w times per shingle
-    // position — inlining the tokenization there re-splits the content
-    // O(w·positions) times per row (measured 40x on the 13-gram screen)
     array_distinct(Tokenizer.bindOnce(Tokenizer.tokens(content)) { toks =>
       when(size(toks) >= w,
         transform(sequence(lit(1), size(toks) - (w - 1)),
@@ -84,10 +94,16 @@ object Dedup {
     * overlap.
     *
     * Scale shape: per-row shingling on both sides, join on md5(shingle)
-    * (fixed 32-byte key — the shuffle never carries shingle text, same
+    * (fixed 32-byte key — the join never carries shingle text, same
     * no-cartesian equi-join shape as [[minhashPairs]]); the benchmark side
-    * is tiny next to the corpus, so AQE broadcasts it and the corpus
-    * never shuffles.
+    * is EXPLICITLY broadcast — a benchmark suite is thousands of docs
+    * next to a corpus of billions, and without the hint the planner's
+    * estimate for filter→explode lineage exceeds the auto-broadcast
+    * threshold, so the corpus side's ~200 shingle rows PER DOC get
+    * shuffle-written before AQE can localize the read (measured 17 s vs
+    * 6 s at the 600k-doc bench corpus). The corpus side never shuffles:
+    * probe-side stream into the broadcast hash set, then the
+    * contaminated-survivor aggregation touches matched rows only.
     */
   def contamination(corpus: DataFrame, benchmark: DataFrame,
                     width: Int = 13): DataFrame = {
@@ -98,7 +114,7 @@ object Dedup {
       .select(col("doc_id").as("bench_id"),
         explode(shingleSetW(col("content"), width)).as("sh"))
       .select(col("bench_id"), md5(col("sh")).as("shh"))
-    cs.join(bs, Seq("shh"))
+    cs.join(broadcast(bs), Seq("shh"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("bench_id")).as("n_bench_docs"),
         countDistinct(col("shh")).as("n_shingles"))

@@ -20,8 +20,22 @@ object TextStats {
     "es" -> Seq("el", "la", "de", "los", "y"),
     "fr" -> Seq("le", "la", "les", "des", "et"))
 
+  /** Whitespace char-set body for cross-engine regexes, single source of
+    * truth for engine + oracle. `\s` itself is NOT cross-engine safe:
+    * Java's includes \x0B where RE2's (DuckDB) does not, so any `\s` in a
+    * mirrored pattern is a latent hash-gate divergence on a doc containing
+    * a vertical tab. Likewise `$` is avoided in mirrored patterns — Java's
+    * matches before a final \r\n line terminator, RE2's only at absolute
+    * end — `\z` (identical in both) marks end-of-text instead.
+    */
+  val WsChars = " \\t\\n\\f\\r"
+  /** `[ \t\n\f\r]` — cross-engine whitespace class (see [[WsChars]]). */
+  val WsClass = s"[$WsChars]"
+  /** `[^ \t\n\f\r]` — cross-engine non-whitespace class. */
+  val NonWsClass = s"[^$WsChars]"
+
   /** BPE-ish token regex: letter runs, digit runs, single symbols. */
-  val BpeRe = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  val BpeRe = s"[a-z]+|[0-9]+|[^a-z0-9$WsChars]"
   /** Punctuation class for quality scoring. */
   val PunctRe = "[.,;:!?]"
   /** Stopwords for the quality ratio. */
@@ -84,7 +98,7 @@ object TextStats {
   def tokenCounts(corpus: DataFrame): DataFrame =
     corpus.select(
       col("doc_id"),
-      size(filter(split(col("content"), "\\s+"), t => length(t) > 0))
+      size(filter(split(col("content"), WsClass + "+"), t => length(t) > 0))
         .cast("long").as("ws_tokens"),
       regexp_count(lower(col("content")), lit(BpeRe)).cast("long").as("bpe_tokens"),
       length(col("content")).cast("long").as("n_chars"))
@@ -108,19 +122,24 @@ object TextStats {
   def repetition(corpus: DataFrame): DataFrame = {
     val withR = corpus.select(col("doc_id"),
       graft.functions.GraftFunctions.graft_rep_stats(col("content")).as("r"))
-    // op order (1e6·num)/den mirrors the oracle's `1000000.0 * num / den`
-    // exactly — a different association produces different doubles that
-    // can round across a .5 boundary
-    def frac(num: Column, den: Column): Column =
-      round(when(den > 0, (lit(1e6) * num.cast("double")) / den.cast("double"))
-        .otherwise(lit(0.0))).cast("long")
     withR.select(
       col("doc_id"),
       col("r.n_lines").cast("long").as("n_lines"),
-      frac(col("r.n_dup_lines"), col("r.n_lines")).as("dup_line_q"),
-      frac(col("r.dup_line_chars"), col("r.line_chars")).as("dup_char_q"),
-      frac(col("r.top2"), col("r.total2")).as("top2_q"))
+      quantFrac(col("r.n_dup_lines"), col("r.n_lines")).as("dup_line_q"),
+      quantFrac(col("r.dup_line_chars"), col("r.line_chars")).as("dup_char_q"),
+      quantFrac(col("r.top2"), col("r.total2")).as("top2_q"))
   }
+
+  /** round(1e6·num/den) as BIGINT, 0 when den = 0 — THE quantized-fraction
+    * form for every cross-engine signal. The op order (1e6·num)/den
+    * mirrors the oracle's `1000000.0 * num / den` exactly
+    * ([[graft.sql.OracleMl]]'s single fracSql twin) — a different
+    * association produces different doubles that can round across a .5
+    * boundary, so keep exactly one copy per engine.
+    */
+  private[graft] def quantFrac(num: Column, den: Column): Column =
+    round(when(den > 0, (lit(1e6) * num.cast("double")) / den.cast("double"))
+      .otherwise(lit(0.0))).cast("long")
 
   /** PII pattern set — single source of truth for engine + oracle. Both
     * regexes restrict to constructs with identical semantics in Java regex
@@ -228,38 +247,57 @@ object TextStats {
     *   keep           1 iff every rule passes (thresholds above).
     * All ratios round(1e6·x), 0 when the denominator is 0; keep compares
     * the quantized integers so no float boundary can flip across engines.
-    * Pure codegen'd built-ins (regexp_count / replace / rlike) — per-row,
-    * no shuffle, whole-stage codegen at any corpus size. Regex subset
-    * restricted to Java-regex/RE2-identical constructs (see [[EmailRe]]
-    * note); `$`-vs-final-newline divergence avoided because `\n` is the
-    * first alternative everywhere it could fire. Mirror:
-    * [[graft.sql.OracleMl.gopherSql]].
+    * One [[graft.functions.GraftGopherStats]] eval per row computes every
+    * integer tally in a single content pass (the ~10-regex-pass built-in
+    * composition is kept as [[gopherRulesBuiltins]], the pinned spec
+    * twin and the oracle's shape — it was ~9.4 s at the 600k-doc bench
+    * corpus vs ~1 s fused); per-row, no shuffle at any corpus size.
+    * Pattern semantics are the cross-engine-safe set: whitespace via the
+    * explicit [[WsClass]] (never `\s`) and end-of-text via `\z` (never
+    * `$`) — see [[WsChars]] for why either shorthand is a latent
+    * cross-engine divergence. Mirror: [[graft.sql.OracleMl.gopherSql]].
     */
-  def gopherRules(corpus: DataFrame): DataFrame = {
+  def gopherRules(corpus: DataFrame): DataFrame =
+    gopherSignals(corpus.select(col("doc_id"),
+      graft.functions.GraftFunctions.graft_gopher_stats(
+        col("content"), RequiredWords).as("g")))
+
+  /** Built-in-composed specification twin of [[gopherRules]] (pinned
+    * equal in MlSpec over the structure-injected corpus, not on any hot
+    * path): the same tallies as ~10 independent regexp_count / replace /
+    * rlike passes — the shape the DuckDB oracle mirrors.
+    */
+  private[graft] def gopherRulesBuiltins(corpus: DataFrame): DataFrame = {
     val c = col("content")
-    def frac(num: Column, den: Column): Column =
-      round(when(den > 0, (lit(1e6) * num.cast("double")) / den.cast("double"))
-        .otherwise(lit(0.0))).cast("long")
-    val nWords = regexp_count(c, lit("[^\\s]+")).cast("long")
-    val nonSpace = length(regexp_replace(c, "\\s", "")).cast("long")
-    val nLines = (length(c) - length(replace(c, lit("\n"), lit(""))) + 1).cast("long")
-    val nSymbols = (length(c) - length(replace(c, lit("#"), lit(""))) +
-      regexp_count(c, lit("\\.\\.\\."))).cast("long")
-    val nBullet = regexp_count(c, lit("(^|\\n)- ")).cast("long")
-    val nEllEnd = regexp_count(c, lit("\\.\\.\\.(\\n|$)")).cast("long")
-    val nAlpha = regexp_count(c, lit("[^\\s]*[a-z][^\\s]*")).cast("long")
     val nRequired = RequiredWords
-      .map(w => when(c.rlike("(^|\\s)" + w + "(\\s|$)"), lit(1L)).otherwise(lit(0L)))
+      .map(w => when(c.rlike(s"(^|$WsClass)" + w + s"($WsClass|\\z)"),
+        lit(1L)).otherwise(lit(0L)))
       .reduce(_ + _)
-    val sig = corpus.select(
+    gopherSignals(corpus.select(col("doc_id"), struct(
+      regexp_count(c, lit(NonWsClass + "+")).cast("long").as("n_words"),
+      length(regexp_replace(c, WsClass, "")).cast("long").as("non_space"),
+      (length(c) - length(replace(c, lit("\n"), lit(""))) + 1).cast("long").as("n_lines"),
+      (length(c) - length(replace(c, lit("#"), lit(""))) +
+        regexp_count(c, lit("\\.\\.\\."))).cast("long").as("n_symbols"),
+      regexp_count(c, lit("(^|\\n)- ")).cast("long").as("n_bullet"),
+      regexp_count(c, lit("\\.\\.\\.(\\n|\\z)")).cast("long").as("n_ell_end"),
+      regexp_count(c, lit(s"$NonWsClass*[a-z]$NonWsClass*")).cast("long").as("n_alpha"),
+      nRequired.as("n_required")).as("g")))
+  }
+
+  /** Shared tail of both gopher forms: quantized fractions + the keep
+    * decision over the integer-tally struct `g`.
+    */
+  private def gopherSignals(withG: DataFrame): DataFrame = {
+    val sig = withG.select(
       col("doc_id"),
-      nWords.as("n_words"),
-      frac(nonSpace, nWords).as("mean_wlen_q"),
-      frac(nSymbols, nWords).as("symbol_q"),
-      frac(nBullet, nLines).as("bullet_q"),
-      frac(nEllEnd, nLines).as("ellipsis_q"),
-      frac(nAlpha, nWords).as("alpha_q"),
-      nRequired.as("n_required"))
+      col("g.n_words").as("n_words"),
+      quantFrac(col("g.non_space"), col("g.n_words")).as("mean_wlen_q"),
+      quantFrac(col("g.n_symbols"), col("g.n_words")).as("symbol_q"),
+      quantFrac(col("g.n_bullet"), col("g.n_lines")).as("bullet_q"),
+      quantFrac(col("g.n_ell_end"), col("g.n_lines")).as("ellipsis_q"),
+      quantFrac(col("g.n_alpha"), col("g.n_words")).as("alpha_q"),
+      col("g.n_required").as("n_required"))
     sig.withColumn("keep",
       (col("n_words").between(GopherMinWords, GopherMaxWords) &&
         col("mean_wlen_q").between(GopherMinWlenQ, GopherMaxWlenQ) &&

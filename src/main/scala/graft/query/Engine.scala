@@ -517,29 +517,27 @@ final class Engine(val index: Index) {
     val (n, avgdl) = index.stats
     val idfSum = words.map(w => Bm25.idf(dfs(w).toDouble, n.toDouble)).sum
     val cand = conjunctiveDocs(words ++ shingles).toDF("doc_id")
-    val k = toks.length
-    // bindOnce: the occurrence-count lambda reads the token array k times
-    // per position, and the pf > 0 filter below gets predicate-pushed
-    // through any projection — re-inlining a bare tokenization there makes
-    // every read re-split the content, O(k·positions·tokenize) per row
-    // (measured ~30x on the verify pass). Binding the array as a lambda
-    // variable keeps any inlined copy at one tokenization per evaluation.
-    val pfDl = graft.analyze.Tokenizer.bindOnce(
-        graft.analyze.Tokenizer.tokens(col("content"))) { ts =>
-      struct(
-        when(size(ts) >= lit(k),
-          size(filter(sequence(lit(1), size(ts) - lit(k - 1)),
-            i => toks.toSeq.zipWithIndex.map { case (w, j) =>
-              element_at(ts, i + lit(j)) === lit(w)
-            }.reduce(_ && _))))
-          .otherwise(lit(0)).as("pf"),
-        least(lit(2) * size(ts) - lit(1), lit(IndexBuild.MaxDl))
-          .cast("double").as("dl"))
-    }
+    // native verify: tokenize + sliding phrase count + dl in ONE eval per
+    // candidate row ([[graft.functions.GraftPhrasePfDl]]); the built-in
+    // composition it replaced is kept as [[Engine.phrasePfDlHof]] for the
+    // equivalence pin
+    val pfDl = graft.functions.GraftFunctions.graft_phrase_pfdl(
+      col("content"), toks.toSeq, IndexBuild.MaxDl)
     corpus
-      .join(cand, Seq("doc_id"), "left_semi")
+      // explicit broadcast: cand comes out of a groupByKey/flatMapGroups,
+      // so the planner has no size estimate and falls back to a
+      // sort-merge join that shuffles the WHOLE stored-field corpus
+      // (content included — the broadcast + the native verify took this
+      // phrase 3.7 s -> 2.0 s at the 600k-doc bench corpus; the remaining
+      // floor is the one corpus scan a stored-field verify cannot avoid
+      // without positional postings, the disclosed design trade). The
+      // candidate list is doc ids only, bounded by the phrase's rarest
+      // posting list — broadcastable by construction (Lucene's own
+      // phrase bound).
+      .join(broadcast(cand), Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("docId"), pfDl.as("pd"))
-      .select(col("docId"), col("pd.pf").as("pf"), col("pd.dl").as("dl"))
+      .select(col("docId"), col("pd.pf").as("pf"),
+        col("pd.dl").cast("double").as("dl"))
       .where(col("pf") > 0)
       .select(col("docId"),
         (lit(boost * idfSum) * Bm25.tfNormCol(col("pf").cast("double"), col("dl"),
@@ -1743,6 +1741,31 @@ object Engine {
     */
   val MissingFeatureCosQ: Long = -10001L
 
+  /** Built-in-composed specification twin of the native
+    * [[graft.functions.GraftPhrasePfDl]] phrase verify (pinned equal in
+    * FunctionsSpec, not on any hot path): struct(pf, dl) with pf = exact
+    * sliding-window phrase count over the analyzer tokens, dl = clamped
+    * 2n−1. bindOnce keeps the tokenization at one eval even here — the
+    * occurrence-count lambda reads the token array k times per position,
+    * and a pushed-down pf > 0 predicate re-inlines the projection into
+    * the filter (measured ~30x without it).
+    */
+  private[graft] def phrasePfDlHof(content: Column, toks: Array[String],
+      maxDl: Int): Column = {
+    val k = toks.length
+    graft.analyze.Tokenizer.bindOnce(
+        graft.analyze.Tokenizer.tokens(content)) { ts =>
+      struct(
+        when(size(ts) >= lit(k),
+          size(filter(sequence(lit(1), size(ts) - lit(k - 1)),
+            i => toks.toSeq.zipWithIndex.map { case (w, j) =>
+              element_at(ts, i + lit(j)) === lit(w)
+            }.reduce(_ && _))))
+          .otherwise(lit(0)).as("pf"),
+        least(lit(2) * size(ts) - lit(1), lit(maxDl)).as("dl"))
+    }
+  }
+
   /** OR-merge serialized bitmaps; callers guarantee nonEmpty. */
   private[query] def orAll(bs: Iterable[Array[Byte]]): RoaringBitmap = {
     val it = bs.iterator
@@ -1931,16 +1954,20 @@ object Engine {
       case c => c.toString
     }
 
-  /** Route a wildcard pattern to the reversed-term dictionary when the
-    * longest wildcard-free run sits at the END: leading wildcard, literal
-    * tail (Solr ReversedWildcardFilterFactory's query-side rule). Reversing
-    * both sides turns `*suffix` into prefix-matching, where the parquet
-    * StartsWith pushdown applies; a both-ends-wildcard pattern gains
-    * nothing from reversal and stays forward.
+  /** Route a wildcard pattern to the reversed-term dictionary ONLY for
+    * `*<pure-literal>` (Solr ReversedWildcardFilterFactory's query-side
+    * rule, restricted to where reversal actually pays): reversing turns
+    * `*suffix` into `xiffus%` — a shape LikeSimplification rewrites to
+    * StartsWith, which prunes rdictionary row groups by rterm stats. Any
+    * other leading-wildcard form (`?` anywhere, an interior `*`) reverses
+    * into a generic LIKE (`?ab` → `ba_`) that gets NO pushdown, so the
+    * reversed route would pay the uncached vocabulary-sized rdictionary
+    * scan plus its groupBy/sum for nothing — the cached pre-aggregated
+    * forward dictionary is strictly better there and keeps the route.
     */
   def shouldReverse(pattern: String): Boolean =
-    pattern.nonEmpty && (pattern.head == '*' || pattern.head == '?') &&
-      pattern.last != '*' && pattern.last != '?'
+    pattern.length >= 2 && pattern.head == '*' &&
+      pattern.tail.forall(c => c != '*' && c != '?')
 
   private def occurOf(s: String): Occur = s match {
     case "+" => Occur.Must

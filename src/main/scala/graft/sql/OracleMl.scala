@@ -554,7 +554,7 @@ object OracleMl {
 
   def tokenCountsSql: String = withPrelude(
     s"""SELECT doc_id,
-       |       len(list_filter(regexp_split_to_array(content, '\\s+'), x -> x <> ''))::BIGINT AS ws_tokens,
+       |       len(list_filter(regexp_split_to_array(content, '${TextStats.WsClass}+'), x -> x <> ''))::BIGINT AS ws_tokens,
        |       len(regexp_extract_all(lower(content), '${TextStats.BpeRe}'))::BIGINT AS bpe_tokens,
        |       length(content)::BIGINT AS n_chars
        |FROM corpus""".stripMargin)
@@ -593,9 +593,15 @@ object OracleMl {
     * length() counts code points — both matching the expression's
     * split("\n", −1) / codePointCount contract.
     */
-  def repetitionSql: String = {
-    def frac(num: String, den: String): String =
-      s"CAST(round(CASE WHEN $den > 0 THEN 1000000.0 * $num / $den ELSE 0 END) AS BIGINT)"
+  /** `round(1e6·num/den)::BIGINT`, 0 when den = 0 — the single SQL twin of
+    * [[graft.ml.TextStats.quantFrac]]. The `1000000.0 * num / den` op
+    * order is load-bearing (left-to-right association matches the
+    * engine's `(1e6·num)/den`); keep exactly one copy per engine.
+    */
+  private def fracSql(num: String, den: String): String =
+    s"CAST(round(CASE WHEN $den > 0 THEN 1000000.0 * $num / $den ELSE 0 END) AS BIGINT)"
+
+  def repetitionSql: String =
     withPrelude(
       s"""     , lns AS (
          |  SELECT doc_id, unnest(string_split(content, chr(10))) AS ln FROM corpus),
@@ -612,11 +618,10 @@ object OracleMl {
          |  GROUP BY 1, 2),
          |g2c AS (SELECT doc_id, max(c) AS top2, sum(c)::BIGINT AS total2 FROM g2 GROUP BY 1)
          |SELECT l.doc_id, l.n_lines,
-         |       ${frac("l.n_dup_lines", "l.n_lines")} AS dup_line_q,
-         |       ${frac("l.dup_line_chars", "l.line_chars")} AS dup_char_q,
-         |       ${frac("coalesce(g.top2, 0)", "coalesce(g.total2, 0)")} AS top2_q
+         |       ${fracSql("l.n_dup_lines", "l.n_lines")} AS dup_line_q,
+         |       ${fracSql("l.dup_line_chars", "l.line_chars")} AS dup_char_q,
+         |       ${fracSql("coalesce(g.top2, 0)", "coalesce(g.total2, 0)")} AS top2_q
          |FROM lstats l LEFT JOIN g2c g ON g.doc_id = l.doc_id""".stripMargin)
-  }
 
   /** PII-injected corpus CTE chain (mirror of TextStats.withPii) — ends
     * by redefining `corpus`, for [[Oracle.withCorpusCtes]].
@@ -677,31 +682,31 @@ object OracleMl {
     * decided on the quantized integers.
     */
   def gopherSql: String = {
-    def frac(num: String, den: String): String =
-      s"CAST(round(CASE WHEN $den > 0 THEN 1000000.0 * $num / $den ELSE 0 END) AS BIGINT)"
+    val ws = TextStats.WsClass
+    val nws = TextStats.NonWsClass
     val req = TextStats.RequiredWords
-      .map(w => s"regexp_matches(content, '(^|\\s)$w(\\s|$$)')::INT")
+      .map(w => s"regexp_matches(content, '(^|$ws)$w($ws|\\z)')::INT")
       .mkString("\n           + ")
     Oracle.withCorpusCtes(structureCtes,
       s"""     , gstats AS (
          |  SELECT doc_id,
-         |         len(regexp_extract_all(content, '[^\\s]+'))::BIGINT AS n_words,
-         |         length(regexp_replace(content, '\\s', '', 'g'))::BIGINT AS non_space,
+         |         len(regexp_extract_all(content, '$nws+'))::BIGINT AS n_words,
+         |         length(regexp_replace(content, '$ws', '', 'g'))::BIGINT AS non_space,
          |         (length(content) - length(replace(content, chr(10), '')) + 1)::BIGINT AS n_lines,
          |         (length(content) - length(replace(content, '#', ''))
          |           + len(regexp_extract_all(content, '\\.\\.\\.')))::BIGINT AS n_symbols,
          |         len(regexp_extract_all(content, '(^|\\n)- '))::BIGINT AS n_bullet,
-         |         len(regexp_extract_all(content, '\\.\\.\\.(\\n|$$)'))::BIGINT AS n_ell_end,
-         |         len(regexp_extract_all(content, '[^\\s]*[a-z][^\\s]*'))::BIGINT AS n_alpha,
+         |         len(regexp_extract_all(content, '\\.\\.\\.(\\n|\\z)'))::BIGINT AS n_ell_end,
+         |         len(regexp_extract_all(content, '$nws*[a-z]$nws*'))::BIGINT AS n_alpha,
          |         ($req)::BIGINT AS n_required
          |  FROM corpus),
          |sig AS (
          |  SELECT doc_id, n_words,
-         |         ${frac("non_space", "n_words")} AS mean_wlen_q,
-         |         ${frac("n_symbols", "n_words")} AS symbol_q,
-         |         ${frac("n_bullet", "n_lines")} AS bullet_q,
-         |         ${frac("n_ell_end", "n_lines")} AS ellipsis_q,
-         |         ${frac("n_alpha", "n_words")} AS alpha_q,
+         |         ${fracSql("non_space", "n_words")} AS mean_wlen_q,
+         |         ${fracSql("n_symbols", "n_words")} AS symbol_q,
+         |         ${fracSql("n_bullet", "n_lines")} AS bullet_q,
+         |         ${fracSql("n_ell_end", "n_lines")} AS ellipsis_q,
+         |         ${fracSql("n_alpha", "n_words")} AS alpha_q,
          |         n_required
          |  FROM gstats)
          |SELECT doc_id, n_words, mean_wlen_q, symbol_q, bullet_q, ellipsis_q,

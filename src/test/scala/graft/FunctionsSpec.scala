@@ -79,7 +79,7 @@ class FunctionsSpec extends SparkSpec {
         lit("c0").as("commit"), $"lang",
         coalesce($"text", lit("")).as("content"))
     val corpus = Corpus.withDocIds(src, 7).cache()
-    val dir = java.nio.file.Files.createTempDirectory("graft-hint").toString
+    val dir = tempDir("graft-hint")
     IndexBuild.build(spark, corpus, dir, IndexConfig(segShift = 6, rangeSegsShift = 2))
     val engine = new Engine(new Index(spark, dir))
     val docsSeq = corpus.select($"doc_id", $"content").as[(Long, String)].collect().toSeq
@@ -102,6 +102,48 @@ class FunctionsSpec extends SparkSpec {
       .as[(Long, Option[String])].collect().toMap
     assert(a == b)
     assert(a(9001L).isEmpty && a(9002L).isEmpty && a(9003L).isDefined)
+  }
+
+  test("GraftShingles expression == HOF composition (w=2 and w=13, edge docs)") {
+    val extra = Seq(
+      (9101L, ""), (9102L, "one"), (9103L, "one two"),
+      (9104L, "a b a b a b"), // repeated shingles: distinct keeps first order
+      (9105L, "α β αβ three four"),
+      (9106L, "exactly thirteen tokens here so the wide shingle fires once " +
+        "padpad padpad padpad padpad padpad padpad")).toDF("doc_id", "content")
+    val all = docs.unionAll(extra)
+    for (w <- Seq(2, 13)) {
+      val a = all.select($"doc_id", graft.ml.Dedup.shingleSetW($"content", w).as("sh"))
+        .as[(Long, Seq[String])].collect().toMap
+      val b = all.select($"doc_id", graft.ml.Dedup.shingleSetWHof($"content", w).as("sh"))
+        .as[(Long, Seq[String])].collect().toMap
+      assert(a == b, s"width $w")
+      assert(a(9102L).isEmpty && a(9103L).nonEmpty == (w == 2))
+    }
+  }
+
+  test("GraftPhrasePfDl expression == HOF composition (overlaps, short docs, absent)") {
+    import graft.index.IndexBuild
+    val extra = Seq(
+      (9201L, ""), (9202L, "get"), (9203L, "get geter"),
+      (9204L, "get get get"), // overlapping occurrences of "get get" -> pf 2
+      (9205L, "geter get geter get geter")).toDF("doc_id", "content")
+    val all = docs.unionAll(extra)
+    for (toks <- Seq(Array("get", "geter"), Array("get", "get"), Array("nosuchword"))) {
+      val a = all.select($"doc_id",
+        GraftFunctions.graft_phrase_pfdl($"content", toks.toSeq, IndexBuild.MaxDl).as("pd"))
+        .select($"doc_id", struct($"pd.pf", $"pd.dl").as("v"))
+        .as[(Long, (Int, Int))].collect().toMap
+      val b = all.select($"doc_id",
+        graft.query.Engine.phrasePfDlHof($"content", toks, IndexBuild.MaxDl).as("pd"))
+        .select($"doc_id", struct($"pd.pf", $"pd.dl").as("v"))
+        .as[(Long, (Int, Int))].collect().toMap
+      assert(a == b, s"phrase ${toks.mkString(" ")}")
+    }
+    val pf204 = all.select($"doc_id",
+      GraftFunctions.graft_phrase_pfdl($"content", Seq("get", "get"), IndexBuild.MaxDl).as("pd"))
+      .select($"doc_id", $"pd.pf").as[(Long, Int)].collect().toMap
+    assert(pf204(9204L) == 2 && pf204(9203L) == 0)
   }
 
   test("graft_postings decodes exactly what Codec encoded") {

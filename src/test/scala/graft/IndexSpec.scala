@@ -10,8 +10,7 @@ import graft.query.{Bm25, BruteScorer, Engine, Index}
 class IndexSpec extends SparkSpec {
   import spark.implicits._
 
-  private def tmpDir(tag: String): String =
-    Files.createTempDirectory(s"graft-$tag").toString
+  private def tmpDir(tag: String): String = tempDir(s"graft-$tag")
 
   lazy val corpus = Corpus.fromDocuments(spark, sfTiny).cache()
   lazy val docs: Seq[(Long, String)] =

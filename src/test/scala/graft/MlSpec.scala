@@ -261,7 +261,7 @@ class MlSpec extends SparkSpec {
     val dims = emb.head._2.length
     val header = ("id" +: (0 until dims).map(d => s"c$d")).mkString(",")
     val lines = emb.map { case (id, v) => (id +: v).mkString(",") }
-    val csvDir = java.nio.file.Files.createTempDirectory("graft-csv")
+    val csvDir = java.nio.file.Paths.get(tempDir("graft-csv"))
     java.nio.file.Files.write(csvDir.resolve("f.csv"),
       (header +: lines).mkString("\n").getBytes)
     val viaCsv = Features.fromCsv(spark, csvDir.toString)
@@ -363,7 +363,7 @@ class MlSpec extends SparkSpec {
         concat(lit("p"), $"vec_id").as("path"), lit("c").as("commit"),
         lit("x").as("lang"), $"content")
       .withColumn("sha", sha2($"content", 256))
-    val dir = java.nio.file.Files.createTempDirectory("graft-ms").toString
+    val dir = tempDir("graft-ms")
     IndexBuild.build(spark, corpus, dir, IndexConfig(segShift = 6, rangeSegsShift = 2))
     val eng = new Engine(new Index(spark, dir))
     val q = Ann.msQuery(emb, 42L, 32, 8).map { case (t, b) => ("w:" + t.replace(":", ""), b) }
@@ -403,7 +403,7 @@ class MlSpec extends SparkSpec {
     assert(entries.head.mediaUrl == "https://example.org/img/1.jpg")
     assert(entries(1).mediaUrl == "https://example.org/p/2") // fallback to page link
     val corpus = Corpus.withDocIds(Atom.fromFeeds(spark.createDataset(Seq(feed))), 2)
-    val dir = java.nio.file.Files.createTempDirectory("graft-atom").toString
+    val dir = tempDir("graft-atom")
     IndexBuild.build(spark, corpus, dir, IndexConfig(segShift = 4, rangeSegsShift = 1))
     val eng = new Engine(new Index(spark, dir))
     val hit = eng.searchByTerms(Seq("w:harbor" -> 1.0), rows = 5)
@@ -683,5 +683,26 @@ class MlSpec extends SparkSpec {
     val keeps = injected.groupBy("keep").count()
       .as[(Long, Long)].collect().toMap
     assert(keeps.getOrElse(1L, 0L) > 0 && keeps.getOrElse(0L, 0L) > 0)
+  }
+
+  test("GraftGopherStats fused pass == regex composition (injected corpus + edge docs)") {
+    // the structure-injected corpus fires every rule both ways; the edge
+    // docs pin the regex corner semantics the fused scan must replicate:
+    // overlapping dots, CRLF tails (no \z match), vertical tab = non-ws
+    // in the explicit class, bullets at start/after-\n only, required
+    // words as complete runs only, surrogate pairs as one char
+    val edge = Seq(
+      (9301L, ""), (9302L, "...."), (9303L, "......"), (9304L, "ok...\r\n"),
+      (9305L, "a\u000Bb c"), (9306L, "- one\n- two\nx - three"),
+      (9307L, "xthat thatx that"), (9308L, "𝄞 clef of have"),
+      (9309L, "...\n...\n..."), (9310L, "# #...#\n- ...")
+    ).toDF("doc_id", "content")
+    for (src <- Seq(TextStats.withStructure(corpus), edge)) {
+      val a = TextStats.gopherRules(src).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
+      val b = TextStats.gopherRulesBuiltins(src).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
+      assert(a == b)
+    }
   }
 }

@@ -123,9 +123,12 @@ class ParsedQuerySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("StringStartsWith(rterm,kra"),
       s"no StartsWith pushdown:\n$plan")
-    // routing rule: reversal only pays when the literal run is the tail
+    // routing rule: reversal only pays for *<pure-literal> — anything
+    // else reverses into a generic LIKE with no StartsWith pushdown, so
+    // the cached forward dictionary wins and the route stays forward
     assert(!Engine.shouldReverse("*ab*") && !Engine.shouldReverse("ab*"))
-    assert(Engine.shouldReverse("?ab") && Engine.shouldReverse("*a?b"))
+    assert(!Engine.shouldReverse("?ab") && !Engine.shouldReverse("*a?b"))
+    assert(!Engine.shouldReverse("*") && Engine.shouldReverse("*ab"))
   }
 
   // ------------------------------------------------------------------

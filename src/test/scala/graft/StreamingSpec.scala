@@ -14,7 +14,7 @@ class StreamingSpec extends SparkSpec {
   val cfg = IndexConfig(segShift = 6, rangeSegsShift = 2)
 
   test("incremental stream ingestion == batch build; restarts & replays no-op") {
-    val root = Files.createTempDirectory("graft-stream").toString
+    val root = tempDir("graft-stream")
     val inDir = s"$root/in"; val idxDir = s"$root/idx"; val ckDir = s"$root/ck"
     new java.io.File(inDir).mkdirs()
     val corpus = Corpus.fromDocuments(spark, sfTiny)
@@ -52,7 +52,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("CDC-style upsert stream: re-posted keys replace, inline maintenance reclaims") {
-    val root = Files.createTempDirectory("graft-upstream").toString
+    val root = tempDir("graft-upstream")
     val inDir = s"$root/in"; val idxDir = s"$root/idx"; val ckDir = s"$root/ck"
     new java.io.File(inDir).mkdirs()
     val corpus = Corpus.fromDocuments(spark, sfTiny)
@@ -98,7 +98,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("CDC upsert stream: out-of-order delivery (update chunk first) converges to the max") {
-    val root = Files.createTempDirectory("graft-ooo").toString
+    val root = tempDir("graft-ooo")
     val idxDir = s"$root/idx"
     val corpus = Corpus.fromDocuments(spark, sfTiny)
       .select("doc_id", "repo", "path", "commit", "lang", "content", "sha")
@@ -136,7 +136,7 @@ class StreamingSpec extends SparkSpec {
       .orderBy("w_start", "event_type").collect().map(_.toSeq).toSeq
 
     // FileStreamSource wants a directory; the sf table is a single file
-    val evDir = Files.createTempDirectory("graft-events").toString
+    val evDir = tempDir("graft-events")
     Files.copy(java.nio.file.Paths.get(eventsPath),
       java.nio.file.Paths.get(s"$evDir/events.parquet"))
     val schema = spark.read.parquet(eventsPath).schema
@@ -159,7 +159,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("non-range-aligned replay with DIFFERENT content fails loudly") {
-    val root = Files.createTempDirectory("graft-stream-clash").toString
+    val root = tempDir("graft-stream-clash")
     val inDir = s"$root/in"; val idxDir = s"$root/idx"
     new java.io.File(inDir).mkdirs()
     val corpus = Corpus.fromDocuments(spark, sfTiny)
@@ -187,7 +187,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("compaction: many streamed micro-batch units merge to <=3; queries, filters and attestations unchanged") {
-    val root = Files.createTempDirectory("graft-compact").toString
+    val root = tempDir("graft-compact")
     val inDir = s"$root/in"; val idxDir = s"$root/idx"
     new java.io.File(inDir).mkdirs()
     // 32-doc ranges: the 500-doc corpus ingests as 16 one-file micro-batches
@@ -288,7 +288,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("inline maintenance: streaming with maxLiveUnits keeps the unit count bounded") {
-    val root = Files.createTempDirectory("graft-stream-maint").toString
+    val root = tempDir("graft-stream-maint")
     val inDir = s"$root/in"; val idxDir = s"$root/idx"
     new java.io.File(inDir).mkdirs()
     val c = IndexConfig(segShift = 4, rangeSegsShift = 1) // 32-doc ranges
@@ -316,7 +316,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("mixed manifest schemas: old-format units keep their attestations (per-row synthesis)") {
-    val root = Files.createTempDirectory("graft-mixed").toString
+    val root = tempDir("graft-mixed")
     val idxDir = s"$root/idx"
     val corpus = Corpus.fromDocuments(spark, sfTiny)
       .select("doc_id", "repo", "path", "commit", "lang", "content", "sha")
@@ -353,7 +353,7 @@ class StreamingSpec extends SparkSpec {
       .select("user_id").distinct().count().toInt
     // chronological weekly chunks so the watermark advances between
     // micro-batches and event-time timeouts actually fire
-    val evDir = Files.createTempDirectory("graft-sess").toString
+    val evDir = tempDir("graft-sess")
     val ev = spark.read.parquet(eventsPath)
     Seq(("chunk0", "ts < '2024-01-08'"),
       ("chunk1", "ts >= '2024-01-08' AND ts < '2024-01-16'"),

@@ -1,6 +1,5 @@
 package graft
 
-import java.nio.file.Files
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.corpus.Corpus
@@ -44,7 +43,7 @@ class UpsertSpec extends SparkSpec {
 
   /** Build base + upsert + delete into a fresh dir; returns it. */
   def upserted(): String = {
-    val dir = Files.createTempDirectory("graft-upsert").toString
+    val dir = tempDir("graft-upsert")
     IndexBuild.build(spark, base, dir, cfg)
     IndexBuild.upsert(spark, updates, dir, cfg, keyCols = Seq("path"))
     IndexBuild.deleteByKeys(spark, deleteKeys, dir, keyCols = Seq("path"))
@@ -56,7 +55,7 @@ class UpsertSpec extends SparkSpec {
     * predicate. The tombstone machinery must reproduce it exactly.
     */
   def allVersionsDir(): String = {
-    val dir = Files.createTempDirectory("graft-allv").toString
+    val dir = tempDir("graft-allv")
     IndexBuild.build(spark, base.unionByName(updates), dir, cfg)
     dir
   }
@@ -162,7 +161,7 @@ class UpsertSpec extends SparkSpec {
     val idx = new Index(spark, dir)
     assert(!idx.hasTombstones, "reclaim must retire every applied tombstone")
     val effective = base.where(notDeadPred).unionByName(updates)
-    val freshDir = Files.createTempDirectory("graft-eff").toString
+    val freshDir = tempDir("graft-eff")
     IndexBuild.build(spark, effective, freshDir, cfg)
     val freshIdx = new Index(spark, freshDir)
     // fresh stats (N, avgdl refresh at merge, like Lucene)
@@ -226,7 +225,7 @@ class UpsertSpec extends SparkSpec {
     // the kill shards are gated per replacing range: simulate a crash that
     // committed only SOME ranges of the batch by dropping one new range's
     // manifest — every key must resolve to exactly one version
-    val dir = Files.createTempDirectory("graft-partial").toString
+    val dir = tempDir("graft-partial")
     IndexBuild.build(spark, base, dir, cfg)
     IndexBuild.upsert(spark, updates, dir, cfg, keyCols = Seq("path"))
     val newRanges = updates
@@ -272,7 +271,7 @@ class UpsertSpec extends SparkSpec {
   }
 
   test("winner rule: several versions of one key in ONE batch resolve to the max") {
-    val dir = Files.createTempDirectory("graft-intra").toString
+    val dir = tempDir("graft-intra")
     IndexBuild.build(spark, base, dir, cfg)
     // two new versions of doc 3's key in the same upsert batch
     val v1 = base.where(col("doc_id") === 3)
@@ -361,7 +360,7 @@ class UpsertSpec extends SparkSpec {
     // kill shard must be attributed to the owning live unit (ADVICE r03) —
     // under the retired raw range id it would never surface and the
     // duplicate would stay live forever
-    val dir = Files.createTempDirectory("graft-owner").toString
+    val dir = tempDir("graft-owner")
     val dupPath = "repo/r/dup.txt"
     def mk(rows: Seq[(Long, String, String)]): DataFrame =
       rows.toDF("doc_id", "path", "content")

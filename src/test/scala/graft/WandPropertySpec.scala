@@ -1,6 +1,5 @@
 package graft
 
-import java.nio.file.Files
 import scala.util.Random
 import graft.corpus.Corpus
 import graft.index.{Codec, IndexBuild, IndexConfig, TermHash}
@@ -142,7 +141,7 @@ class WandPropertySpec extends SparkSpec {
 
   test("end-to-end on skewed synthetic corpus: hot+rare query rank-identical to brute") {
     val corpus = Corpus.synthesize(spark, 3000, seed = 7, partitions = 8).cache()
-    val dir = Files.createTempDirectory("graft-synth").toString
+    val dir = tempDir("graft-synth")
     IndexBuild.build(spark, corpus, dir, IndexConfig(segShift = 9, rangeSegsShift = 1))
     val engine = new Engine(new Index(spark, dir))
     val docs = corpus.select($"doc_id", $"content").as[(Long, String)].collect().toSeq
@@ -171,7 +170,7 @@ class WandPropertySpec extends SparkSpec {
 
   test("batched search == per-query across random dense/sparse mixes (property)") {
     val corpus = Corpus.synthesize(spark, 2000, seed = 11, partitions = 8).cache()
-    val dir = Files.createTempDirectory("graft-batchprop").toString
+    val dir = tempDir("graft-batchprop")
     IndexBuild.build(spark, corpus, dir, IndexConfig(segShift = 8, rangeSegsShift = 1))
     val engine = new Engine(new Index(spark, dir))
     val vocabDf = engine.index.dictionary
