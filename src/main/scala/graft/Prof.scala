@@ -206,6 +206,8 @@ object Prof {
       "repetition" -> (() => graft.ml.TextStats.repetition(corpus)
         .agg(sum("top2_q"), sum("dup_line_q")).collect().length.toLong),
       "stratified_sample" -> (() => graft.ml.Sample.stratified(corpus, "lang", 1000L).count()),
+      "unigram_lp" -> (() => graft.ml.TextStats.unigramLogProb(corpus)
+        .agg(sum("mean_lp_q"), sum("n_toks")).collect().length.toLong),
       "contamination" -> (() => Dedup.contamination(corpus,
         corpus.where(col("doc_id") % 997 === 0)).count()))
     sections.foreach { case (tag, fn) =>

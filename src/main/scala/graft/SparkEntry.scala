@@ -472,6 +472,7 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) => TextStats.fingerprint(Corpus.fromDocuments(s, dir))),
     // Gopher repetition signals (dup-line / dup-char / top-2-gram share)
     "q_repetition" -> ((s, dir) => TextStats.repetition(Corpus.fromDocuments(s, dir))),
+    "q_unigram_lp" -> ((s, dir) => TextStats.unigramLogProb(Corpus.fromDocuments(s, dir))),
     // PII redaction counts + redacted-content sha over the PII-injected corpus
     "q_pii_redact" -> ((s, dir) =>
       TextStats.redactPii(TextStats.withPii(Corpus.fromDocuments(s, dir)))),
@@ -713,6 +714,7 @@ object SparkEntry {
     "q_token_count" -> OracleMl.tokenCountsSql,
     "q_fingerprint" -> OracleMl.fingerprintSql,
     "q_repetition" -> OracleMl.repetitionSql,
+    "q_unigram_lp" -> OracleMl.unigramSql,
     "q_pii_redact" -> OracleMl.piiSql,
     "q_stratified_sample" -> OracleMl.stratifiedSampleSql("lang", SampleTarget, "samp"),
     "q_gopher_rules" -> OracleMl.gopherSql,

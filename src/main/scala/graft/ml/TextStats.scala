@@ -103,6 +103,49 @@ object TextStats {
       regexp_count(lower(col("content")), lit(BpeRe)).cast("long").as("bpe_tokens"),
       length(col("content")).cast("long").as("n_chars"))
 
+  /** Unigram-LM quality score (the CCNet/KenLM-style filter signal,
+    * Wenzek et al. 2020 — "perplexity of a language model" as the third
+    * standard curation axis next to rules and dedup): per doc the mean
+    * token log-probability under the corpus's OWN unigram distribution,
+    * mean_lp_q = round(Σ lp_q(tok) / n_toks) with
+    * lp_q(tok) = round(1e6 · ln(count(tok)/total_tokens)). Low (very
+    * negative) = rare-token-heavy documents (gibberish, dumps); high =
+    * common-language text. Perplexity = exp(−mean_lp_q/1e6).
+    *
+    * Determinism contract: ln is evaluated ONCE per DISTINCT token and
+    * quantized to an integer BEFORE the per-doc sum, so the document
+    * aggregate is an exact integer sum — associative under any partition
+    * order (a raw double Σ ln would hash-differ run to run). The only
+    * double ops are one ln + one division per vocab entry and one final
+    * division per doc, the same cross-engine surface the BM25 idf gates
+    * already pin. Mirror: [[graft.sql.OracleMl.unigramSql]].
+    *
+    * Scale shape: one vocab-sized count aggregation, one token→lp_q
+    * equi-join (post-aggregation stats let AQE broadcast a small vocab;
+    * a 100× vocab degrades to a plain shuffle join on the token string),
+    * one per-doc integer-sum aggregation. No driver-side vocabulary.
+    */
+  def unigramLogProb(corpus: DataFrame): DataFrame = {
+    val toks = corpus.select(col("doc_id"),
+      explode(Tokenizer.tokens(col("content"))).as("tok"))
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(coalesce(sum(col("c")), lit(0L))).collect()(0).getLong(0)
+    val lpq = counts.select(col("tok"),
+      round(lit(1e6) * log(col("c").cast("double") / lit(total.toDouble)))
+        .cast("long").as("lp_q"))
+    val perDoc = toks.join(lpq, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("lp_q")).as("sum_lp"))
+      .select(col("doc_id"), col("n_toks"),
+        round(col("sum_lp").cast("double") / col("n_toks").cast("double"))
+          .cast("long").as("mean_lp_q"))
+    // token-free docs: n_toks 0, mean 0 (no LM evidence either way)
+    corpus.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("mean_lp_q"), lit(0L)).as("mean_lp_q"))
+  }
+
   /** Gopher-style repetition signals (Rae et al. 2021 §A1.1) for quality
     * filtering: per doc,
     *   dup_line_q  — duplicate-line fraction (occurrences beyond a line's

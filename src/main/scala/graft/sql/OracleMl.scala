@@ -586,6 +586,26 @@ object OracleMl {
        |       lower(hex(substr(content, 1, 8)::BLOB)) AS head_hex
        |FROM corpus""".stripMargin)
 
+  /** Unigram-LM quality score (mirror of TextStats.unigramLogProb): ln
+    * once per DISTINCT token, quantized to an integer BEFORE the per-doc
+    * sum (the doc aggregate is an exact integer sum — no double-Σ
+    * association hazard), same (1e6·ln(c/t)) and (Σ/n) op orders.
+    */
+  def unigramSql: String = withPrelude(
+    s"""     , tk AS (SELECT doc_id, unnest(ts) AS tok FROM toks),
+       |cnt AS (SELECT tok, count(*)::BIGINT AS c FROM tk GROUP BY 1),
+       |tot AS (SELECT sum(c)::BIGINT AS t FROM cnt),
+       |lp AS (
+       |  SELECT tok, CAST(round(1000000.0 * ln(c::DOUBLE / t::DOUBLE)) AS BIGINT) AS lp_q
+       |  FROM cnt, tot),
+       |pd AS (
+       |  SELECT tk.doc_id, count(*)::BIGINT AS n_toks, sum(lp.lp_q)::BIGINT AS sum_lp
+       |  FROM tk JOIN lp ON lp.tok = tk.tok GROUP BY 1)
+       |SELECT c.doc_id,
+       |       coalesce(pd.n_toks, 0)::BIGINT AS n_toks,
+       |       coalesce(CAST(round(pd.sum_lp::DOUBLE / pd.n_toks::DOUBLE) AS BIGINT), 0)::BIGINT AS mean_lp_q
+       |FROM corpus c LEFT JOIN pd ON pd.doc_id = c.doc_id""".stripMargin)
+
   /** Gopher repetition signals (mirror of TextStats.repetition /
     * GraftRepStats): duplicate-line tallies from per-(doc, line) group
     * counts (n_dup = Σ(c−1), dup chars = Σ(c−1)·len); 2-gram share off

@@ -685,6 +685,20 @@ class MlSpec extends SparkSpec {
     assert(keeps.getOrElse(1L, 0L) > 0 && keeps.getOrElse(0L, 0L) > 0)
   }
 
+  test("unigram LM: rare-token docs score lower; partition-order invariant; empty doc 0") {
+    val docs = ((1L to 40L).map(i => i -> "the quick brown fox jumps over the lazy dog") ++
+      Seq(41L -> "zxqv qqzz vvxx yyzz wwqq", 42L -> "")).toDF("doc_id", "content")
+    val r = TextStats.unigramLogProb(docs)
+      .as[(Long, Long, Long)].collect().map(x => x._1 -> (x._2, x._3)).toMap
+    assert(r.size == 42)
+    assert(r(41L)._2 < r(1L)._2, s"gibberish must score lower: $r") // rarer tokens
+    assert(r(42L) == ((0L, 0L))) // token-free doc: no LM evidence
+    // integer-quantize-then-sum makes the score partition-order invariant
+    val rp = TextStats.unigramLogProb(docs.repartition(7))
+      .as[(Long, Long, Long)].collect().map(x => x._1 -> (x._2, x._3)).toMap
+    assert(rp == r)
+  }
+
   test("GraftGopherStats fused pass == regex composition (injected corpus + edge docs)") {
     // the structure-injected corpus fires every rule both ways; the edge
     // docs pin the regex corner semantics the fused scan must replicate:

@@ -222,4 +222,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"candidates not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"big side shuffled:\n$p")
   }
+
+  test("contamination joins a broadcast benchmark side; corpus shingles never shuffle") {
+    // the planner cannot size a filter->explode lineage, so without the
+    // explicit hint this was a SortMergeJoin shuffle-writing every corpus
+    // shingle row (~200/doc) — 24 s vs ~7 s at the bench corpus
+    val corpus = Corpus.fromDocuments(spark, sfTiny)
+    val p = plan(graft.ml.Dedup.contamination(corpus,
+      corpus.where(col("doc_id") % 13 === 0)))
+    assert(p.contains("BroadcastHashJoin"), s"benchmark side not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shingles shuffled:\n$p")
+  }
+
+  test("phrase verify broadcasts the candidate ids; stored-field corpus never shuffles") {
+    val corpus = Corpus.fromDocuments(spark, sfTiny)
+    val df = engine.phraseScores(corpus,
+      SparkEntry.PhraseBigram.split(" "), 1.0) // gate phrase: present at sfTiny
+    val p = plan(df.toDF())
+    assert(p.contains("BroadcastHashJoin"), s"candidates not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"stored-field corpus shuffled:\n$p")
+  }
 }
