@@ -240,9 +240,15 @@ object Bench {
     // (hot_rare 0.63 s vs 1.2 s in-bench on the run-8 record) — the
     // split removes the cross-pollution without giving up the
     // noise-window interleaving within each group.
+    // membership rule: anything whose own runtime is multi-second scan
+    // work (stored-field/vocabulary passes, curation ops) — run 9 showed
+    // parsed_mixed (5.4 s phrase verify) and wildcard_leading (vocab
+    // scan) still polluting the NEXT round's wand draws from inside the
+    // latency group
     val BatchSections = Set("fingerprint", "dedup_minhash", "dedup_simhash_banded",
       "dedup_embcos_bucketed", "gopher_rules", "pii_redact", "repetition",
-      "stratified_sample", "unigram_lp", "contamination")
+      "stratified_sample", "unigram_lp", "contamination", "parsed_mixed",
+      "wildcard_leading")
     val (batchQ, latencyQ) = queries.partition(q => BatchSections(q._1))
     val drawTimes: Map[String, Array[Double]] =
       queries.map(q => q._1 -> new Array[Double](QueryDraws)).toMap
