@@ -249,6 +249,10 @@ object Bench {
       "dedup_embcos_bucketed", "gopher_rules", "pii_redact", "repetition",
       "stratified_sample", "unigram_lp", "contamination", "parsed_mixed",
       "wildcard_leading")
+    require(BatchSections.subsetOf(queries.map(_._1).toSet),
+      s"BatchSections names a section not in queries: " +
+        (BatchSections -- queries.map(_._1).toSet).mkString(", ") +
+        " — a renamed section would silently rejoin the latency rounds")
     val (batchQ, latencyQ) = queries.partition(q => BatchSections(q._1))
     val drawTimes: Map[String, Array[Double]] =
       queries.map(q => q._1 -> new Array[Double](QueryDraws)).toMap
@@ -386,7 +390,8 @@ object Bench {
     pb.redirectOutput(out)
     val p = pb.start()
     val code = p.waitFor()
-    val lines = scala.io.Source.fromFile(out).getLines().toSeq
+    val src = scala.io.Source.fromFile(out)
+    val lines = try src.getLines().toSeq finally src.close()
     val res = lines.find(_.startsWith("GRAFT_BUILD "))
     deleteRecursively(work.toFile)
     require(code == 0 && res.isDefined,
@@ -396,20 +401,13 @@ object Bench {
     (parts(1).toDouble, parts(2).toLong)
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete(): Unit
-  }
+  private def deleteRecursively(f: java.io.File): Unit = graft.util.Tmp.rmTree(f)
 
-  /** Temp dir deleted at JVM exit — the staged corpus and the query index
-    * are hundreds of MB each and a bare createTempDirectory outlives the
-    * run (measured tens of GB of /tmp across rounds of bench runs).
+  /** Temp dir deleted at JVM exit ([[graft.util.Tmp.dir]]) — the staged
+    * corpus and the query index are hundreds of MB each and a bare
+    * createTempDirectory outlives the run.
     */
-  private def tempDir(tag: String): String = {
-    val p = Files.createTempDirectory(tag)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(p.toFile)))
-    p.toString
-  }
+  private def tempDir(tag: String): String = graft.util.Tmp.dir(tag)
 
   /** Recursive local copy (untimed draw setup for the maintenance
     * replicates — each draw mutates a pristine copy of the built index).

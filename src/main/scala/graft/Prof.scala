@@ -12,15 +12,7 @@ import graft.ml.Dedup
   */
 object Prof {
   /** Temp dir deleted at JVM exit (profiling indexes are GB-scale). */
-  private def tempDir(tag: String): String = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(): Unit
-    }
-    val p = Files.createTempDirectory(tag)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => rm(p.toFile)))
-    p.toString
-  }
+  private def tempDir(tag: String): String = graft.util.Tmp.dir(tag)
 
   def main(args: Array[String]): Unit = {
     if (args(0) == "queries") { profQueries(args.drop(1)); return }

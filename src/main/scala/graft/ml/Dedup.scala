@@ -23,6 +23,13 @@ import graft.analyze.Tokenizer
 object Dedup {
   val MinhashFns = 12
   val MinhashBands = 4 // 3 rows per band
+
+  /** Contamination benchmark-broadcast gate (docs): ~200 shingles/doc →
+    * ≤ ~1M (bench_id, md5) broadcast rows ≈ tens of MB. The gate costs
+    * one `limit(n+1).count()` over the benchmark table — O(gate), not
+    * O(benchmark).
+    */
+  val BroadcastBenchMaxDocs = 5000
   /** 64-bit SimHash: 16 bits collide pathologically at corpus scale (2^16
     * buckets over 10^9+ docs); 64 bits keep random-pair collisions rare
     * while the 8x8-bit banding below still pigeonholes hamming <= 7.
@@ -96,14 +103,18 @@ object Dedup {
     * Scale shape: per-row shingling on both sides, join on md5(shingle)
     * (fixed 32-byte key — the join never carries shingle text, same
     * no-cartesian equi-join shape as [[minhashPairs]]); the benchmark side
-    * is EXPLICITLY broadcast — a benchmark suite is thousands of docs
-    * next to a corpus of billions, and without the hint the planner's
-    * estimate for filter→explode lineage exceeds the auto-broadcast
-    * threshold, so the corpus side's ~200 shingle rows PER DOC get
-    * shuffle-written before AQE can localize the read (measured 17 s vs
-    * 6 s at the 600k-doc bench corpus). The corpus side never shuffles:
-    * probe-side stream into the broadcast hash set, then the
-    * contaminated-survivor aggregation touches matched rows only.
+    * is EXPLICITLY broadcast when it provably fits — a benchmark suite
+    * is thousands of docs next to a corpus of billions, and without the
+    * hint the planner's estimate for filter→explode lineage exceeds the
+    * auto-broadcast threshold, so the corpus side's ~200 shingle rows
+    * PER DOC get shuffle-written before AQE can localize the read
+    * (measured 17 s vs 6 s at the 600k-doc bench corpus). The gate is
+    * one count of the (tiny) benchmark table: ≤ [[BroadcastBenchMaxDocs]]
+    * docs ≈ ≤ ~1M shingle rows ≈ tens of MB; a larger suite degrades to
+    * the planner's shuffle strategy instead of an 8 GB-limit broadcast
+    * failure. Under the hint the corpus side never shuffles: probe-side
+    * stream into the broadcast hash set, then the contaminated-survivor
+    * aggregation touches matched rows only.
     */
   def contamination(corpus: DataFrame, benchmark: DataFrame,
                     width: Int = 13): DataFrame = {
@@ -114,7 +125,11 @@ object Dedup {
       .select(col("doc_id").as("bench_id"),
         explode(shingleSetW(col("content"), width)).as("sh"))
       .select(col("bench_id"), md5(col("sh")).as("shh"))
-    cs.join(broadcast(bs), Seq("shh"))
+    val bsSide =
+      if (benchmark.select(col("doc_id")).limit(BroadcastBenchMaxDocs + 1)
+            .count() <= BroadcastBenchMaxDocs) broadcast(bs)
+      else bs
+    cs.join(bsSide, Seq("shh"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("bench_id")).as("n_bench_docs"),
         countDistinct(col("shh")).as("n_shingles"))

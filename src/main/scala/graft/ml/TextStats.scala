@@ -129,9 +129,12 @@ object TextStats {
     val toks = corpus.select(col("doc_id"),
       explode(Tokenizer.tokens(col("content"))).as("tok"))
     val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-    val total = counts.agg(coalesce(sum(col("c")), lit(0L))).collect()(0).getLong(0)
-    val lpq = counts.select(col("tok"),
-      round(lit(1e6) * log(col("c").cast("double") / lit(total.toDouble)))
+    // one-row total crossJoined in (the oracle's own `FROM cnt, tot`
+    // shape) — keeps the whole operator one LAZY plan instead of an
+    // eager collect-the-total job at construction time
+    val tot = counts.agg(coalesce(sum(col("c")), lit(0L)).as("t"))
+    val lpq = counts.crossJoin(broadcast(tot)).select(col("tok"),
+      round(lit(1e6) * log(col("c").cast("double") / col("t").cast("double")))
         .cast("long").as("lp_q"))
     val perDoc = toks.join(lpq, Seq("tok"))
       .groupBy(col("doc_id"))

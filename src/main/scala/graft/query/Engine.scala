@@ -523,18 +523,22 @@ final class Engine(val index: Index) {
     // equivalence pin
     val pfDl = graft.functions.GraftFunctions.graft_phrase_pfdl(
       col("content"), toks.toSeq, IndexBuild.MaxDl)
+    // explicit broadcast, SIZE-GATED on a bound already in hand: cand
+    // comes out of a groupByKey/flatMapGroups, so the planner has no
+    // size estimate and falls back to a sort-merge join that shuffles
+    // the WHOLE stored-field corpus (content included — the broadcast +
+    // the native verify took this phrase 3.7 s -> 2.0 s at the 600k-doc
+    // bench corpus; the remaining floor is the one corpus scan a
+    // stored-field verify cannot avoid without positional postings, the
+    // disclosed design trade). |cand| <= min df over the phrase's words
+    // (known from the dictionary, zero extra jobs), so the hint applies
+    // exactly when the candidate id list provably fits a broadcast — a
+    // corpus-hot phrase at 100x degrades to the shuffle join instead of
+    // an 8 GB-limit broadcast failure.
+    val candSide =
+      if (dfs.values.min <= Engine.PhraseBroadcastMaxCand) broadcast(cand) else cand
     corpus
-      // explicit broadcast: cand comes out of a groupByKey/flatMapGroups,
-      // so the planner has no size estimate and falls back to a
-      // sort-merge join that shuffles the WHOLE stored-field corpus
-      // (content included — the broadcast + the native verify took this
-      // phrase 3.7 s -> 2.0 s at the 600k-doc bench corpus; the remaining
-      // floor is the one corpus scan a stored-field verify cannot avoid
-      // without positional postings, the disclosed design trade). The
-      // candidate list is doc ids only, bounded by the phrase's rarest
-      // posting list — broadcastable by construction (Lucene's own
-      // phrase bound).
-      .join(broadcast(cand), Seq("doc_id"), "left_semi")
+      .join(candSide, Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("docId"), pfDl.as("pd"))
       .select(col("docId"), col("pd.pf").as("pf"),
         col("pd.dl").cast("double").as("dl"))
@@ -1740,6 +1744,14 @@ object Engine {
     * (LireValueSource.java:274-276). Mirrored in OracleMl.rerankSql.
     */
   val MissingFeatureCosQ: Long = -10001L
+
+  /** Phrase-candidate broadcast gate: ids are 8 B + row overhead, so 2M
+    * candidates ≈ 16-30 MB broadcast — comfortably inside executor
+    * memory while covering every realistic phrase (a rarer-than-1-in-300
+    * word at the 600M-doc scale). Above it the semi-join falls back to
+    * the planner's shuffle strategy.
+    */
+  val PhraseBroadcastMaxCand: Long = 2000000L
 
   /** Built-in-composed specification twin of the native
     * [[graft.functions.GraftPhrasePfDl]] phrase verify (pinned equal in

@@ -17,11 +17,6 @@ object SparkSpec {
     s.sparkContext.setLogLevel("WARN")
     s
   }
-
-  private[graft] def rmTree(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
-    f.delete(): Unit
-  }
 }
 
 abstract class SparkSpec extends AnyFunSuite {
@@ -36,9 +31,5 @@ abstract class SparkSpec extends AnyFunSuite {
     * cross-test lazy vals (e.g. UpsertSpec's shared index dirs) stay
     * valid for the whole run.
     */
-  def tempDir(tag: String): String = {
-    val p = java.nio.file.Files.createTempDirectory(tag)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => SparkSpec.rmTree(p.toFile)))
-    p.toString
-  }
+  def tempDir(tag: String): String = graft.util.Tmp.dir(tag)
 }
