@@ -18,6 +18,7 @@ object Prof {
     if (args(0) == "queries") { profQueries(args.drop(1)); return }
     if (args(0) == "smoke") { profSmoke(); return }
     if (args(0) == "curation") { profCuration(); return }
+    if (args(0) == "unigram") { profUnigram(); return }
     val cores = args(0).toInt
     val sp = args(1).toInt
     val n = args(2).toLong
@@ -102,6 +103,39 @@ object Prof {
     * (contamination / gopher / pii / parsed query) — min of 3 draws each,
     * the shape the full bench times.
     */
+  /** Broadcast vs join route of the unigram-LM score at bench scale. */
+  def profUnigram(): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "128")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val n = 600000L
+    val dir = s"/tmp/prof-corpus-$n"
+    if (!new java.io.File(s"$dir/_SUCCESS").exists())
+      Corpus.synthesize(spark, n, 42L, 128).write.mode("overwrite").parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    println("PROF vocab=" + corpus.select(explode(
+      graft.analyze.Tokenizer.tokens(col("content")))).distinct().count())
+    def bench(tag: String)(fn: => Any): Unit = {
+      fn // warm
+      val secs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9 }
+      println(f"PROF $tag min=${secs.min}%.3f s runs=${secs.map(s => f"$s%.3f").mkString(",")}")
+    }
+    bench("unigram_broadcast")(graft.ml.TextStats.unigramLogProb(corpus)
+      .agg(sum("mean_lp_q"), sum("n_toks")).collect())
+    bench("unigram_join")(graft.ml.TextStats.unigramLogProb(corpus, maxBroadcastVocab = 0)
+      .agg(sum("mean_lp_q"), sum("n_toks")).collect())
+    // route equality at scale (the MlSpec pin, on the real corpus)
+    val a = graft.ml.TextStats.unigramLogProb(corpus)
+      .agg(sum("mean_lp_q"), sum("n_toks"), count(lit(1))).collect()(0).toSeq
+    val b = graft.ml.TextStats.unigramLogProb(corpus, maxBroadcastVocab = 0)
+      .agg(sum("mean_lp_q"), sum("n_toks"), count(lit(1))).collect()(0).toSeq
+    println(s"PROF route_equal=${a == b} a=$a b=$b")
+    spark.stop()
+  }
+
   def profCuration(): Unit = {
     val cores = 32
     val spark = SparkSession.builder().master(s"local[$cores]")

@@ -34,6 +34,15 @@ object TextStats {
   /** `[^ \t\n\f\r]` — cross-engine non-whitespace class. */
   val NonWsClass = s"[^$WsChars]"
 
+  /** Vocabulary-entry cap for [[unigramLogProb]]'s broadcast route: 4M
+    * entries ≈ 300 MB of HashMap (string + box + table overhead) — well
+    * inside a typical executor's broadcast budget, far under the 8 GB
+    * TorrentBroadcast limit. Over the cap the operator falls back to the
+    * shuffle-join route (the collect probe is bounded; only the already-
+    * aggregated map stage is paid twice on fallback).
+    */
+  val DefaultMaxBroadcastVocab: Int = 4 << 20
+
   /** BPE-ish token regex: letter runs, digit runs, single symbols. */
   val BpeRe = s"[a-z]+|[0-9]+|[^a-z0-9$WsChars]"
   /** Punctuation class for quality scoring. */
@@ -120,33 +129,91 @@ object TextStats {
     * division per doc, the same cross-engine surface the BM25 idf gates
     * already pin. Mirror: [[graft.sql.OracleMl.unigramSql]].
     *
-    * Scale shape: one vocab-sized count aggregation, one token→lp_q
-    * equi-join (post-aggregation stats let AQE broadcast a small vocab;
-    * a 100× vocab degrades to a plain shuffle join on the token string),
-    * one per-doc integer-sum aggregation. No driver-side vocabulary.
+    * Scale shape, two routes on one vocabulary-size gate:
+    *
+    *  - **broadcast route** (vocab ≤ `maxBroadcastVocab` entries): the
+    *    vocab counts collect to the driver (bounded — `toLocalIterator`
+    *    stops at the cap, one agg pass either way), lp_q is computed by a
+    *    LOCAL Spark job over the collected rows (the SAME round/log/÷
+    *    expressions as the join route — no reimplemented arithmetic to
+    *    drift), and scoring is ONE `mapPartitions` pass over the corpus
+    *    with a broadcast token→lp_q map + the pinned [[Tokenizer
+    *    .tokenizeScala]] twin: no second explode, no 100M-row string join,
+    *    no per-doc re-aggregation shuffle. Per-doc sums are exact integer
+    *    sums, so output is partition-order invariant and identical to the
+    *    join route (pinned in MlSpec).
+    *  - **join route** (a 100× vocabulary over the cap): one vocab-sized
+    *    count aggregation, one token→lp_q equi-join, one per-doc
+    *    integer-sum aggregation. No driver-side vocabulary.
     */
-  def unigramLogProb(corpus: DataFrame): DataFrame = {
+  def unigramLogProb(corpus: DataFrame,
+                     maxBroadcastVocab: Int = DefaultMaxBroadcastVocab): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val toks = corpus.select(col("doc_id"),
       explode(Tokenizer.tokens(col("content"))).as("tok"))
     val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-    // one-row total crossJoined in (the oracle's own `FROM cnt, tot`
-    // shape) — keeps the whole operator one LAZY plan instead of an
-    // eager collect-the-total job at construction time
-    val tot = counts.agg(coalesce(sum(col("c")), lit(0L)).as("t"))
-    val lpq = counts.crossJoin(broadcast(tot)).select(col("tok"),
-      round(lit(1e6) * log(col("c").cast("double") / col("t").cast("double")))
-        .cast("long").as("lp_q"))
-    val perDoc = toks.join(lpq, Seq("tok"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_toks"), sum(col("lp_q")).as("sum_lp"))
-      .select(col("doc_id"), col("n_toks"),
-        round(col("sum_lp").cast("double") / col("n_toks").cast("double"))
-          .cast("long").as("mean_lp_q"))
-    // token-free docs: n_toks 0, mean 0 (no LM evidence either way)
-    corpus.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
-        coalesce(col("mean_lp_q"), lit(0L)).as("mean_lp_q"))
+    val collected = // bounded probe-and-collect: ≤ cap+1 rows ever held
+      if (maxBroadcastVocab <= 0) None
+      else {
+        val it = counts.as[(String, Long)].toLocalIterator()
+        val buf = Seq.newBuilder[(String, Long)]
+        var n = 0
+        while (n <= maxBroadcastVocab && it.hasNext) { buf += it.next(); n += 1 }
+        if (n <= maxBroadcastVocab) Some(buf.result()) else None
+      }
+    collected match {
+      case Some(vocab) =>
+        val t = vocab.iterator.map(_._2).sum // exact integer total
+        // lp_q via a local Spark job — bit-identical expressions to the
+        // join route (Spark's round is BigDecimal HALF_UP; never
+        // reimplement it driver-side)
+        val lp = spark.createDataset(vocab).select(col("_1").as("tok"),
+          round(lit(1e6) * log(col("_2").cast("double") / lit(t).cast("double")))
+            .cast("long").as("lp_q")).as[(String, Long)].collect()
+        val m = new java.util.HashMap[String, java.lang.Long](lp.length * 2)
+        lp.foreach { case (tok, q) => m.put(tok, q) }
+        val bc = spark.sparkContext.broadcast(m)
+        corpus.select(col("doc_id"), col("content")).as[(Long, String)]
+          .mapPartitions { rows =>
+            val map = bc.value
+            rows.map { case (id, content) =>
+              val ts = Tokenizer.tokenizeScala(content)
+              var sum = 0L
+              var i = 0
+              while (i < ts.length) {
+                val v = map.get(ts(i)) // corpus-derived vocab: always present
+                if (v ne null) sum += v.longValue()
+                i += 1
+              }
+              (id, ts.length.toLong, sum)
+            }
+          }
+          .toDF("doc_id", "n_toks", "sum_lp")
+          .select(col("doc_id"), col("n_toks"),
+            when(col("n_toks") === 0, lit(0L)).otherwise(
+              round(col("sum_lp").cast("double") / col("n_toks").cast("double"))
+                .cast("long")).as("mean_lp_q"))
+      case None =>
+        // one-row total crossJoined in (the oracle's own `FROM cnt, tot`
+        // shape) — keeps the whole operator one LAZY plan instead of an
+        // eager collect-the-total job at construction time
+        val tot = counts.agg(coalesce(sum(col("c")), lit(0L)).as("t"))
+        val lpq = counts.crossJoin(broadcast(tot)).select(col("tok"),
+          round(lit(1e6) * log(col("c").cast("double") / col("t").cast("double")))
+            .cast("long").as("lp_q"))
+        val perDoc = toks.join(lpq, Seq("tok"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_toks"), sum(col("lp_q")).as("sum_lp"))
+          .select(col("doc_id"), col("n_toks"),
+            round(col("sum_lp").cast("double") / col("n_toks").cast("double"))
+              .cast("long").as("mean_lp_q"))
+        // token-free docs: n_toks 0, mean 0 (no LM evidence either way)
+        corpus.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+            coalesce(col("mean_lp_q"), lit(0L)).as("mean_lp_q"))
+    }
   }
 
   /** Gopher-style repetition signals (Rae et al. 2021 §A1.1) for quality

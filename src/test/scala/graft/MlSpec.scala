@@ -697,6 +697,20 @@ class MlSpec extends SparkSpec {
     val rp = TextStats.unigramLogProb(docs.repartition(7))
       .as[(Long, Long, Long)].collect().map(x => x._1 -> (x._2, x._3)).toMap
     assert(rp == r)
+    // broadcast route (default: vocab far under the cap) == join route
+    // (forced with cap 0) — same lp_q table, same rounding, bit-identical
+    val rj = TextStats.unigramLogProb(docs, maxBroadcastVocab = 0)
+      .as[(Long, Long, Long)].collect().map(x => x._1 -> (x._2, x._3)).toMap
+    assert(rj == r)
+    // a cap right AT the vocab size still broadcasts; one under falls back
+    val vocabN = docs.select(explode(graft.analyze.Tokenizer.tokens(col("content"))))
+      .distinct().count().toInt
+    val rAt = TextStats.unigramLogProb(docs, maxBroadcastVocab = vocabN)
+      .as[(Long, Long, Long)].collect().map(x => x._1 -> (x._2, x._3)).toMap
+    assert(rAt == r)
+    val rUnder = TextStats.unigramLogProb(docs, maxBroadcastVocab = vocabN - 1)
+      .as[(Long, Long, Long)].collect().map(x => x._1 -> (x._2, x._3)).toMap
+    assert(rUnder == r)
   }
 
   test("GraftGopherStats fused pass == regex composition (injected corpus + edge docs)") {
