@@ -202,6 +202,10 @@ object Bench {
       // projection); join/filter-driven sections count() safely.
       "wildcard_leading" -> (() => engine.searchWildcard("*factory", rows = 60,
         maxExpansions = 8).count()),
+      // dictionary bound-filter rewrite + OR search (index path, latency
+      // group: the expansion is a cached-dictionary scan, not a vocab pass)
+      "range_search" -> (() => engine.searchRange(Some("w:sa"), Some("w:sp"),
+        incLo = true, incHi = false, rows = 60, maxExpansions = 8).count()),
       "parsed_mixed" -> (() => engine.searchParsed(corpus,
         "+w:license \"get geter\" w:scanptr^2 -w:stream w:merge*^0.5 w:hach~1",
         rows = 60).count()),

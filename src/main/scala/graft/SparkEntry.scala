@@ -104,6 +104,15 @@ object SparkEntry {
     */
   val SampleTarget = 60L
 
+  /** TermRangeQuery gate: `[w:sa TO w:sp}` — half-open on purpose (both
+    * bracket semantics exercised): matches the scan/small family but
+    * excludes spark at every SF; the cap keeps the df-ordered rewrite
+    * binding.
+    */
+  val RangeLo = "w:sa"
+  val RangeHi = "w:sp"
+  val RangeMaxExpansions = 8
+
   /** Full-parser gate: MUST phrase + boosted SHOULD term + MUST_NOT +
     * prefix rewrite + fuzzy rewrite in ONE query string.
     */
@@ -554,6 +563,12 @@ object SparkEntry {
     "q_wildcard_leading" -> ((s, dir) =>
       Engine.forDir(s, dir).searchWildcard(WildcardLeadQ,
         rows = 60, maxExpansions = WildcardMaxExpansions)),
+    // Lucene TermRangeQuery ([lo TO hi}): bound-filtered dictionary
+    // rewrite, capped + df-ordered, then OR search
+    "q_range_search" -> ((s, dir) =>
+      Engine.forDir(s, dir).searchRange(Some(RangeLo), Some(RangeHi),
+        incLo = true, incHi = false, rows = 60,
+        maxExpansions = RangeMaxExpansions)),
     // the full Lucene QueryParser surface in one string: MUST phrase +
     // boosted term + MUST_NOT + prefix rewrite + fuzzy rewrite, scores
     // composed the way BooleanQuery sums subscorers
@@ -739,6 +754,8 @@ object SparkEntry {
     "q_prefix_search" -> Oracle.prefixSql(PrefixQ, PrefixMaxExpansions, 60),
     "q_fuzzy_search" -> Oracle.fuzzySql(FuzzyQ, FuzzyMaxEdits, FuzzyMaxExpansions, 60),
     "q_wildcard_search" -> Oracle.wildcardSql(WildcardQ, WildcardMaxExpansions, 60),
+    "q_range_search" -> Oracle.rangeSql(Some(RangeLo), Some(RangeHi),
+      incLo = true, incHi = false, RangeMaxExpansions, 60),
     "q_wildcard_leading" -> Oracle.wildcardSql(WildcardLeadQ, WildcardMaxExpansions, 60),
     "q_parsed_mixed" -> Oracle.parsedMixedSql("hash join",
       Seq("w:window" -> 2.0), "w:sm", 0.5, "w:hach", 1, 1.0,

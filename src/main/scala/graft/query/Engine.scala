@@ -602,6 +602,38 @@ final class Engine(val index: Index) {
     searchByTerms(exp.map(_ -> boost), rows, accuracy = 1.0)
   }
 
+  /** Lucene TermRangeQuery (`[lo TO hi]` / `{lo TO hi}`, `*` = open bound)
+    * under the same top-terms scoring-Boolean rewrite as [[searchPrefix]]:
+    * the top `maxExpansions` indexed terms inside the range by (df DESC,
+    * term ASC), OR-searched at the clause boost. Bounds compare on the
+    * raw term bytes — the term alphabet is ASCII ([a-z0-9:]), so Spark's
+    * UTF8String order and the oracle's binary collation agree. The range
+    * predicate pushes into the persisted dictionary scan (min/max
+    * row-group pruning on the term column where the store is term-
+    * clustered); postings are never touched by the expansion.
+    */
+  def searchRange(lo: Option[String], hi: Option[String],
+                  incLo: Boolean = true, incHi: Boolean = true,
+                  rows: Int = 60, maxExpansions: Int = 50,
+                  boost: Double = 1.0): DataFrame = {
+    val exp = rangeExpansions(lo, hi, incLo, incHi, maxExpansions)
+    if (exp.isEmpty) return Wand.topK(spark, spark.emptyDataset[Scored], rows)
+    searchByTerms(exp.map(_ -> boost), rows, accuracy = 1.0)
+  }
+
+  /** Terms of a range clause, (df DESC, term ASC) capped — see
+    * [[searchRange]]. `None` = open bound.
+    */
+  private[graft] def rangeExpansions(lo: Option[String], hi: Option[String],
+      incLo: Boolean, incHi: Boolean, maxExpansions: Int): Seq[String] = {
+    var d = index.dictionary
+    lo.foreach(l => d = d.where(if (incLo) col("term") >= lit(l) else col("term") > lit(l)))
+    hi.foreach(h => d = d.where(if (incHi) col("term") <= lit(h) else col("term") < lit(h)))
+    d.orderBy(col("df").desc, col("term").asc)
+      .limit(maxExpansions)
+      .select(col("term")).as[String].collect().toSeq
+  }
+
   /** Matching terms of a wildcard clause, (df DESC, term ASC) capped.
     * Leading-wildcard patterns with a literal tail route to the reversed
     * dictionary ([[Engine.shouldReverse]]): the reversed pattern's literal
@@ -683,6 +715,10 @@ final class Engine(val index: Index) {
         should ++= wildcardExpansions(p, maxExpansions).map(_ -> b)
       case WildcardClause(p, _, Occur.MustNot) =>
         mustNot ++= wildcardExpansions(p, maxExpansions)
+      case Engine.RangeClause(lo, hi, il, ih, b, Occur.Should) =>
+        should ++= rangeExpansions(lo, hi, il, ih, maxExpansions).map(_ -> b)
+      case Engine.RangeClause(lo, hi, il, ih, _, Occur.MustNot) =>
+        mustNot ++= rangeExpansions(lo, hi, il, ih, maxExpansions)
       case PhraseClause(toks, b, occ) if toks.length == 1 => // Lucene: a one-word phrase IS a TermQuery
         occ match {
           case Occur.Should => should += (("w:" + toks.head) -> b)
@@ -1892,13 +1928,23 @@ object Engine {
   final case class FuzzyClause(term: String, maxEdits: Int, boost: Double, occur: Occur) extends QClause
   final case class WildcardClause(pattern: String, boost: Double, occur: Occur) extends QClause
   final case class PhraseClause(toks: Seq[String], boost: Double, occur: Occur) extends QClause
+  /** TermRangeQuery: `[lo TO hi]` inclusive / `{lo TO hi}` exclusive per
+    * bracket (mixable, as in Lucene), `None` bound = `*` (open).
+    */
+  final case class RangeClause(lo: Option[String], hi: Option[String],
+                               incLo: Boolean, incHi: Boolean,
+                               boost: Double, occur: Occur) extends QClause
 
   private val QuotedRe = """([+-]?)"([^"]*)"(?:\^(\S+))?""".r
+  // bound bodies exclude brackets/whitespace so the greedy token can't
+  // swallow the closing bracket; `TO` is Lucene's literal keyword
+  private val RangeRe = """([+-]?)([\[{])([^\s\[\]{}]+)\s+TO\s+([^\s\[\]{}]+)([\]}])(?:\^(\S+))?""".r
 
   /** Full Lucene QueryParser grammar over one field:
     *
     *   clause := [+|-] body [^boost]
-    *   body   := "phrase words" | prefix* | wild?car*d | term~[N] | term
+    *   body   := "phrase words" | [lo TO hi] | {lo TO hi} | prefix*
+    *           | wild?car*d | term~[N] | term
     *
     * `+` = MUST, `-` = MUST_NOT, bare = SHOULD; `^boost` scales the
     * clause; a bare `~` means fuzzy with Lucene's default 2 edits. Boost
@@ -1919,6 +1965,18 @@ object Engine {
       if (toks.nonEmpty) out += PhraseClause(toks.toSeq, boost, occ)
       rest = rest.substring(0, mm.start) + " " + rest.substring(mm.end)
       m = QuotedRe.findFirstMatchIn(rest)
+    }
+    // range clauses next (they too contain whitespace: `[a TO b]`)
+    var mr = RangeRe.findFirstMatchIn(rest)
+    while (mr.isDefined) {
+      val mm = mr.get
+      val occ = occurOf(mm.group(1))
+      val boost = Option(mm.group(6)).flatMap(b => b.toDoubleOption).getOrElse(1.0)
+      val lo = Option(mm.group(3)).filter(_ != "*")
+      val hi = Option(mm.group(4)).filter(_ != "*")
+      out += RangeClause(lo, hi, mm.group(2) == "[", mm.group(5) == "]", boost, occ)
+      rest = rest.substring(0, mm.start) + " " + rest.substring(mm.end)
+      mr = RangeRe.findFirstMatchIn(rest)
     }
     rest.trim.split("\\s+").iterator.filter(_.nonEmpty).foreach { tok0 =>
       val (occ, tok1) =

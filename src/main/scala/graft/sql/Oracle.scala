@@ -374,6 +374,26 @@ object Oracle {
          |${bm25Body(None)}
          |${topKSelect(k)}""".stripMargin)
 
+  /** TermRangeQuery oracle: same capped (df DESC, term ASC) top-terms
+    * rewrite as [[prefixSql]], match via binary-collation bound
+    * comparisons (the ASCII term alphabet makes DuckDB's and Spark's
+    * string orders identical) — mirrors Engine.searchRange. `None` bound
+    * = open (`*`).
+    */
+  def rangeSql(lo: Option[String], hi: Option[String], incLo: Boolean,
+               incHi: Boolean, maxExpansions: Int, k: Int): String = {
+    val conds = lo.map(l => s"term ${if (incLo) ">=" else ">"} '$l'").toSeq ++
+      hi.map(h => s"term ${if (incHi) "<=" else "<"} '$h'").toSeq
+    val where = if (conds.isEmpty) "TRUE" else conds.mkString(" AND ")
+    withPrelude(
+      s"""     , q(term, boost) AS (
+         |  SELECT term, 1.0::DOUBLE AS boost FROM dict
+         |  WHERE $where
+         |  ORDER BY df DESC, term ASC LIMIT $maxExpansions),
+         |${bm25Body(None)}
+         |${topKSelect(k)}""".stripMargin)
+  }
+
   /** WildcardQuery oracle: same capped (df DESC, term ASC) top-terms
     * rewrite as [[prefixSql]], match via LIKE on the translated pattern
     * (`*`→`%`, `?`→`_`, literal metachars backslash-escaped —

@@ -156,6 +156,50 @@ class ParsedQuerySpec extends SparkSpec {
     assert(engine.searchPrefix("w:zzznosuch", rows = 10).count() == 0)
   }
 
+  test("range expansion = brute bound-filtered (df desc, term asc) cap; brackets + open bounds") {
+    import Engine.{Occur, RangeClause}
+    // grammar: brackets map to inclusivity, `*` to an open bound, ^boost
+    // and +/- compose like every other clause
+    assert(Engine.parseLucene("[w:sa TO w:sp}") ==
+      Seq(RangeClause(Some("w:sa"), Some("w:sp"), true, false, 1.0, Occur.Should)))
+    assert(Engine.parseLucene("-{a TO *]^2.5 w:x") == Seq(
+      RangeClause(Some("a"), None, false, true, 2.5, Occur.MustNot),
+      Engine.TermClause("w:x", 1.0, Occur.Should)))
+    def brute(lo: Option[String], hi: Option[String], il: Boolean, ih: Boolean, cap: Int) =
+      dfMap.iterator.filter { case (t, _) =>
+        lo.forall(l => if (il) t >= l else t > l) &&
+          hi.forall(h => if (ih) t <= h else t < h)
+      }.toSeq.sortBy { case (t, df) => (-df, t) }.take(cap).map(_._1)
+    val gate = brute(Some(SparkEntry.RangeLo), Some(SparkEntry.RangeHi),
+      il = true, ih = false, SparkEntry.RangeMaxExpansions)
+    assert(gate.nonEmpty, "gate precondition: terms inside [w:sa, w:sp)")
+    for ((lo, hi, il, ih, cap) <- Seq(
+        (Some(SparkEntry.RangeLo), Some(SparkEntry.RangeHi), true, false,
+          SparkEntry.RangeMaxExpansions),
+        (Some("w:a"), Some("w:z"), true, true, 3),  // cap binds
+        (None, Some("w:m"), true, false, 5),        // open low
+        (Some("w:m"), None, false, true, 5))) {     // open high, exclusive
+      val exp = engine.rangeExpansions(lo, hi, il, ih, cap)
+      assert(exp == brute(lo, hi, il, ih, cap), s"($lo,$hi,$il,$ih,$cap)")
+      val got = engine.searchRange(lo, hi, il, ih, rows = 60, maxExpansions = cap)
+        .collect().map(_.toSeq).toSeq
+      val or = engine.searchByTerms(exp.map(_ -> 1.0), rows = 60, accuracy = 1.0)
+        .collect().map(_.toSeq).toSeq
+      assert(got == or, s"($lo,$hi,$il,$ih,$cap)")
+    }
+    // inverted/empty range -> empty, not an error
+    assert(engine.searchRange(Some("w:z"), Some("w:a"), rows = 10).count() == 0)
+    // a parsed query carrying a range clause == searchBool of the expansion
+    val expanded = engine.rangeExpansions(Some(SparkEntry.RangeLo),
+      Some(SparkEntry.RangeHi), incLo = true, incHi = false, 4)
+    val viaParsed = engine.searchParsed(corpus,
+      s"[${SparkEntry.RangeLo} TO ${SparkEntry.RangeHi}} w:license", rows = 60,
+      maxExpansions = 4).collect().map(_.toSeq).toSeq
+    val viaBool = engine.searchBool(expanded.map(_ -> 1.0) :+ ("w:license" -> 1.0),
+      Nil, Nil, rows = 60).collect().map(_.toSeq).toSeq
+    assert(viaParsed == viaBool)
+  }
+
   test("fuzzy expansion = brute (dist, df desc, term) cap with 1/(1+d) boosts") {
     val exp = dfMap.keysIterator
       .map(t => (t, lev(t, SparkEntry.FuzzyQ)))
