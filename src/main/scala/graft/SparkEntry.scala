@@ -118,6 +118,13 @@ object SparkEntry {
     */
   val ParsedMixedQuery = "+\"hash join\" w:window^2 -w:stream w:sm*^0.5 w:hach~1"
 
+  /** Required-group gate: `+w:sm*` is Lucene's required multi-term
+    * rewrite — an OR-required group (≥1 expanded term per result doc,
+    * matching expansions score at the clause boost).
+    */
+  val ParsedGroupQuery = "+w:sm*^0.5 w:license -w:stream"
+  val ParsedGroupMaxExpansions = 8
+
   /** Contamination-screen benchmark selector: every 13th doc (shifted by
     * 3) of the base corpus plays the benchmark table; the dup-injected
     * corpus is screened against it with 13-token shingles.
@@ -575,6 +582,11 @@ object SparkEntry {
     "q_parsed_mixed" -> ((s, dir) =>
       Engine.forDir(s, dir).searchParsed(Corpus.fromDocuments(s, dir),
         ParsedMixedQuery, rows = 60)),
+    // MUST multi-term rewrite = OR-required group: doc must hold >=1 of
+    // the prefix expansion; all matching expansions score at the boost
+    "q_parsed_group" -> ((s, dir) =>
+      Engine.forDir(s, dir).searchParsed(Corpus.fromDocuments(s, dir),
+        ParsedGroupQuery, rows = 60, maxExpansions = ParsedGroupMaxExpansions)),
     // Lucene PhraseQuery: shingle-index candidates (conjunction leapfrog)
     // + stored-content verify; tf = phrase frequency, weight = Σ idf
     "q_phrase" -> ((s, dir) =>
@@ -756,6 +768,8 @@ object SparkEntry {
     "q_wildcard_search" -> Oracle.wildcardSql(WildcardQ, WildcardMaxExpansions, 60),
     "q_range_search" -> Oracle.rangeSql(Some(RangeLo), Some(RangeHi),
       incLo = true, incHi = false, RangeMaxExpansions, 60),
+    "q_parsed_group" -> Oracle.parsedGroupSql(Seq("w:license" -> 1.0),
+      "w:sm", 0.5, ParsedGroupMaxExpansions, Seq("w:stream"), 60),
     "q_wildcard_leading" -> Oracle.wildcardSql(WildcardLeadQ, WildcardMaxExpansions, 60),
     "q_parsed_mixed" -> Oracle.parsedMixedSql("hash join",
       Seq("w:window" -> 2.0), "w:sm", 0.5, "w:hach", 1, 1.0,

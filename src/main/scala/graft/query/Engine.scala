@@ -688,9 +688,13 @@ final class Engine(val index: Index) {
     * global sort, no driver-side scoring; every contribution table is
     * doc_id-keyed so AQE plans the final joins.
     *
-    * Unsupported (documented out, throws): MUST on a prefix/fuzzy clause —
-    * Lucene's "required wildcard" is an OR-required group, which the
-    * in-segment bitmap algebra does not model yet.
+    * A MUST multi-term clause (`+pre*`, `+term~`, `+[a TO b]`) is Lucene's
+    * required rewrite: an OR-required GROUP — the doc must hold at least
+    * one expanded term; all matching expansions score. Groups fold into
+    * the same per-segment allow bitmap as MUST terms (the group's postings
+    * union ANDs in — [[Engine.boolAllow]]), and are exempt from accuracy
+    * pruning like every required clause. On the phrase-mixed path each
+    * group is one left-semi membership join on its expansion's match set.
     */
   def searchParsed(corpus: DataFrame, q: String, rows: Int = 60,
                    maxExpansions: Int = 50): DataFrame = {
@@ -698,6 +702,7 @@ final class Engine(val index: Index) {
     val should = Seq.newBuilder[(String, Double)]
     val must = Seq.newBuilder[(String, Double)]
     val mustNot = Seq.newBuilder[String]
+    val groups = Seq.newBuilder[Seq[(String, Double)]]
     val phrases = Seq.newBuilder[(Array[String], Double, Engine.Occur)]
     Engine.parseLucene(q).foreach {
       case TermClause(t, b, Occur.Should) => should += (t -> b)
@@ -705,18 +710,27 @@ final class Engine(val index: Index) {
       case TermClause(t, _, Occur.MustNot) => mustNot += t
       case PrefixClause(p, b, Occur.Should) =>
         should ++= termsEnum(p, maxExpansions).select(col("term")).as[String].collect().map(_ -> b)
+      case PrefixClause(p, b, Occur.Must) =>
+        groups += termsEnum(p, maxExpansions).select(col("term")).as[String]
+          .collect().toSeq.map(_ -> b)
       case PrefixClause(p, _, Occur.MustNot) =>
         mustNot ++= termsEnum(p, maxExpansions).select(col("term")).as[String].collect()
       case FuzzyClause(t, e, b, Occur.Should) =>
         should ++= fuzzyExpansions(t, e, maxExpansions).map { case (x, d) => x -> (b / (1 + d)) }
+      case FuzzyClause(t, e, b, Occur.Must) =>
+        groups += fuzzyExpansions(t, e, maxExpansions).map { case (x, d) => x -> (b / (1 + d)) }
       case FuzzyClause(t, e, _, Occur.MustNot) =>
         mustNot ++= fuzzyExpansions(t, e, maxExpansions).map(_._1)
       case WildcardClause(p, b, Occur.Should) =>
         should ++= wildcardExpansions(p, maxExpansions).map(_ -> b)
+      case WildcardClause(p, b, Occur.Must) =>
+        groups += wildcardExpansions(p, maxExpansions).map(_ -> b)
       case WildcardClause(p, _, Occur.MustNot) =>
         mustNot ++= wildcardExpansions(p, maxExpansions)
       case Engine.RangeClause(lo, hi, il, ih, b, Occur.Should) =>
         should ++= rangeExpansions(lo, hi, il, ih, maxExpansions).map(_ -> b)
+      case Engine.RangeClause(lo, hi, il, ih, b, Occur.Must) =>
+        groups += rangeExpansions(lo, hi, il, ih, maxExpansions).map(_ -> b)
       case Engine.RangeClause(lo, hi, il, ih, _, Occur.MustNot) =>
         mustNot ++= rangeExpansions(lo, hi, il, ih, maxExpansions)
       case PhraseClause(toks, b, occ) if toks.length == 1 => // Lucene: a one-word phrase IS a TermQuery
@@ -726,19 +740,27 @@ final class Engine(val index: Index) {
           case Occur.MustNot => mustNot += ("w:" + toks.head)
         }
       case PhraseClause(toks, b, occ) => phrases += ((toks.toArray, b, occ))
-      case c => throw new IllegalArgumentException(
-        s"unsupported clause $c: a required multi-term rewrite needs an OR-required group")
     }
     val shouldSeq = should.result()
     val mustSeq = must.result()
     val notSeq = mustNot.result().distinct
+    val groupSeq = groups.result()
     val phraseSeq = phrases.result()
     if (phraseSeq.isEmpty)
-      return searchBool(shouldSeq, mustSeq, notSeq, rows)
+      return searchBool(shouldSeq, mustSeq, notSeq, rows, mustGroups = groupSeq)
     val notSet = notSeq.toSet
     if (mustSeq.exists(t => notSet(t._1))) // +t -t: unsatisfiable
       return Wand.topK(spark, spark.emptyDataset[Scored], rows)
-    val scoringTerms = shouldSeq.filterNot(t => notSet(t._1)) ++ mustSeq
+    // required groups next to phrases: prohibited members drop (their docs
+    // are excluded anyway); a group left with no corpus-present member
+    // empties the result, as a df=0 MUST term does
+    val groupDfs = index.dfOf(groupSeq.flatten.map(_._1).distinct)
+    val groupsKept = groupSeq.map(g => g.filterNot(t => notSet(t._1))
+      .filter(t => groupDfs.getOrElse(t._1, 0L) > 0L))
+    if (groupSeq.nonEmpty && groupsKept.exists(_.isEmpty))
+      return Wand.topK(spark, spark.emptyDataset[Scored], rows)
+    val scoringTerms =
+      shouldSeq.filterNot(t => notSet(t._1)) ++ mustSeq ++ groupsKept.flatten
     val dfs = index.dfOf(scoringTerms.map(_._1).distinct)
     if (mustSeq.exists(t => dfs.getOrElse(t._1, 0L) == 0L)) // required term absent
       return Wand.topK(spark, spark.emptyDataset[Scored], rows)
@@ -766,6 +788,9 @@ final class Engine(val index: Index) {
     if (mustSeq.nonEmpty)
       res = res.join(conjunctiveDocs(mustSeq.map(_._1)).toDF("doc_id"),
         Seq("doc_id"), "left_semi")
+    groupsKept.foreach { g => // ≥1 member per required group
+      res = res.join(matchSet(g), Seq("doc_id"), "left_semi")
+    }
     phraseDfs.foreach { case ((_, _, occ), df0) =>
       occ match {
         case Occur.Must =>
@@ -808,7 +833,8 @@ final class Engine(val index: Index) {
                  rows: Int = 60, accuracy: Double = 1.0,
                  candidates: Int = 10000,
                  docPred: Option[Column] = None,
-                 docFilter: Option[(String, String)] = None): DataFrame = {
+                 docFilter: Option[(String, String)] = None,
+                 mustGroups: Seq[Seq[(String, Double)]] = Nil): DataFrame = {
     val notSet = mustNot.toSet
     // +t -t is unsatisfiable (Lucene: required AND prohibited -> no doc)
     if (must.exists(t => notSet(t._1)))
@@ -820,11 +846,25 @@ final class Engine(val index: Index) {
     if (must.exists(t => mustDfs.getOrElse(t._1, 0L) == 0L))
       return Wand.topK(spark, spark.emptyDataset[Scored], rows) // required term absent from the corpus
     val mustKept = must.map { case (t, b) => (t, b, mustDfs.getOrElse(t, 0L)) }
-    val kept = shouldKept ++ mustKept
+    // OR-required groups (Lucene's required multi-term rewrite, `+pre*`):
+    // members score like SHOULD terms but are exempt from accuracy
+    // pruning (dropping one would change the match SET); a prohibited
+    // member is dropped (every doc holding it is excluded anyway, so the
+    // group bitmap is unchanged on surviving docs); a group with no
+    // corpus-present member empties the result, as a df=0 MUST does
+    val groupDfs = index.dfOf(mustGroups.flatten.map(_._1).distinct)
+    val groupsKept: Seq[Seq[(String, Double, Long)]] = mustGroups.map(g =>
+      g.filterNot(t => notSet(t._1))
+        .map { case (t, b) => (t, b, groupDfs.getOrElse(t, 0L)) }
+        .filter(_._3 > 0))
+    if (mustGroups.nonEmpty && groupsKept.exists(_.isEmpty))
+      return Wand.topK(spark, spark.emptyDataset[Scored], rows)
+    val kept = shouldKept ++ mustKept ++ groupsKept.flatten
     if (kept.isEmpty) return Wand.topK(spark, spark.emptyDataset[Scored], rows)
     val (n, avgdl) = index.stats
     val weights = weightsOf(kept, n)
     val mustSet = must.map(_._1).toSet
+    val groupSets = groupsKept.map(_.iterator.map(_._1).toSet)
     val (bitmapFq, pred) = fqSplit(docPred, docFilter)
     val dfByTerm: Map[String, Long] =
       kept.iterator.map { case (t, _, df) => t -> df }.toMap
@@ -832,11 +872,11 @@ final class Engine(val index: Index) {
     if (wantsDense && index.cfg.segShift <= DenseArraySegShiftMax)
       daatScore(weights, rows, math.min(candidates, rows), avgdl,
         useWand = false, pred, bitmapFq, None, dense = true,
-        must = mustSet, mustNot = notSet)
+        must = mustSet, mustNot = notSet, mustGroups = groupSets)
     else
       daatScore(weights, rows, math.min(candidates, rows), avgdl,
         useWand = !wantsDense && accuracy < 0.9, pred, bitmapFq, None,
-        must = mustSet, mustNot = notSet)
+        must = mustSet, mustNot = notSet, mustGroups = groupSets)
   }
 
   /** Per-segment DAAT path (block-max WAND or exhaustive). `heapSize`:
@@ -851,7 +891,8 @@ final class Engine(val index: Index) {
       after: Option[(Long, Long)] = None,
       dense: Boolean = false,
       must: Set[String] = Set.empty,
-      mustNot: Set[String] = Set.empty): DataFrame = {
+      mustNot: Set[String] = Set.empty,
+      mustGroups: Seq[Set[String]] = Nil): DataFrame = {
     // MUST_NOT terms ride the same postings scan as the scoring terms (one
     // extra isin value each) but never reach the scorer — their lists only
     // feed the per-segment exclusion bitmap in scoreSegQ below
@@ -880,12 +921,12 @@ final class Engine(val index: Index) {
     // so the boolean filter costs zero extra shuffles and composes with
     // every other doc filter. Boolean-free queries keep the exact old path.
     val scoreSeg: (Long, Iterator[SegHit], RoaringBitmap) => Iterator[Scored] =
-      if (must.isEmpty && mustNot.isEmpty) scoreSeg0
+      if (must.isEmpty && mustNot.isEmpty && mustGroups.isEmpty) scoreSeg0
       else {
         val segShift = cfg.segShift
         (seg, it, allow0) => {
           val segRows = it.toArray
-          val allow = Engine.boolAllow(segRows, must, mustNot, allow0, segShift)
+          val allow = Engine.boolAllow(segRows, must, mustNot, allow0, segShift, mustGroups)
           if (allow != null && allow.isEmpty) Iterator.empty
           else scoreSeg0(seg,
             segRows.iterator.filter(r => wB.value.contains(r.term) && !mustNot(r.term)),
@@ -1890,7 +1931,8 @@ object Engine {
     * builds its bitmaps fresh). Returns null only when unconstrained.
     */
   private[query] def boolAllow(rows: Array[SegHit], must: Set[String],
-      mustNot: Set[String], allow0: RoaringBitmap, segShift: Int): RoaringBitmap = {
+      mustNot: Set[String], allow0: RoaringBitmap, segShift: Int,
+      mustGroups: Seq[Set[String]] = Nil): RoaringBitmap = {
     var allow = allow0
     if (must.nonEmpty) {
       val mustRows = rows.filter(r => must(r.term))
@@ -1901,6 +1943,16 @@ object Engine {
         mustRows.iterator.filter(_.term == t).foreach(r => addPostings(bm, r.postings))
         if (allow == null) allow = bm else allow.and(bm)
       }
+    }
+    // OR-required groups (Lucene's required multi-term rewrite, `+pre*`):
+    // a doc must hold AT LEAST ONE of each group's terms — the group's
+    // postings union ANDs into the allow bitmap like a single MUST term
+    mustGroups.foreach { g =>
+      val bm = new RoaringBitmap()
+      rows.iterator.filter(r => g(r.term)).foreach(r => addPostings(bm, r.postings))
+      if (bm.isEmpty)
+        return new RoaringBitmap() // no group member has postings here
+      if (allow == null) allow = bm else allow.and(bm)
     }
     if (mustNot.nonEmpty) {
       val excl = new RoaringBitmap()

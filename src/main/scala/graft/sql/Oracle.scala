@@ -361,6 +361,35 @@ object Oracle {
          |${bm25Body(None, boolClauses(must.map(_._1), mustNot))}
          |${topKSelect(k)}""".stripMargin)
 
+  /** Required multi-term rewrite oracle (`+pre* should -not` — Lucene's
+    * OR-required group, mirror of Engine.searchBool mustGroups): the
+    * group expands off the dictionary exactly as [[prefixSql]]; a result
+    * doc must hold ≥1 group member and no prohibited term; score = the
+    * usual sum over should ∪ group matches (group members at the clause
+    * boost).
+    */
+  def parsedGroupSql(should: Seq[(String, Double)], groupPrefix: String,
+                     groupBoost: Double, maxExpansions: Int,
+                     mustNot: Seq[String], k: Int): String = {
+    val notClause =
+      if (mustNot.isEmpty) ""
+      else {
+        val vals = mustNot.distinct.map(t => s"'$t'").mkString(", ")
+        s"\n  AND p.doc_id NOT IN (SELECT doc_id FROM post WHERE term IN ($vals))"
+      }
+    val grpClause =
+      "\n  AND p.doc_id IN (SELECT doc_id FROM post WHERE term IN (SELECT term FROM grp))"
+    withPrelude(
+      s"""     , grp(term) AS (
+         |  SELECT term FROM dict WHERE term LIKE '$groupPrefix%'
+         |  ORDER BY df DESC, term ASC LIMIT $maxExpansions),
+         |q(term, boost) AS (
+         |  SELECT * FROM (VALUES ${termValues(should.filterNot(t => mustNot.contains(t._1)))}) v(term, boost)
+         |  UNION ALL SELECT term, CAST($groupBoost AS DOUBLE) FROM grp),
+         |${bm25Body(None, grpClause + notClause)}
+         |${topKSelect(k)}""".stripMargin)
+  }
+
   /** PrefixQuery oracle: top-terms scoring-Boolean rewrite from the
     * dictionary (df DESC, term ASC, capped), boost 1, then plain BM25.
     * Terms contain only [a-z0-9:_] minus '_', so LIKE needs no escaping.

@@ -284,9 +284,61 @@ class ParsedQuerySpec extends SparkSpec {
     assert(got.map(_._3) == exp.map(_._2), "scores")
   }
 
-  test("a MUST multi-term rewrite is rejected loudly, not silently mis-ranked") {
-    intercept[IllegalArgumentException] {
-      engine.searchParsed(corpus, "+w:sm* w:hash", rows = 10)
+  test("MUST multi-term rewrite = OR-required group: brute composition on both routes") {
+    val nonEmpty = docs.filter(d => Tokenizer.tokenCountScala(d._2) > 0)
+    val n = nonEmpty.size.toDouble
+    val dls = nonEmpty.map { case (id, c) =>
+      id -> math.min(Tokenizer.dlOf(Tokenizer.tokenCountScala(c)), IndexBuild.MaxDl).toDouble
+    }.toMap
+    val avgdl = dls.values.sum / n
+    val grpExp = dfMap.iterator.filter(_._1.startsWith("w:s"))
+      .toSeq.sortBy { case (t, df) => (-df, t) }.take(50).map(_._1)
+    assert(grpExp.size >= 2, "gate precondition: several w:s terms")
+    // brute: doc must hold >=1 group member and not w:stream; score = the
+    // usual sum over should ∪ group matches (group members at 0.5)
+    def brute(group: Seq[String]) = {
+      val required = group.toSet
+      val terms = (Seq("w:hash" -> 1.0) ++ group.map(_ -> 0.5))
+        .filterNot(_._1 == "w:stream")
+      nonEmpty.flatMap { case (id, c) =>
+        if (!termSets(id).exists(required) || termSets(id)("w:stream")) None
+        else {
+          val tc = Tokenizer.termsScala(c).groupBy(identity).view
+            .mapValues(x => math.min(x.length, IndexBuild.MaxTf)).toMap
+          var s = 0.0
+          terms.foreach { case (t, boost) =>
+            tc.get(t).foreach { tf =>
+              s += boost * Bm25.idf(dfMap(t).toDouble, n) *
+                Bm25.tfNorm(tf.toDouble, dls(id), avgdl)
+            }
+          }
+          if (s == 0.0) None else Some((id, math.round(s * Bm25.Quant)))
+        }
+      }.sortBy { case (id, sq) => (-sq, id) }.take(60)
     }
+    val exp = brute(grpExp)
+    assert(exp.nonEmpty && exp.size < nonEmpty.size,
+      "group must bind: some docs filtered, some kept")
+    // phrase-free route (searchBool bitmap algebra)
+    val got = engine.searchParsed(corpus, "+w:s*^0.5 w:hash -w:stream", rows = 60)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(_._2) == exp.map(_._1), "doc order (bitmap route)")
+    assert(got.map(_._3) == exp.map(_._2), "scores (bitmap route)")
+    // phrase-mixed route (membership semi-join): same group + a SHOULD
+    // phrase contributes score but must not affect the required set
+    val gotP = engine.searchParsed(corpus, "+w:s*^0.5 w:hash -w:stream \"zzz nosuchphrase\"",
+      rows = 60).as[(Long, Long, Long)].collect().toSeq
+    assert(gotP == got, "a non-matching SHOULD phrase changes nothing")
+    // required group with no corpus-present expansion -> empty, as df=0 MUST
+    assert(engine.searchParsed(corpus, "+w:zzznosuch* w:hash", rows = 10).count() == 0)
+    assert(engine.searchParsed(corpus,
+      "+w:zzznosuch* w:hash \"hash join\"", rows = 10).count() == 0)
+    // a required range group composes too (same algebra, range expansion)
+    val rngExp = dfMap.iterator.filter { case (t, _) => t >= "w:sa" && t < "w:sp" }
+      .toSeq.sortBy { case (t, df) => (-df, t) }.take(50).map(_._1)
+    val expR = brute(rngExp)
+    val gotR = engine.searchParsed(corpus, "+[w:sa TO w:sp}^0.5 w:hash -w:stream",
+      rows = 60).as[(Long, Long, Long)].collect().toSeq
+    assert(gotR.map(_._2) == expR.map(_._1), "doc order (range group)")
   }
 }
