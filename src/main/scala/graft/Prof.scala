@@ -99,10 +99,6 @@ object Prof {
     spark.stop()
   }
 
-  /** Bench-corpus-scale (600k docs) probe of the heavy curation sections
-    * (contamination / gopher / pii / parsed query) — min of 3 draws each,
-    * the shape the full bench times.
-    */
   /** Broadcast vs join route of the unigram-LM score at bench scale. */
   def profUnigram(): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -136,6 +132,10 @@ object Prof {
     spark.stop()
   }
 
+  /** Bench-corpus-scale (600k docs) probe of the heavy curation sections
+    * (contamination / gopher / pii / parsed query) — min of 3 draws each,
+    * the shape the full bench times.
+    */
   def profCuration(): Unit = {
     val cores = 32
     val spark = SparkSession.builder().master(s"local[$cores]")

@@ -137,14 +137,22 @@ object TextStats {
     *    LOCAL Spark job over the collected rows (the SAME round/log/÷
     *    expressions as the join route — no reimplemented arithmetic to
     *    drift), and scoring is ONE `mapPartitions` pass over the corpus
-    *    with a broadcast token→lp_q map + the pinned [[Tokenizer
-    *    .tokenizeScala]] twin: no second explode, no 100M-row string join,
-    *    no per-doc re-aggregation shuffle. Per-doc sums are exact integer
-    *    sums, so output is partition-order invariant and identical to the
-    *    join route (pinned in MlSpec).
+    *    with a broadcast token→lp_q map. The pass consumes the SAME
+    *    [[Tokenizer.tokens]] column expression the vocab was counted
+    *    from, so a vocab miss is impossible on a deterministic corpus —
+    *    and is therefore a loud error, not a silent score skew: no second
+    *    explode, no 100M-row string join, no per-doc re-aggregation
+    *    shuffle. Per-doc sums are exact integer sums, so output is
+    *    partition-order invariant and identical to the join route
+    *    (pinned in MlSpec, route shape pinned by plan).
     *  - **join route** (a 100× vocabulary over the cap): one vocab-sized
     *    count aggregation, one token→lp_q equi-join, one per-doc
     *    integer-sum aggregation. No driver-side vocabulary.
+    *
+    * Contract: `doc_id` is unique (the library-wide corpus contract).
+    * On a corpus violating it the routes legitimately differ — the join
+    * route merges a duplicate id's tokens into one (repeated) row, the
+    * broadcast route scores each row independently.
     */
   def unigramLogProb(corpus: DataFrame,
                      maxBroadcastVocab: Int = DefaultMaxBroadcastVocab): DataFrame = {
@@ -174,17 +182,30 @@ object TextStats {
         val m = new java.util.HashMap[String, java.lang.Long](lp.length * 2)
         lp.foreach { case (tok, q) => m.put(tok, q) }
         val bc = spark.sparkContext.broadcast(m)
-        corpus.select(col("doc_id"), col("content")).as[(Long, String)]
+        // tokenize with the SAME column expression the vocab was counted
+        // from (not the tokenizeScala twin): the token streams cannot
+        // drift (e.g. locale-sensitive lowercasing of non-ASCII content),
+        // so a miss means a non-deterministic corpus re-evaluation — fail
+        // loudly rather than skew the score
+        corpus.select(col("doc_id"),
+            // null content explodes to zero rows on the join route —
+            // mirror that as an empty token array here
+            coalesce(Tokenizer.tokens(col("content")),
+              lit(Array.empty[String])).as("ts"))
+          .as[(Long, Seq[String])]
           .mapPartitions { rows =>
             val map = bc.value
-            rows.map { case (id, content) =>
-              val ts = Tokenizer.tokenizeScala(content)
+            rows.map { case (id, ts) =>
               var sum = 0L
-              var i = 0
-              while (i < ts.length) {
-                val v = map.get(ts(i)) // corpus-derived vocab: always present
-                if (v ne null) sum += v.longValue()
-                i += 1
+              val it = ts.iterator
+              while (it.hasNext) {
+                val t = it.next()
+                val v = map.get(t)
+                if (v eq null) throw new IllegalStateException(
+                  s"unigramLogProb: token '$t' of doc $id missing from the " +
+                    "corpus-derived vocabulary - the corpus re-evaluated " +
+                    "non-deterministically between the count and scoring passes")
+                sum += v.longValue()
               }
               (id, ts.length.toLong, sum)
             }

@@ -607,10 +607,11 @@ final class Engine(val index: Index) {
     * the top `maxExpansions` indexed terms inside the range by (df DESC,
     * term ASC), OR-searched at the clause boost. Bounds compare on the
     * raw term bytes — the term alphabet is ASCII ([a-z0-9:]), so Spark's
-    * UTF8String order and the oracle's binary collation agree. The range
-    * predicate pushes into the persisted dictionary scan (min/max
-    * row-group pruning on the term column where the store is term-
-    * clustered); postings are never touched by the expansion.
+    * UTF8String order and the oracle's binary collation agree. The
+    * expansion filters the cached in-memory dictionary (vocabulary-sized,
+    * the same cost class as prefix/wildcard — no parquet pushdown
+    * happens above the dictionary's aggregation+cache); postings are
+    * never touched by the expansion.
     */
   def searchRange(lo: Option[String], hi: Option[String],
                   incLo: Boolean = true, incHi: Boolean = true,
@@ -751,17 +752,20 @@ final class Engine(val index: Index) {
     val notSet = notSeq.toSet
     if (mustSeq.exists(t => notSet(t._1))) // +t -t: unsatisfiable
       return Wand.topK(spark, spark.emptyDataset[Scored], rows)
+    // ONE df lookup for every clause kind (group filtering + scoring —
+    // on a vocabulary too large for the driver dictMap each dfOf is its
+    // own dictionary-scan job, so they must not repeat per clause)
+    val dfs = index.dfOf((shouldSeq.map(_._1) ++ mustSeq.map(_._1) ++
+      groupSeq.flatten.map(_._1)).distinct)
     // required groups next to phrases: prohibited members drop (their docs
     // are excluded anyway); a group left with no corpus-present member
     // empties the result, as a df=0 MUST term does
-    val groupDfs = index.dfOf(groupSeq.flatten.map(_._1).distinct)
     val groupsKept = groupSeq.map(g => g.filterNot(t => notSet(t._1))
-      .filter(t => groupDfs.getOrElse(t._1, 0L) > 0L))
+      .filter(t => dfs.getOrElse(t._1, 0L) > 0L))
     if (groupSeq.nonEmpty && groupsKept.exists(_.isEmpty))
       return Wand.topK(spark, spark.emptyDataset[Scored], rows)
     val scoringTerms =
       shouldSeq.filterNot(t => notSet(t._1)) ++ mustSeq ++ groupsKept.flatten
-    val dfs = index.dfOf(scoringTerms.map(_._1).distinct)
     if (mustSeq.exists(t => dfs.getOrElse(t._1, 0L) == 0L)) // required term absent
       return Wand.topK(spark, spark.emptyDataset[Scored], rows)
     val kept = scoringTerms.map { case (t, b) => (t, b, dfs.getOrElse(t, 0L)) }
@@ -842,20 +846,22 @@ final class Engine(val index: Index) {
     // a SHOULD term that is also prohibited can never contribute (every
     // doc holding it is excluded) — drop it from the scoring set up front
     val shouldKept = keptTerms(should.filterNot(t => notSet(t._1)), accuracy)
-    val mustDfs = index.dfOf(must.map(_._1).distinct)
-    if (must.exists(t => mustDfs.getOrElse(t._1, 0L) == 0L))
+    // ONE df lookup for all required clauses (each dfOf can be its own
+    // dictionary-scan job on a vocabulary too large for the driver map)
+    val reqDfs = index.dfOf(
+      (must.map(_._1) ++ mustGroups.flatten.map(_._1)).distinct)
+    if (must.exists(t => reqDfs.getOrElse(t._1, 0L) == 0L))
       return Wand.topK(spark, spark.emptyDataset[Scored], rows) // required term absent from the corpus
-    val mustKept = must.map { case (t, b) => (t, b, mustDfs.getOrElse(t, 0L)) }
+    val mustKept = must.map { case (t, b) => (t, b, reqDfs.getOrElse(t, 0L)) }
     // OR-required groups (Lucene's required multi-term rewrite, `+pre*`):
     // members score like SHOULD terms but are exempt from accuracy
     // pruning (dropping one would change the match SET); a prohibited
     // member is dropped (every doc holding it is excluded anyway, so the
     // group bitmap is unchanged on surviving docs); a group with no
     // corpus-present member empties the result, as a df=0 MUST does
-    val groupDfs = index.dfOf(mustGroups.flatten.map(_._1).distinct)
     val groupsKept: Seq[Seq[(String, Double, Long)]] = mustGroups.map(g =>
       g.filterNot(t => notSet(t._1))
-        .map { case (t, b) => (t, b, groupDfs.getOrElse(t, 0L)) }
+        .map { case (t, b) => (t, b, reqDfs.getOrElse(t, 0L)) }
         .filter(_._3 > 0))
     if (mustGroups.nonEmpty && groupsKept.exists(_.isEmpty))
       return Wand.topK(spark, spark.emptyDataset[Scored], rows)

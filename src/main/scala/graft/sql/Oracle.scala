@@ -379,13 +379,18 @@ object Oracle {
       }
     val grpClause =
       "\n  AND p.doc_id IN (SELECT doc_id FROM post WHERE term IN (SELECT term FROM grp))"
+    // a group-only query has no should VALUES row — `VALUES` with an
+    // empty list is a parse error, so the branch drops entirely
+    val shouldKept = should.filterNot(t => mustNot.contains(t._1))
+    val shouldSel =
+      if (shouldKept.isEmpty) ""
+      else s"SELECT * FROM (VALUES ${termValues(shouldKept)}) v(term, boost)\n  UNION ALL "
     withPrelude(
       s"""     , grp(term) AS (
          |  SELECT term FROM dict WHERE term LIKE '$groupPrefix%'
          |  ORDER BY df DESC, term ASC LIMIT $maxExpansions),
          |q(term, boost) AS (
-         |  SELECT * FROM (VALUES ${termValues(should.filterNot(t => mustNot.contains(t._1)))}) v(term, boost)
-         |  UNION ALL SELECT term, CAST($groupBoost AS DOUBLE) FROM grp),
+         |  ${shouldSel}SELECT term, CAST($groupBoost AS DOUBLE) FROM grp),
          |${bm25Body(None, grpClause + notClause)}
          |${topKSelect(k)}""".stripMargin)
   }

@@ -702,14 +702,21 @@ class MlSpec extends SparkSpec {
     val rj = TextStats.unigramLogProb(docs, maxBroadcastVocab = 0)
       .as[(Long, Long, Long)].collect().map(x => x._1 -> (x._2, x._3)).toMap
     assert(rj == r)
-    // a cap right AT the vocab size still broadcasts; one under falls back
+    // a cap right AT the vocab size still broadcasts; one under falls
+    // back — the routes are output-identical BY DESIGN, so the gate is
+    // pinned on the PLAN shape (join route shuffles a token join, the
+    // broadcast route has no join at all), not on the values
+    def isJoinRoute(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains("Join")
     val vocabN = docs.select(explode(graft.analyze.Tokenizer.tokens(col("content"))))
       .distinct().count().toInt
-    val rAt = TextStats.unigramLogProb(docs, maxBroadcastVocab = vocabN)
-      .as[(Long, Long, Long)].collect().map(x => x._1 -> (x._2, x._3)).toMap
+    val atDf = TextStats.unigramLogProb(docs, maxBroadcastVocab = vocabN)
+    assert(!isJoinRoute(atDf), "cap == vocab must take the broadcast route")
+    val rAt = atDf.as[(Long, Long, Long)].collect().map(x => x._1 -> (x._2, x._3)).toMap
     assert(rAt == r)
-    val rUnder = TextStats.unigramLogProb(docs, maxBroadcastVocab = vocabN - 1)
-      .as[(Long, Long, Long)].collect().map(x => x._1 -> (x._2, x._3)).toMap
+    val underDf = TextStats.unigramLogProb(docs, maxBroadcastVocab = vocabN - 1)
+    assert(isJoinRoute(underDf), "cap < vocab must fall back to the join route")
+    val rUnder = underDf.as[(Long, Long, Long)].collect().map(x => x._1 -> (x._2, x._3)).toMap
     assert(rUnder == r)
   }
 

@@ -340,5 +340,6 @@ class ParsedQuerySpec extends SparkSpec {
     val gotR = engine.searchParsed(corpus, "+[w:sa TO w:sp}^0.5 w:hash -w:stream",
       rows = 60).as[(Long, Long, Long)].collect().toSeq
     assert(gotR.map(_._2) == expR.map(_._1), "doc order (range group)")
+    assert(gotR.map(_._3) == expR.map(_._2), "scores (range group)")
   }
 }
