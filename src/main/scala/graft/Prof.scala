@@ -221,9 +221,13 @@ object Prof {
     val sections = Seq[(String, () => Long)](
       "wildcard_leading" -> (() => engine.searchWildcard("*factory", rows = 60,
         maxExpansions = 8).count()),
+      "range_search" -> (() => engine.searchRange(Some("w:sa"), Some("w:sp"),
+        incLo = true, incHi = false, rows = 60, maxExpansions = 8).count()),
       "parsed_mixed" -> (() => engine.searchParsed(corpus,
         "+w:license \"get geter\" w:scanptr^2 -w:stream w:merge*^0.5 w:hach~1",
         rows = 60).count()),
+      "parsed_group" -> (() => engine.searchParsed(corpus,
+        "+w:merge*^0.5 w:license -w:stream", rows = 60).count()),
       "gopher_rules" -> (() => graft.ml.TextStats.gopherRules(corpus)
         .agg(sum("keep"), min("mean_wlen_q")).collect().length.toLong),
       "pii_redact" -> (() => graft.ml.TextStats.redactPii(corpus)

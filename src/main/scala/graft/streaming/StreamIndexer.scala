@@ -59,17 +59,37 @@ object StreamIndexer {
     * with their range's manifest, replays recompute empty kill sets, so
     * the exactly-once property is unchanged). With inline maintenance on,
     * compaction reclaims the dead versions as the stream runs.
+    *
+    * `dedupSha = true` turns on exact content deduplication AT INGEST —
+    * the streaming twin of the batch pipeline's exact-dedup stage
+    * ([[graft.ml.Dedup.exactGroups]]): a doc whose `sha` was already
+    * ingested (in any earlier micro-batch, or earlier in this one) is
+    * dropped before indexing, via Structured Streaming's stateful
+    * `dropDuplicates` — one state-store entry per distinct sha, O(1) per
+    * row, versioned with the checkpoint so a replayed batch drops the
+    * SAME rows (the skipped-range checksum verify then actually holds
+    * under replay). State is retained indefinitely by design (content
+    * identity never expires); at 100× scale back the state store with
+    * RocksDB (`spark.sql.streaming.stateStore.providerClass`) — one
+    * 32-byte key per distinct document, no full-corpus rescan per batch,
+    * where the alternative (anti-join each batch against all committed
+    * docmeta) re-reads index-sized metadata every trigger. Which
+    * duplicate survives is first-arrival in stream order (batch dedup's
+    * cluster-min rule needs the whole corpus at once — disclosed
+    * difference; the SURVIVOR SET of shas is identical).
     */
   def start(spark: SparkSession, inputDir: String, indexDir: String,
             checkpointDir: String, cfg: IndexConfig,
             readOptions: Map[String, String] = Map.empty,
             maxLiveUnits: Int = 0,
             compactGc: Boolean = true,
-            upsertKeys: Seq[String] = Seq.empty): StreamingQuery = {
-    spark.readStream
+            upsertKeys: Seq[String] = Seq.empty,
+            dedupSha: Boolean = false): StreamingQuery = {
+    val src = spark.readStream
       .schema(corpusSchema)
       .options(readOptions)
       .parquet(inputDir)
+    (if (dedupSha) src.dropDuplicates("sha") else src)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

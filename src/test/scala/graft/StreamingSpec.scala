@@ -186,6 +186,80 @@ class StreamingSpec extends SparkSpec {
     q3.awaitTermination()
   }
 
+  test("exact dedup at ingest: cross-batch + in-batch duplicate shas dropped, state survives restart") {
+    val root = tempDir("graft-dedupstream")
+    val inDir = s"$root/in"; val idxDir = s"$root/idx"; val ckDir = s"$root/ck"
+    new java.io.File(inDir).mkdirs()
+    val corpus = Corpus.fromDocuments(spark, sfTiny)
+      .select("doc_id", "repo", "path", "commit", "lang", "content", "sha").cache()
+
+    // chunk A: docs 0-255 (range 0)
+    corpus.where($"doc_id" < 256).write.parquet(s"$inDir/chunkA")
+    val q1 = StreamIndexer.start(spark, s"$inDir/chunk*", idxDir, ckDir, cfg,
+      dedupSha = true)
+    q1.awaitTermination()
+    assert(IndexBuild.doneRanges(spark, idxDir) == Set(0L))
+
+    // chunk B (range 1): 10 cross-batch duplicates of chunk-A content,
+    // 10 fresh docs, and one in-batch duplicate of a fresh doc
+    val crossDups = corpus.where($"doc_id" < 10)
+      .withColumn("doc_id", $"doc_id" + 300)
+    val fresh = corpus.where($"doc_id" >= 400 && $"doc_id" < 410)
+      .withColumn("doc_id", $"doc_id" - 90) // ids 310-319
+    val inBatchDup = corpus.where($"doc_id" === 400)
+      .withColumn("doc_id", lit(331L))
+    crossDups.union(fresh).union(inBatchDup).write.parquet(s"$inDir/chunkB")
+    val q2 = StreamIndexer.start(spark, s"$inDir/chunk*", idxDir, ckDir, cfg,
+      dedupSha = true)
+    q2.awaitTermination()
+
+    val idx = new Index(spark, idxDir)
+    val metaShas = idx.docmeta.select($"doc_id", $"sha").as[(Long, String)].collect()
+    // every cross-batch duplicate dropped; exactly one survivor per sha
+    assert(metaShas.count { case (id, _) => id >= 300 && id < 310 } == 0,
+      "cross-batch duplicates must not index")
+    assert(metaShas.map(_._2).distinct.length == metaShas.length,
+      "index must hold one doc per distinct sha")
+    // survivor SHA SET == the batch pipeline's exact-dedup survivor set
+    // over the same union corpus (which doc_id survives differs by rule:
+    // stream = first-arrival, batch = cluster min — disclosed)
+    val unionShas = corpus.where($"doc_id" < 256).select($"sha")
+      .union(crossDups.select($"sha")).union(fresh.select($"sha"))
+      .union(inBatchDup.select($"sha"))
+      .distinct().as[String].collect().toSet
+    assert(metaShas.map(_._2).toSet == unionShas)
+    assert(metaShas.length == 256 + 10) // A + fresh (both dup kinds dropped)
+    // restart on the same checkpoint with nothing new: clean no-op
+    val mtimes = new java.io.File(s"$idxDir/manifest").listFiles().map(_.lastModified()).toSeq
+    val q3 = StreamIndexer.start(spark, s"$inDir/chunk*", idxDir, ckDir, cfg,
+      dedupSha = true)
+    q3.awaitTermination()
+    assert(new java.io.File(s"$idxDir/manifest").listFiles()
+      .map(_.lastModified()).toSeq == mtimes)
+    // a FRESH checkpoint over the FULL input is still a no-op: the replay
+    // re-dedups chunk B against chunk A inside its own state and converges
+    // on the committed doc set (checked by the skipped-range gate)
+    val qFresh = StreamIndexer.start(spark, s"$inDir/chunk*", idxDir, s"$root/ckf", cfg,
+      dedupSha = true)
+    qFresh.awaitTermination()
+    assert(new java.io.File(s"$idxDir/manifest").listFiles()
+      .map(_.lastModified()).toSeq == mtimes)
+    // but replaying chunk B ALONE on a fresh checkpoint has EMPTY dedup
+    // state: the cross-batch dups survive dedup, collide with committed
+    // range 1's different doc set, and the skipped-range content check
+    // fails LOUDLY — the checkpoint (with its state) is part of the
+    // stream's identity
+    val qBad = StreamIndexer.start(spark, s"$inDir/chunkB", idxDir, s"$root/ck2", cfg,
+      dedupSha = true)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      qBad.awaitTermination()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.toString).toSeq
+    assert(chain(err).exists(s => s.contains("DIFFERENT") || s.contains("skipped")),
+      s"expected the skipped-range check to fire: ${chain(err).mkString(" | ")}")
+  }
+
   test("compaction: many streamed micro-batch units merge to <=3; queries, filters and attestations unchanged") {
     val root = tempDir("graft-compact")
     val inDir = s"$root/in"; val idxDir = s"$root/idx"
