@@ -252,7 +252,7 @@ object Bench {
     val BatchSections = Set("fingerprint", "dedup_minhash", "dedup_simhash_banded",
       "dedup_embcos_bucketed", "gopher_rules", "pii_redact", "repetition",
       "stratified_sample", "unigram_lp", "contamination", "parsed_mixed",
-      "wildcard_leading")
+      "wildcard_leading", "range_search")
     require(BatchSections.subsetOf(queries.map(_._1).toSet),
       s"BatchSections names a section not in queries: " +
         (BatchSections -- queries.map(_._1).toSet).mkString(", ") +
