@@ -155,6 +155,22 @@ object SparkEntry {
     */
   val UpsertLift = 8388608L // 1 << 23
 
+  /** Build an index copy and deleteByQuery a stored-field predicate over
+    * it (Solr `<delete><query>lang:en AND …</query></delete>`): the gate
+    * then searches it with stale stats, mirrored by the oracle's
+    * ranking-only doc filter over the full corpus.
+    */
+  private def deleteQuerySetup(s: SparkSession, dir: String): String = {
+    import graft.index.{IndexBuild, IndexConfig}
+    val key = dir.replaceAll("[^a-zA-Z0-9.]+", "_")
+    val d = s"${Engine.indexRoot}/v4-delq-$key"
+    val cfg = IndexConfig(segShift = 5, rangeSegsShift = 1)
+    IndexBuild.build(s, Corpus.fromDocuments(s, dir), d, cfg)
+    IndexBuild.deleteByQuery(s, d,
+      col("lang") === "en" && col("doc_id") % 3 === 0)
+    d
+  }
+
   private def upsertSetup(s: SparkSession, dir: String, compacted: Boolean): String = {
     import graft.index.{IndexBuild, IndexConfig}
     val key = dir.replaceAll("[^a-zA-Z0-9.]+", "_")
@@ -639,6 +655,13 @@ object SparkEntry {
       new Engine(new Index(s, upsertSetup(s, dir, compacted = false)))
         .searchByTerms(FlagshipTerms, rows = 60)
     }),
+    // Solr deleteByQuery: stored-field predicate -> tombstone-only unit;
+    // ranking excludes the deleted docs while stats stay stale
+    "q_delete_query" -> ((s, dir) => {
+      import graft.query.Index
+      new Engine(new Index(s, deleteQuerySetup(s, dir)))
+        .searchByTerms(FlagshipTerms, rows = 60)
+    }),
     // POST-compaction: the merge physically reclaims dead docs and
     // refreshes stats — the same search must now match a fresh oracle over
     // the effective (live-only) corpus
@@ -795,6 +818,8 @@ object SparkEntry {
         |FROM i GROUP BY user_id, sid""".stripMargin,
     "q_upsert" -> Oracle.bm25TopKOver(upsertCorpusCtes(liveOnly = false),
       FlagshipTerms, 60, Some(upsertLivePred)),
+    "q_delete_query" -> Oracle.bm25TopK(FlagshipTerms, 60,
+      Some("NOT (lang = 'en' AND doc_id % 3 = 0)")),
     "q_upsert_compact" -> Oracle.bm25TopKOver(upsertCorpusCtes(liveOnly = true),
       FlagshipTerms, 60),
   )

@@ -959,6 +959,25 @@ object IndexBuild {
     * next compaction). Returns the number of docs deleted (0 = no-op,
     * nothing written — which also makes replays idempotent).
     */
+  /** Solr `<delete><query>…</query></delete>`: tombstone every LIVE doc
+    * whose docmeta row satisfies `pred` (stored-field predicates — the
+    * form deleteByQuery takes in practice: `lang:java`, a path prefix,
+    * numeric ranges on dl). One metadata-scale filter derives the kill
+    * set; the commit rides [[deleteByKeys]]' tombstone-only unit
+    * (manifest-atomic, idempotent: a replay finds no live match and
+    * no-ops). Stats/dfs stay stale until compaction reclaims — Lucene's
+    * deleted-docs semantics, same as every tombstone path.
+    */
+  def deleteByQuery(spark: SparkSession, indexDir: String,
+                    pred: org.apache.spark.sql.Column): Long = {
+    val live = liveUnits(spark, indexDir)
+    require(live.nonEmpty, s"no committed units under $indexDir")
+    val cfg = cfgOfIndex(spark, indexDir, live)
+    val ids = liveDocmeta(spark, indexDir, live, cfg)
+      .where(pred).select(col("doc_id"))
+    deleteByKeys(spark, ids, indexDir, keyCols = Seq("doc_id"))
+  }
+
   def deleteByKeys(spark: SparkSession, keys: DataFrame, indexDir: String,
                    keyCols: Seq[String] = Seq("path")): Long = {
     import spark.implicits._

@@ -152,6 +152,37 @@ class UpsertSpec extends SparkSpec {
     assert(IndexBuild.tombstoneUnits(spark, upsertDir) == before)
   }
 
+  test("deleteByQuery: stored-field predicate deletes; idempotent; compaction reclaims") {
+    val dir = tempDir("graft-delq")
+    IndexBuild.build(spark, base, dir, cfg)
+    val pred = col("lang") === "en" && col("doc_id") % 3 === 0
+    val expect = base.where(pred).select("doc_id").as[Long].collect().toSet
+    assert(expect.nonEmpty, "gate precondition: the predicate matches docs")
+    val n = IndexBuild.deleteByQuery(spark, dir, pred)
+    assert(n == expect.size.toLong)
+    // every query surface excludes the deleted docs...
+    val idx = new Index(spark, dir)
+    val hits = new Engine(idx).searchByTerms(SparkEntry.FlagshipTerms, rows = 500)
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits.intersect(expect).isEmpty, "deleted docs must not rank")
+    // ...and equals a ranking-only filter over the full index (stale stats)
+    val full = new Engine(new Index(spark, tempDir("graft-delq-full") match {
+      case d => IndexBuild.build(spark, base, d, cfg); d
+    }))
+    val filtered = full.searchByTerms(SparkEntry.FlagshipTerms, rows = 60,
+      docPred = Some(!(col("lang") === "en" && col("doc_id") % 3 === 0)))
+      .collect().map(_.toSeq).toSeq
+    val got = new Engine(idx).searchByTerms(SparkEntry.FlagshipTerms, rows = 60)
+      .collect().map(_.toSeq).toSeq
+    assert(got == filtered, "tombstoned == predicate-filtered with stale stats")
+    // replay: the matching docs are no longer live -> no-op
+    assert(IndexBuild.deleteByQuery(spark, dir, pred) == 0L)
+    // compaction physically reclaims them
+    IndexBuild.compact(spark, dir)
+    val live = new Index(spark, dir).docmeta.select("doc_id").as[Long].collect().toSet
+    assert(live.intersect(expect).isEmpty && live.size == 500 - expect.size)
+  }
+
   test("compaction reclaims dead docs: result == fresh build over the effective corpus") {
     // run the mutation-dependent checks first on copies? no — this suite
     // orders compaction last over a dedicated dir
