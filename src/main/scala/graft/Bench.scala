@@ -202,8 +202,10 @@ object Bench {
       // projection); join/filter-driven sections count() safely.
       "wildcard_leading" -> (() => engine.searchWildcard("*factory", rows = 60,
         maxExpansions = 8).count()),
-      // dictionary bound-filter rewrite + OR search (index path, latency
-      // group: the expansion is a cached-dictionary scan, not a vocab pass)
+      // dictionary bound-filter rewrite + OR search. BATCH group: the
+      // [w:sa, w:sp) slice expands to 8 HOT terms, so the search itself is
+      // wand_all_hot-class multi-second scan work (run 11: 1.5 s) — the
+      // membership rule, not the cheap expansion, decides the group
       "range_search" -> (() => engine.searchRange(Some("w:sa"), Some("w:sp"),
         incLo = true, incHi = false, rows = 60, maxExpansions = 8).count()),
       "parsed_mixed" -> (() => engine.searchParsed(corpus,

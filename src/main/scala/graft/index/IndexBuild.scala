@@ -951,43 +951,56 @@ object IndexBuild {
     build(spark, batch, indexDir, cfg)
   }
 
-  /** Delete live docs matching `keys` on `keyCols` (Solr deleteById /
-    * deleteByQuery analog): commits a tombstone-only unit — kill bitmaps +
-    * empty segments/docmeta (+ empty filters so the fq side-index stays
-    * complete) under a fresh negative id, manifest written last (same
-    * atomic gate; a crashed run's partials are invisible and swept by the
-    * next compaction). Returns the number of docs deleted (0 = no-op,
-    * nothing written — which also makes replays idempotent).
+  /** Delete live docs matching `keys` on `keyCols` (Solr deleteById):
+    * derives the kill set by a left-semi join of the live docmeta view
+    * against the keys and commits it via [[deleteDocs]]. Returns the
+    * number of docs deleted (0 = no-op, nothing written — which also
+    * makes replays idempotent).
     */
+  def deleteByKeys(spark: SparkSession, keys: DataFrame, indexDir: String,
+                   keyCols: Seq[String] = Seq("path")): Long = {
+    val live = liveUnits(spark, indexDir)
+    require(live.nonEmpty, s"no committed units under $indexDir")
+    val cfg = cfgOfIndex(spark, indexDir, live)
+    deleteDocs(spark, indexDir, live, cfg,
+      liveDocmeta(spark, indexDir, live, cfg)
+        .join(keys.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
+        .select(col("doc_id")))
+  }
+
   /** Solr `<delete><query>…</query></delete>`: tombstone every LIVE doc
     * whose docmeta row satisfies `pred` (stored-field predicates — the
     * form deleteByQuery takes in practice: `lang:java`, a path prefix,
-    * numeric ranges on dl). One metadata-scale filter derives the kill
-    * set; the commit rides [[deleteByKeys]]' tombstone-only unit
-    * (manifest-atomic, idempotent: a replay finds no live match and
-    * no-ops). Stats/dfs stay stale until compaction reclaims — Lucene's
-    * deleted-docs semantics, same as every tombstone path.
+    * numeric ranges on dl). ONE metadata-scale filter derives the kill
+    * set (no key shuffle, no second docmeta read); the commit is the
+    * same tombstone-only unit as [[deleteByKeys]] (manifest-atomic,
+    * idempotent: a replay finds no live match and no-ops). Stats/dfs
+    * stay stale until compaction reclaims — Lucene's deleted-docs
+    * semantics, same as every tombstone path.
     */
   def deleteByQuery(spark: SparkSession, indexDir: String,
                     pred: org.apache.spark.sql.Column): Long = {
     val live = liveUnits(spark, indexDir)
     require(live.nonEmpty, s"no committed units under $indexDir")
     val cfg = cfgOfIndex(spark, indexDir, live)
-    val ids = liveDocmeta(spark, indexDir, live, cfg)
-      .where(pred).select(col("doc_id"))
-    deleteByKeys(spark, ids, indexDir, keyCols = Seq("doc_id"))
+    deleteDocs(spark, indexDir, live, cfg,
+      liveDocmeta(spark, indexDir, live, cfg).where(pred).select(col("doc_id")))
   }
 
-  def deleteByKeys(spark: SparkSession, keys: DataFrame, indexDir: String,
-                   keyCols: Seq[String] = Seq("path")): Long = {
+  /** Commit a kill set as a tombstone-only unit — kill bitmaps + empty
+    * segments/docmeta (+ empty filters/dictionary stores so every
+    * side-index stays complete) under a fresh negative id, manifest
+    * written last (same atomic gate; a crashed run's partials are
+    * invisible and swept by the next compaction). Returns the number of
+    * docs deleted (0 = no-op, nothing written).
+    */
+  private def deleteDocs(spark: SparkSession, indexDir: String,
+                         live: Seq[Long], cfg: IndexConfig,
+                         killIds: DataFrame): Long = {
     import spark.implicits._
     val committed = committedUnits(spark, indexDir)
     require(committed.nonEmpty, s"no committed units under $indexDir")
-    val live = liveUnits(spark, indexDir)
-    val cfg = cfgOfIndex(spark, indexDir, live)
-    val kills = liveDocmeta(spark, indexDir, live, cfg)
-      .join(keys.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
-      .select(col("doc_id"))
+    val kills = killIds
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = kills.count()

@@ -179,8 +179,9 @@ class UpsertSpec extends SparkSpec {
     assert(IndexBuild.deleteByQuery(spark, dir, pred) == 0L)
     // compaction physically reclaims them
     IndexBuild.compact(spark, dir)
+    val total = base.count()
     val live = new Index(spark, dir).docmeta.select("doc_id").as[Long].collect().toSet
-    assert(live.intersect(expect).isEmpty && live.size == 500 - expect.size)
+    assert(live.intersect(expect).isEmpty && live.size == total - expect.size)
   }
 
   test("compaction reclaims dead docs: result == fresh build over the effective corpus") {
