@@ -125,6 +125,11 @@ object SparkEntry {
   val ParsedGroupQuery = "+w:sm*^0.5 w:license -w:stream"
   val ParsedGroupMaxExpansions = 8
 
+  /** /export gate: the FULL sorted match set of a boosted two-term OR —
+    * every matching doc, exact scores, global ranks, no top-k window.
+    */
+  val ExportTerms: Seq[(String, Double)] = Seq("w:license" -> 1.0, "w:window" -> 2.0)
+
   /** Contamination-screen benchmark selector: every 13th doc (shifted by
     * 3) of the base corpus plays the benchmark table; the dup-injected
     * corpus is screened against it with 13-token shingles.
@@ -598,6 +603,9 @@ object SparkEntry {
     "q_parsed_mixed" -> ((s, dir) =>
       Engine.forDir(s, dir).searchParsed(Corpus.fromDocuments(s, dir),
         ParsedMixedQuery, rows = 60)),
+    // Solr /export: full sorted match set, exact scores, global ranks —
+    // range-partitioned sort + zipWithIndex, no single-partition window
+    "q_export" -> ((s, dir) => Engine.forDir(s, dir).exportMatches(ExportTerms)),
     // MUST multi-term rewrite = OR-required group: doc must hold >=1 of
     // the prefix expansion; all matching expansions score at the boost
     "q_parsed_group" -> ((s, dir) =>
@@ -793,6 +801,10 @@ object SparkEntry {
       incLo = true, incHi = false, RangeMaxExpansions, 60),
     "q_parsed_group" -> Oracle.parsedGroupSql(Seq("w:license" -> 1.0),
       "w:sm", 0.5, ParsedGroupMaxExpansions, Seq("w:stream"), 60),
+    "q_export" -> Oracle.withPrelude(
+      s"""     , ${Oracle.qFromValues(ExportTerms)},
+         |${Oracle.bm25Body(None)}
+         |SELECT rank, doc_id, score_q FROM ranked ORDER BY rank""".stripMargin),
     "q_wildcard_leading" -> Oracle.wildcardSql(WildcardLeadQ, WildcardMaxExpansions, 60),
     "q_parsed_mixed" -> Oracle.parsedMixedSql("hash join",
       Seq("w:window" -> 2.0), "w:sm", 0.5, "w:hach", 1, 1.0,

@@ -1267,6 +1267,34 @@ final class Engine(val index: Index) {
       candidates = math.max(candidates, start + rows))
       .where(col("rank") > start)
 
+  /** Solr `/export` handler analog: the FULL sorted match set — every
+    * matching doc with its exact BM25 score and global rank, no top-k
+    * window (the export-for-analytics shape; Solr streams it sorted by
+    * docValues for the same reason). Plan shape at scale: the exact
+    * exploded-postings score plan ([[scanScoreAll]], kill-excluded),
+    * then a RANGE-PARTITIONED orderBy + zipWithIndex rank offsets — no
+    * single-partition rank window (the fullSort rule, Ann.scala), so the
+    * sort parallelizes across executors at any match-set size. Use
+    * [[searchAfter]] when the consumer pages instead of dumping.
+    */
+  def exportMatches(terms: Seq[(String, Double)]): DataFrame = {
+    import spark.implicits._
+    val dfs = index.dfOf(terms.map(_._1).distinct)
+    val kept = terms.map { case (t, b) => (t, b, dfs.getOrElse(t, 0L)) }
+      .filter(_._3 > 0)
+    if (kept.isEmpty)
+      return spark.emptyDataset[(Long, Long, Long)].toDF("rank", "doc_id", "score_q")
+    val (n, avgdl) = index.stats
+    scanScoreAll(weightsOf(kept, n), avgdl)
+      .select(col("doc_id"),
+        round(col("score") * lit(Bm25.Quant)).cast("long").as("score_q"))
+      .orderBy(col("score_q").desc, col("doc_id").asc)
+      .as[(Long, Long)]
+      .rdd.zipWithIndex()
+      .map { case ((d, s), i) => (i + 1, d, s) }
+      .toDF("rank", "doc_id", "score_q")
+  }
+
   /** Facet counts over the query's FULL match set (docs containing any
     * query term — Boolean-OR match semantics, not the top-k window):
     * Solr's `facet=true&facet.field=<f>` on the same request.

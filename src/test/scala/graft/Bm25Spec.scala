@@ -53,6 +53,30 @@ class Bm25Spec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("/export: full match set, top-k prefix == searchByTerms, no single-partition window") {
+    import graft.query.Engine
+    val engine = Engine.forDir(spark, sfTiny)
+    val exported = engine.exportMatches(SparkEntry.ExportTerms)
+    val rows = exported.as[(Long, Long, Long)].collect().toSeq
+    // every matching doc appears (count == brute match-set size)...
+    val expAll = BruteScorer.topK(docs, SparkEntry.ExportTerms, docs.size)
+    assert(rows.size == expAll.size, "export must return the FULL match set")
+    // ...with the exact ranked output of the brute scorer end to end
+    rows.zip(expAll).zipWithIndex.foreach { case (((rank, id, sq), e), i) =>
+      assert(rank == i + 1 && id == e.docId && sq == e.scoreQ, s"row $i")
+    }
+    // the top-60 prefix is exactly searchByTerms' window
+    val topk = engine.searchByTerms(SparkEntry.ExportTerms, rows = 60)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows.take(60) == topk)
+    // plan rule: range-partitioned sort + zipWithIndex, never a global
+    // rank window collapsing the match set to one partition
+    assert(!exported.queryExecution.executedPlan.toString.contains("Window"),
+      "export must not use a rank window")
+    // zero-df query exports empty, not an error
+    assert(engine.exportMatches(Seq("w:zzznosuch" -> 1.0)).count() == 0)
+  }
+
   test("sha invariant: corpus sha matches recomputed sha256") {
     val bad = corpus.where(sha2($"content", 256) =!= $"sha").count()
     assert(bad == 0)
