@@ -1964,7 +1964,7 @@ object Engine {
     * `allow0` (null = unconstrained; mutation is safe — each cogroup call
     * builds its bitmaps fresh). Returns null only when unconstrained.
     */
-  private[query] def boolAllow(rows: Array[SegHit], must: Set[String],
+  private[graft] def boolAllow(rows: Array[SegHit], must: Set[String],
       mustNot: Set[String], allow0: RoaringBitmap, segShift: Int,
       mustGroups: Seq[Set[String]] = Nil): RoaringBitmap = {
     var allow = allow0

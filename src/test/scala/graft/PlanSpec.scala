@@ -113,6 +113,24 @@ class PlanSpec extends SparkSpec {
       s"fcol/value not pushed into the filters scan:\n$p")
   }
 
+  test("OR-required groups ride the in-segment bitmap: plan identical to the plain bool query") {
+    // the group algebra lives inside the segment task (boolAllow) — the
+    // PLAN must not grow an exchange, join, or extra scan for it; only
+    // the term list differs. Shape-compare node kinds, not strings.
+    def shape(p: String): Seq[String] =
+      p.linesIterator.filter(_.matches("^\\(\\d+\\) .*"))
+        .map(_.replaceAll("^\\(\\d+\\) ", "").trim).toSeq
+    val grp = engine.rangeExpansions(Some("w:sa"), Some("w:sp"),
+      incLo = true, incHi = false, 4)
+    assert(grp.size >= 2)
+    val plain = plan(engine.searchBool(
+      Seq("w:license" -> 1.0) ++ grp.map(_ -> 0.5), rows = 30))
+    val grouped = plan(engine.searchBool(Seq("w:license" -> 1.0), rows = 30,
+      mustGroups = Seq(grp.map(_ -> 0.5))))
+    assert(shape(grouped) == shape(plain),
+      s"group path changed the plan shape:\nPLAIN:\n$plain\nGROUPED:\n$grouped")
+  }
+
   test("tombstone-free index keeps pre-upsert plans: no kill anti-join, no tombstone scan") {
     // the common case must not pay for the Solr-update machinery: neither
     // the WAND route nor the dense scan route may read the tombstones dir

@@ -110,6 +110,33 @@ class WandPropertySpec extends SparkSpec {
     }
   }
 
+  test("boolAllow with OR-required groups == brute membership (property)") {
+    val vocab = (0 until 25).map(i => s"t$i")
+    for (trial <- 0 until 40) {
+      val rnd = new Random(11000 + trial)
+      val nDocs = 30 + rnd.nextInt(400)
+      val docs = (0 until nDocs).map { d =>
+        d -> Seq.fill(1 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+      }.toMap
+      val (hits, _) = mkSegment(docs)
+      val rows = hits.toArray
+      val must = rnd.shuffle(vocab).take(rnd.nextInt(3)).toSet
+      val mustNot = rnd.shuffle(vocab).take(rnd.nextInt(3)).toSet -- must
+      val groups = (0 until 1 + rnd.nextInt(3))
+        .map(_ => rnd.shuffle(vocab).take(1 + rnd.nextInt(4)).toSet)
+      val allow = Engine.boolAllow(rows, must, mustNot, null, cfg.segShift, groups)
+      val got: Set[Int] =
+        if (allow == null) (0 until nDocs).toSet
+        else (0 until nDocs).filter(d => allow.contains(d)).toSet
+      val expected = (0 until nDocs).filter { d =>
+        val ts = docs(d).toSet
+        must.forall(ts) && groups.forall(g => g.exists(ts)) && !mustNot.exists(ts)
+      }.toSet
+      assert(got == expected,
+        s"trial=$trial must=$must not=$mustNot groups=$groups")
+    }
+  }
+
   test("search-after cursor == suffix of the full ranking (property)") {
     val vocab = (0 until 25).map(i => s"t$i")
     for (trial <- 0 until 30) {
