@@ -286,6 +286,10 @@ object SparkEntry {
     "q_grouped" -> ((s, dir) =>
       Engine.forDir(s, dir).searchGrouped(FlagshipTerms, "repo",
         groupLimit = 3, groups = 8)),
+    // Solr field collapsing ({!collapse field=repo}): flat ranking, one
+    // best doc per value — searchGrouped at groupLimit=1 reshaped flat
+    "q_collapsed" -> ((s, dir) =>
+      Engine.forDir(s, dir).searchCollapsed(FlagshipTerms, "repo", rows = 10)),
     // Solr q+fq+group: the fq bitmap intersects the dense score array's
     // touched set inside the segment (same cogroup)
     "q_grouped_filtered" -> ((s, dir) =>
@@ -700,6 +704,7 @@ object SparkEntry {
     "q_facet_filtered" -> Oracle.facetSql(FlagshipTerms, "repo", Some(("lang", "en"))),
     "q_facet_top" -> Oracle.facetTopSql(FlagshipTerms, "repo", mincount = 2, limit = 10),
     "q_grouped" -> Oracle.groupedSql(FlagshipTerms, "repo", groupLimit = 3, groups = 8),
+    "q_collapsed" -> Oracle.collapsedSql(FlagshipTerms, "repo", rows = 10),
     "q_grouped_filtered" -> Oracle.groupedSql(FlagshipTerms, "repo",
       groupLimit = 3, groups = 8, docPred = Some("lang = 'en'")),
     "q_stats_dl" -> Oracle.statsDlSql(FlagshipTerms),

@@ -1676,6 +1676,23 @@ final class Engine(val index: Index) {
     searchGroupedVia(terms, field, groupLimit, groups, accuracy,
       forceScan = false, docPred, docFilter)
 
+  /** Solr CollapsingQParserPlugin (`fq={!collapse field=f}`): the normal
+    * FLAT ranked result list, but at most one doc — each value's best by
+    * (score_q DESC, doc_id ASC) — per field value; docs with no value
+    * collapse into the null group, as the plugin's nullPolicy=collapse.
+    * Exactly [[searchGrouped]] at `groupLimit = 1` reshaped flat, so it
+    * inherits the segment-local grouped scorer and its plan pins; output
+    * (rank, value, doc_id, score_q).
+    */
+  def searchCollapsed(terms: Seq[(String, Double)], field: String,
+                      rows: Int = 60, accuracy: Double = 1.0,
+                      docPred: Option[Column] = None,
+                      docFilter: Option[(String, String)] = None): DataFrame =
+    searchGrouped(terms, field, groupLimit = 1, groups = rows, accuracy,
+      docPred, docFilter)
+      .select(col("group_rank").as("rank"), col("value"),
+        col("doc_id"), col("score_q"))
+
   private[graft] def searchGroupedVia(
       terms: Seq[(String, Double)], field: String, groupLimit: Int,
       groups: Int, accuracy: Double, forceScan: Boolean,

@@ -223,6 +223,28 @@ object Oracle {
          |WHERE g.group_rank <= $groups AND w.rank <= $groupLimit
          |ORDER BY g.group_rank, w.rank""".stripMargin)
 
+  /** CollapsingQParserPlugin twin (Engine.searchCollapsed): one best doc
+    * per field value, flat global ranking — [[groupedSql]]'s CTE chain
+    * emitting only each group's rank-1 row.
+    */
+  def collapsedSql(terms: Seq[(String, Double)], field: String,
+                   rows: Int): String =
+    withPrelude(
+      s"""     , ${qFromValues(terms)},
+         |${bm25Body(None)},
+         |wv AS (
+         |  SELECT r.doc_id, r.score_q, c.$field::VARCHAR AS value
+         |  FROM ranked r JOIN corpus c ON c.doc_id = r.doc_id),
+         |grp AS (
+         |  SELECT *, row_number() OVER (PARTITION BY value
+         |    ORDER BY score_q DESC, doc_id ASC) AS rank FROM wv),
+         |best AS (
+         |  SELECT value, doc_id, score_q,
+         |         row_number() OVER (ORDER BY score_q DESC, doc_id ASC) AS rank
+         |  FROM grp WHERE rank = 1)
+         |SELECT rank, value, doc_id, score_q FROM best
+         |WHERE rank <= $rows ORDER BY rank""".stripMargin)
+
   /** Solr highlighting twin (Engine.highlight): snippet of lower(content)
     * around the first whole-word token occurrence, field-head fallback.
     */
