@@ -1279,20 +1279,31 @@ final class Engine(val index: Index) {
     */
   def exportMatches(terms: Seq[(String, Double)]): DataFrame = {
     import spark.implicits._
-    val dfs = index.dfOf(terms.map(_._1).distinct)
-    val kept = terms.map { case (t, b) => (t, b, dfs.getOrElse(t, 0L)) }
-      .filter(_._3 > 0)
-    if (kept.isEmpty)
-      return spark.emptyDataset[(Long, Long, Long)].toDF("rank", "doc_id", "score_q")
+    exportScored(terms) match {
+      case None =>
+        spark.emptyDataset[(Long, Long, Long)].toDF("rank", "doc_id", "score_q")
+      case Some(sorted) =>
+        sorted.as[(Long, Long)]
+          .rdd.zipWithIndex()
+          .map { case ((d, s), i) => (i + 1, d, s) }
+          .toDF("rank", "doc_id", "score_q")
+    }
+  }
+
+  /** The sorted (doc_id, score_q) match set [[exportMatches]] ranks —
+    * exposed pre-zipWithIndex because the RDD hop severs the Catalyst
+    * lineage: THIS is the plan the no-single-partition-window pin must
+    * inspect (the post-hop plan is always just an ExternalRDDScan).
+    * None = no corpus-present term.
+    */
+  private[graft] def exportScored(terms: Seq[(String, Double)]): Option[DataFrame] = {
+    val kept = keptTerms(terms, accuracy = 1.0) // ONE kept-term rule with the search paths
+    if (kept.isEmpty) return None
     val (n, avgdl) = index.stats
-    scanScoreAll(weightsOf(kept, n), avgdl)
+    Some(scanScoreAll(weightsOf(kept, n), avgdl)
       .select(col("doc_id"),
         round(col("score") * lit(Bm25.Quant)).cast("long").as("score_q"))
-      .orderBy(col("score_q").desc, col("doc_id").asc)
-      .as[(Long, Long)]
-      .rdd.zipWithIndex()
-      .map { case ((d, s), i) => (i + 1, d, s) }
-      .toDF("rank", "doc_id", "score_q")
+      .orderBy(col("score_q").desc, col("doc_id").asc))
   }
 
   /** Facet counts over the query's FULL match set (docs containing any

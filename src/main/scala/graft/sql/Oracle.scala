@@ -201,18 +201,26 @@ object Oracle {
     * its top-`groupLimit` docs; rank is group-relative. Docs with a null
     * field value form the null group (hence the null-safe join).
     */
+  /** wv + grp CTEs shared by [[groupedSql]] and [[collapsedSql]]: ranked
+    * docs joined to their field value, row_number within each value by
+    * the total tie order — ONE copy so the group tie-break and the
+    * ::VARCHAR value cast cannot desynchronize between the twins.
+    */
+  private def groupValueCtes(field: String): String =
+    s"""wv AS (
+       |  SELECT r.doc_id, r.score_q, c.$field::VARCHAR AS value
+       |  FROM ranked r JOIN corpus c ON c.doc_id = r.doc_id),
+       |grp AS (
+       |  SELECT *, row_number() OVER (PARTITION BY value
+       |    ORDER BY score_q DESC, doc_id ASC) AS rank FROM wv)""".stripMargin
+
   def groupedSql(terms: Seq[(String, Double)], field: String,
                  groupLimit: Int, groups: Int,
                  docPred: Option[String] = None): String =
     withPrelude(
       s"""     , ${qFromValues(terms)},
          |${bm25Body(docPred)},
-         |wv AS (
-         |  SELECT r.doc_id, r.score_q, c.$field::VARCHAR AS value
-         |  FROM ranked r JOIN corpus c ON c.doc_id = r.doc_id),
-         |grp AS (
-         |  SELECT *, row_number() OVER (PARTITION BY value
-         |    ORDER BY score_q DESC, doc_id ASC) AS rank FROM wv),
+         |${groupValueCtes(field)},
          |best AS (
          |  SELECT value, doc_id AS bdoc, score_q AS bsq FROM grp WHERE rank = 1),
          |gr AS (
@@ -232,12 +240,7 @@ object Oracle {
     withPrelude(
       s"""     , ${qFromValues(terms)},
          |${bm25Body(None)},
-         |wv AS (
-         |  SELECT r.doc_id, r.score_q, c.$field::VARCHAR AS value
-         |  FROM ranked r JOIN corpus c ON c.doc_id = r.doc_id),
-         |grp AS (
-         |  SELECT *, row_number() OVER (PARTITION BY value
-         |    ORDER BY score_q DESC, doc_id ASC) AS rank FROM wv),
+         |${groupValueCtes(field)},
          |best AS (
          |  SELECT value, doc_id, score_q,
          |         row_number() OVER (ORDER BY score_q DESC, doc_id ASC) AS rank

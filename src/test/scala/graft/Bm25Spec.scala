@@ -70,9 +70,15 @@ class Bm25Spec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(rows.take(60) == topk)
     // plan rule: range-partitioned sort + zipWithIndex, never a global
-    // rank window collapsing the match set to one partition
-    assert(!exported.queryExecution.executedPlan.toString.contains("Window"),
-      "export must not use a rank window")
+    // rank window collapsing the match set to one partition. Inspect the
+    // PRE-zipWithIndex plan — the RDD hop severs the lineage, so the
+    // post-hop plan is an ExternalRDDScan and would pass vacuously
+    val sortedPlan = engine.exportScored(SparkEntry.ExportTerms)
+      .get.queryExecution.executedPlan.toString
+    assert(!sortedPlan.contains("Window"),
+      s"export must not use a rank window:\n$sortedPlan")
+    assert(sortedPlan.contains("rangepartitioning"),
+      s"export sort must range-partition:\n$sortedPlan")
     // zero-df query exports empty, not an error
     assert(engine.exportMatches(Seq("w:zzznosuch" -> 1.0)).count() == 0)
   }
