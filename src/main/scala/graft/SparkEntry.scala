@@ -71,11 +71,13 @@ object SparkEntry {
   val BoolMixedMust: Seq[(String, Double)] = Seq("w:join" -> 0.5)
 
   /** PhraseQuery gates: a bigram phrase (~24 matching docs at sf0.001) and
-    * a trigram (~5) — both present at every SF by the generator's fixed
-    * vocabulary.
+    * a trigram — chosen NON-VACUOUS at every driver SF (9/3/10 matches at
+    * sf0.001/0.01/0.1; the previous "key order sort" matched 0 docs at the
+    * driver's sf0.01, proving only that both engines agree on emptiness —
+    * VERDICT r04 "What's wrong" #4).
     */
   val PhraseBigram = "hash join"
-  val PhraseTrigram = "key order sort"
+  val PhraseTrigram = "big order scan"
 
   /** PrefixQuery gate: "w:s" matches many word terms — the cap (10 of
     * them) exercises the deterministic top-terms rewrite order. FuzzyQuery
@@ -255,6 +257,12 @@ object SparkEntry {
     // DuckDB-checked end to end
     "q_wand_topk" -> ((s, dir) =>
       Engine.forDir(s, dir).searchByTerms(FlagshipTerms, rows = 60)),
+    // the over-cap dictionary route: same index, df lookups forced through
+    // the distributed term_id-pruned dictionary scan (driver map disabled
+    // by a low cap) — must stay rank-identical to q_wand_topk's driver-map
+    // route at every SF (VERDICT r04 next #3)
+    "q_wand_bigvocab" -> ((s, dir) =>
+      Engine.forDirBigVocab(s, dir).searchByTerms(FlagshipTerms, rows = 60)),
     "q_wand_boosted" -> ((s, dir) =>
       Engine.forDir(s, dir).searchByTerms(BoostedTerms, rows = 60)),
     // textual query form ("term^boost ..."), parsed then searched —
@@ -472,9 +480,13 @@ object SparkEntry {
       Dedup.embCosBucketedPairsDerived(
         s.read.parquet(s"$dir/embeddings.parquet"), 4000L, targetBucket = 64L)),
     // wider bucket space (the log2(N/bucketTarget) scaling knob) — the
-    // candidate set depends on bits, so the oracle carries the same width
+    // candidate set depends on bits, so the oracle carries the same width.
+    // bits=6: strictly wider than every derived width the default gate
+    // takes (3/3/5 bits) yet non-vacuous at every driver SF (5/3/64 pairs
+    // at sf0.001/0.01/0.1; bits=10 matched 0 pairs at sf≤0.01 — VERDICT
+    // r04 "What's wrong" #4)
     "q_dedup_embcos_wide" -> ((s, dir) =>
-      Dedup.embCosBucketedPairs(s.read.parquet(s"$dir/embeddings.parquet"), 4000L, bits = 10)),
+      Dedup.embCosBucketedPairs(s.read.parquet(s"$dir/embeddings.parquet"), 4000L, bits = 6)),
     "q_embcos_allpairs" -> ((s, dir) =>
       Dedup.embCosPairs(s.read.parquet(s"$dir/embeddings.parquet"), 4000L)),
     // ANN: brute-force cosine top-10 for 3 query vectors
@@ -699,6 +711,7 @@ object SparkEntry {
     "q_bm25_boosted" -> Oracle.bm25TopK(BoostedTerms, 60),
     "q_bm25_filtered" -> Oracle.bm25TopK(FlagshipTerms, 60, Some("lang = 'en'")),
     "q_wand_topk" -> Oracle.bm25TopK(FlagshipTerms, 60),
+    "q_wand_bigvocab" -> Oracle.bm25TopK(FlagshipTerms, 60),
     "q_wand_paged" -> Oracle.bm25Page(FlagshipTerms, 20, 30),
     "q_facet_lang" -> Oracle.facetSql(FlagshipTerms, "lang"),
     "q_facet_filtered" -> Oracle.facetSql(FlagshipTerms, "repo", Some(("lang", "en"))),
@@ -760,7 +773,7 @@ object SparkEntry {
     "q_simhash_allpairs" -> OracleMl.simhashPairsSql(2),
     "q_simhash_pairs_8band" -> OracleMl.simhashPairsSql(2),
     "q_dedup_embcos" -> OracleMl.embCosBucketedDerivedSql(4000L, target = 64L),
-    "q_dedup_embcos_wide" -> OracleMl.embCosBucketedSql(4000L, bits = 10),
+    "q_dedup_embcos_wide" -> OracleMl.embCosBucketedSql(4000L, bits = 6),
     "q_contamination" -> OracleMl.contaminationSql("doc_id % 13 = 3", ContaminationWidth),
     "q_embcos_allpairs" -> OracleMl.embCosPairsSql(4000L),
     "q_ann_brute" -> OracleMl.annBruteSql(AnnQueryIds, 10),

@@ -108,6 +108,176 @@ object Codec {
     res
   }
 
+  // ---- positional side-blob (phrase queries) ----------------------------
+  //
+  // Term positions are stored NEXT TO the postings blob, never inside it:
+  // the postings codec (and every BM25/WAND consumer of it) is unchanged,
+  // and the positions bytes live in their own nullable parquet column that
+  // non-phrase queries never read. The blob mirrors the postings blob's
+  // block structure so a block skipped by the leapfrog skips its position
+  // payload with one varint read:
+  //
+  //   repeat numBlocks times:
+  //     posPayloadLen (varint)
+  //     payload: per entry, in the block's entry order:
+  //              tf varints — first = absolute token position,
+  //              rest = gaps (positions strictly ascending)
+  //
+  // Entry alignment is by construction: entry i of the postings blob owns
+  // the i-th run of tf_i varints of its block's payload (tf comes from the
+  // postings payload, so decode order is postings-then-positions).
+  // Reference anchor: Lucene's .prx/.pos positional postings backing the
+  // host platform's PhraseQuery surface (SURVEY.md §2.11, lire.html:83).
+
+  /** Encode the positions blob for an already-encoded posting list.
+    * `positions(i)` are the strictly-ascending token positions of
+    * `postings(i)`; each must hold exactly `postings(i).tf` entries
+    * (the build clamps both sides to MaxTf together).
+    */
+  def encodePositions(postings: Array[Posting], positions: Array[Array[Int]]): Array[Byte] = {
+    require(postings.length == positions.length,
+      s"postings/positions length mismatch: ${postings.length} vs ${positions.length}")
+    val out = new ByteArrayOutputStream(postings.length * 4 + 16)
+    val nBlocks = (postings.length + BlockSize - 1) / BlockSize
+    var b = 0
+    while (b < nBlocks) {
+      val from = b * BlockSize
+      val until = math.min(from + BlockSize, postings.length)
+      val payload = new ByteArrayOutputStream((until - from) * 4)
+      var i = from
+      while (i < until) {
+        val ps = positions(i)
+        require(ps.length == postings(i).tf,
+          s"positions(${i}).length=${ps.length} != tf=${postings(i).tf}")
+        var k = 0
+        var prev = 0
+        while (k < ps.length) {
+          writeVarInt(payload, ps(k) - prev)
+          prev = ps(k)
+          k += 1
+        }
+        i += 1
+      }
+      val pb = payload.toByteArray
+      writeVarInt(out, pb.length)
+      out.write(pb, 0, pb.length)
+      b += 1
+    }
+    out.toByteArray
+  }
+
+  /** Decode the full positions blob aligned with [[decodeAll]]'s order
+    * (merge/test path; the query path uses [[IterPos]]).
+    */
+  def decodeAllPositions(postBytes: Array[Byte], posBytes: Array[Byte]): Array[Array[Int]] = {
+    val it = new IterPos(postBytes, posBytes)
+    val res = new Array[Array[Int]](it.numEntries)
+    var k = 0
+    while (!it.exhausted) {
+      res(k) = it.curPositions
+      k += 1
+      it.next()
+    }
+    assert(k == res.length, s"decoded $k of ${res.length}")
+    res
+  }
+
+  /** Block-skipping iterator over postings + their positions blob, in
+    * lockstep: a block skipped by `advanceTo` costs one postings header
+    * read plus ONE position-payload-length varint — no position bytes of
+    * skipped blocks are touched. Exposes `curPositions` for the entry the
+    * cursor is on (decoded lazily per landed block).
+    */
+  final class IterPos(postBytes: Array[Byte], posBytes: Array[Byte]) {
+    private val r = new Reader(postBytes)
+    private val pr = new Reader(posBytes)
+    val numEntries: Int = r.readVarInt()
+    private val numBlocks: Int = r.readVarInt()
+    private var blockIdx = -1
+    private var prevLast = 0
+    private var bFirst = 0
+    private var bLast = 0
+    private var payloadPending = false
+    private val locals = new Array[Int](BlockSize)
+    private val tfs = new Array[Int](BlockSize)
+    private val dls = new Array[Int](BlockSize)
+    private val poss = new Array[Array[Int]](BlockSize)
+    private var blockCnt = 0
+    private var inBlock = 0
+    var exhausted: Boolean = numEntries == 0
+
+    def curLocal: Int = locals(inBlock)
+    def curTf: Int = tfs(inBlock)
+    def curDl: Int = dls(inBlock)
+    def curPositions: Array[Int] = poss(inBlock)
+
+    private def advanceBlock(): Boolean = {
+      if (payloadPending) {
+        val len = r.readVarInt(); r.pos += len
+        val plen = pr.readVarInt(); pr.pos += plen
+        payloadPending = false
+      }
+      if (blockIdx + 1 >= numBlocks) { exhausted = true; false }
+      else {
+        if (blockIdx >= 0) prevLast = bLast
+        blockIdx += 1
+        bFirst = prevLast + r.readVarInt()
+        bLast = bFirst + r.readVarInt()
+        r.readVarInt() // maxTf (unused here)
+        r.readVarInt() // minDl (unused here)
+        payloadPending = true
+        true
+      }
+    }
+
+    private def decodePayload(): Unit = {
+      r.readVarInt() // payloadLen
+      blockCnt = r.readVarInt()
+      var prev = bFirst
+      var i = 0
+      while (i < blockCnt) {
+        val l = (if (i == 0) bFirst else prev) + r.readVarInt()
+        locals(i) = l; tfs(i) = r.readVarInt(); dls(i) = r.readVarInt()
+        prev = l
+        i += 1
+      }
+      pr.readVarInt() // posPayloadLen
+      i = 0
+      while (i < blockCnt) {
+        val tf = tfs(i)
+        val arr = new Array[Int](tf)
+        var p = 0
+        var k = 0
+        while (k < tf) { p += pr.readVarInt(); arr(k) = p; k += 1 }
+        poss(i) = arr
+        i += 1
+      }
+      inBlock = 0
+      payloadPending = false
+    }
+
+    if (!exhausted) { advanceBlock(); decodePayload() }
+
+    /** Position at the first posting with local >= target. */
+    def advanceTo(target: Int): Boolean = {
+      if (exhausted) return false
+      if (!payloadPending && curLocal >= target) return true
+      while (bLast < target) if (!advanceBlock()) return false
+      if (payloadPending) decodePayload()
+      while (locals(inBlock) < target) inBlock += 1 // safe: bLast >= target
+      true
+    }
+
+    /** Step to the next posting. */
+    def next(): Boolean = {
+      if (exhausted) return false
+      inBlock += 1
+      if (inBlock < blockCnt) true
+      else if (!advanceBlock()) false
+      else { decodePayload(); true }
+    }
+  }
+
   /** Block-skipping iterator: `advanceTo(target)` positions at the first
     * posting with local >= target, decoding only the blocks it lands in
     * (a skipped block costs one header read + a byte-range seek).

@@ -24,10 +24,16 @@ object TermHash {
   }
 }
 
-/** One (term, segment) posting sub-list — the unit phase 1 emits. */
+/** One (term, segment) posting sub-list — the unit phase 1 emits.
+  * `positions` is the positional side-blob ([[Codec.encodePositions]]) for
+  * word terms (null for hash-shingle terms, whose positions no query
+  * reads); it lives in its own parquet column so non-phrase queries never
+  * deserialize a byte of it (column pruning).
+  */
 final case class SegTermRow(
     seg_id: Long, term_id: Long, term: String,
-    df: Int, max_tf: Int, min_dl: Int, postings: Array[Byte])
+    df: Int, max_tf: Int, min_dl: Int, postings: Array[Byte],
+    positions: Array[Byte] = null)
 
 final case class IndexConfig(
     /** segment width = 1 << segShift docs; a segment is the salt unit of
@@ -108,6 +114,13 @@ final case class CompactReport(
   */
 object IndexBuild {
 
+  /** Segment codec version recorded per unit manifest: 2 = word terms
+    * carry the positional side-blob (native PhraseQuery); 1 (or absent —
+    * pre-v7 units) = positionless. An index is positional only when EVERY
+    * live unit is ≥2 ([[graft.query.Index.hasPositions]]).
+    */
+  val CodecVer = 2
+
   def segmentsDir(indexDir: String) = s"$indexDir/segments"
   def docmetaDir(indexDir: String) = s"$indexDir/docmeta"
   def manifestDir(indexDir: String) = s"$indexDir/manifest"
@@ -177,39 +190,77 @@ object IndexBuild {
     * per (doc, term) (~250/doc) to one row per (term, seg, partition),
     * ~20x fewer row objects for the same payload bytes. The per-partition
     * map is bounded: distinct (term, seg) of ONE partition's docs.
+    *
+    * Word terms additionally carry their token positions (the positional
+    * index feeding native PhraseQuery): the 4th tuple element is a varint
+    * stream of per-entry position runs ALIGNED with the packed array —
+    * entry i owns the i-th run of `min(tf_i, MaxTf)` varints (first
+    * absolute, rest gaps). Shingle terms ship an empty blob — no query
+    * reads hash-term positions, so their bytes are never paid for.
     */
   def partialPostings(spark: SparkSession, corpus: DataFrame,
-                      cfg: IndexConfig): Dataset[(String, Long, Array[Long])] = {
+                      cfg: IndexConfig): Dataset[(String, Long, Array[Long], Array[Byte])] = {
     import spark.implicits._
     corpus.select(col("doc_id"), col("content")).as[(Long, String)]
       .mapPartitions { docs =>
-        val acc = new java.util.HashMap[String, java.util.HashMap[Long, LongBuf]]()
+        val acc = new java.util.HashMap[String, java.util.HashMap[Long, PartialBuf]]()
+        val docPos = new java.util.HashMap[String, IntBuf]()
         val docCounts = new java.util.HashMap[String, Int]()
         docs.foreach { case (docId, content) =>
-          val terms = Tokenizer.termsScala(content)
-          if (terms.nonEmpty) {
-            val dl = terms.length
+          val toks = Tokenizer.tokenizeScala(content)
+          if (toks.nonEmpty) {
+            val n = toks.length
+            val dl = 2 * n - 1 // words + shingles, = termsScala(content).length
             val segId = cfg.segOf(docId)
             val local = cfg.localOf(docId)
+            docPos.clear()
             docCounts.clear()
-            terms.foreach(t => docCounts.merge(t, 1, Integer.sum(_, _)))
-            val it = docCounts.entrySet().iterator()
-            while (it.hasNext) {
-              val e = it.next()
-              val bySeg = acc.computeIfAbsent(e.getKey, _ => new java.util.HashMap[Long, LongBuf]())
-              bySeg.computeIfAbsent(segId, _ => new LongBuf)
-                .add(pack(local, e.getValue, dl))
+            var i = 0
+            while (i < n) {
+              docPos.computeIfAbsent("w:" + toks(i), _ => new IntBuf).add(i)
+              if (i < n - 1)
+                docCounts.merge(Tokenizer.shingleTerm(toks(i), toks(i + 1)), 1,
+                  Integer.sum(_, _))
+              i += 1
+            }
+            val wi = docPos.entrySet().iterator()
+            while (wi.hasNext) {
+              val e = wi.next()
+              val ps = e.getValue
+              val pb = acc
+                .computeIfAbsent(e.getKey, _ => new java.util.HashMap[Long, PartialBuf]())
+                .computeIfAbsent(segId, _ => new PartialBuf)
+              pb.packed.add(pack(local, ps.length, dl))
+              // exactly min(tf, MaxTf) position varints, matching the
+              // clamped tf pack() stored — alignment survives the clamp
+              val tf = math.min(ps.length, MaxTf)
+              var k = 0
+              var prev = 0
+              while (k < tf) {
+                val p = ps(k)
+                Codec.writeVarInt(pb.posOut, p - prev)
+                prev = p
+                k += 1
+              }
+            }
+            val si = docCounts.entrySet().iterator()
+            while (si.hasNext) {
+              val e = si.next()
+              acc.computeIfAbsent(e.getKey, _ => new java.util.HashMap[Long, PartialBuf]())
+                .computeIfAbsent(segId, _ => new PartialBuf)
+                .packed.add(pack(local, e.getValue, dl))
             }
           }
         }
-        val out = Iterator.newBuilder[(String, Long, Array[Long])]
+        val out = Iterator.newBuilder[(String, Long, Array[Long], Array[Byte])]
         val ti = acc.entrySet().iterator()
         while (ti.hasNext) {
           val te = ti.next()
           val si = te.getValue.entrySet().iterator()
           while (si.hasNext) {
             val se = si.next()
-            out += ((te.getKey, se.getKey, se.getValue.toArray))
+            val pb = se.getValue
+            out += ((te.getKey, se.getKey, pb.packed.toArray, pb.posBytes))
           }
         }
         out.result()
@@ -217,33 +268,75 @@ object IndexBuild {
   }
 
   /** Phase 1: salted groupByKey((term, seg)) over the map-side partials ->
-    * merged, sorted, block-compressed sub-list per (term, segment).
+    * merged, sorted, block-compressed sub-list per (term, segment); word
+    * terms get the aligned positional side-blob next to it.
     */
-  def phase1(spark: SparkSession, partials: Dataset[(String, Long, Array[Long])],
+  def phase1(spark: SparkSession, partials: Dataset[(String, Long, Array[Long], Array[Byte])],
              cfg: IndexConfig): Dataset[SegTermRow] = {
     import spark.implicits._
     partials
       .groupByKey(p => (p._1, p._2))
-      .mapGroups { (key: (String, Long), it: Iterator[(String, Long, Array[Long])]) =>
+      .mapGroups { (key: (String, Long), it: Iterator[(String, Long, Array[Long], Array[Byte])]) =>
         val (term, segId) = key
-        val buf = new LongBuf
-        it.foreach(p => buf.addAll(p._3))
-        val packed = buf.toArray
-        java.util.Arrays.sort(packed) // local is the high bits: sorts by local
-        val arr = new Array[Codec.Posting](packed.length)
-        var maxTf = 0
-        var minDl = Int.MaxValue
-        var i = 0
-        while (i < packed.length) {
-          val p = packed(i)
-          val tf = unpackTf(p)
-          val dl = unpackDl(p)
-          arr(i) = Codec.Posting(unpackLocal(p), tf, dl)
-          if (tf > maxTf) maxTf = tf
-          if (dl < minDl) minDl = dl
-          i += 1
+        if (!term.startsWith("w:")) {
+          // positionless terms (hash shingles): the packed-long fast path
+          val buf = new LongBuf
+          it.foreach(p => buf.addAll(p._3))
+          val packed = buf.toArray
+          java.util.Arrays.sort(packed) // local is the high bits: sorts by local
+          val arr = new Array[Codec.Posting](packed.length)
+          var maxTf = 0
+          var minDl = Int.MaxValue
+          var i = 0
+          while (i < packed.length) {
+            val p = packed(i)
+            val tf = unpackTf(p)
+            val dl = unpackDl(p)
+            arr(i) = Codec.Posting(unpackLocal(p), tf, dl)
+            if (tf > maxTf) maxTf = tf
+            if (dl < minDl) minDl = dl
+            i += 1
+          }
+          SegTermRow(segId, TermHash.hash(term), term, packed.length, maxTf, minDl,
+            Codec.encode(arr))
+        } else {
+          // word terms: keep each entry's position run aligned through the
+          // merge-sort (partials are per-partition; the concatenation is
+          // sorted by packed long = by local id, positions follow by index)
+          val entries = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Int])]
+          it.foreach { p =>
+            val packed = p._3
+            val r = new Codec.Reader(p._4)
+            var i = 0
+            while (i < packed.length) {
+              val tf = unpackTf(packed(i))
+              val ps = new Array[Int](tf)
+              var pos = 0
+              var k = 0
+              while (k < tf) { pos += r.readVarInt(); ps(k) = pos; k += 1 }
+              entries += ((packed(i), ps))
+              i += 1
+            }
+          }
+          val sorted = entries.sortBy(_._1).toArray
+          val arr = new Array[Codec.Posting](sorted.length)
+          val poss = new Array[Array[Int]](sorted.length)
+          var maxTf = 0
+          var minDl = Int.MaxValue
+          var i = 0
+          while (i < sorted.length) {
+            val p = sorted(i)._1
+            val tf = unpackTf(p)
+            val dl = unpackDl(p)
+            arr(i) = Codec.Posting(unpackLocal(p), tf, dl)
+            poss(i) = sorted(i)._2
+            if (tf > maxTf) maxTf = tf
+            if (dl < minDl) minDl = dl
+            i += 1
+          }
+          SegTermRow(segId, TermHash.hash(term), term, sorted.length, maxTf, minDl,
+            Codec.encode(arr), Codec.encodePositions(arr, poss))
         }
-        SegTermRow(segId, TermHash.hash(term), term, packed.length, maxTf, minDl, Codec.encode(arr))
       }
   }
 
@@ -586,34 +679,47 @@ object IndexBuild {
         if (kb.limit(1).isEmpty) { kb.unpersist(blocking = false); None } else Some(kb)
       }
 
-    val segSrc = spark.read.parquet(paths(segmentsDir(indexDir)): _*)
+    val segSrc0 = spark.read.parquet(paths(segmentsDir(indexDir)): _*)
+    // pre-positional units lack the positions column entirely; normalize so
+    // the rewrite below has one shape (such units keep codec_ver=1 and the
+    // null word positions are never consulted — Index.hasPositions gates)
+    val segSrc =
+      if (segSrc0.columns.contains("positions")) segSrc0
+      else segSrc0.withColumn("positions", lit(null).cast("binary"))
     val segOut = kills match {
       case None => segSrc
       case Some(kb) =>
         segSrc.join(kb, Seq("seg_id"), "left")
           .select(col("seg_id"), col("term_id"), col("term"), col("df"),
-            col("max_tf"), col("min_dl"), col("postings"), col("kill"))
-          .as[(Long, Long, String, Int, Int, Int, Array[Byte], Array[Byte])]
+            col("max_tf"), col("min_dl"), col("postings"), col("positions"), col("kill"))
+          .as[(Long, Long, String, Int, Int, Int, Array[Byte], Array[Byte], Array[Byte])]
           .mapPartitions { it =>
             // one deserialized kill bitmap per segment, cached across the
             // partition's (term) rows
             val cache = new java.util.HashMap[Long, org.roaringbitmap.RoaringBitmap]()
-            it.flatMap { case (seg, tid, term, df, mtf, mdl, post, killBytes) =>
+            it.flatMap { case (seg, tid, term, df, mtf, mdl, post, posBlob, killBytes) =>
               if (killBytes == null)
-                Iterator.single(SegTermRow(seg, tid, term, df, mtf, mdl, post))
+                Iterator.single(SegTermRow(seg, tid, term, df, mtf, mdl, post, posBlob))
               else {
                 val bm = cache.computeIfAbsent(seg, _ => Bitmaps.deserialize(killBytes))
-                val kept = Codec.decodeAll(post).filterNot(p => bm.contains(p.local))
-                if (kept.isEmpty) Iterator.empty
+                val all = Codec.decodeAll(post)
+                // positions filtered in lockstep (same surviving indices)
+                val allPos = if (posBlob == null) null
+                  else Codec.decodeAllPositions(post, posBlob)
+                val keepIdx = Array.range(0, all.length).filterNot(i => bm.contains(all(i).local))
+                if (keepIdx.isEmpty) Iterator.empty
                 else {
+                  val kept = keepIdx.map(all)
                   var maxTf = 0
                   var minDl = Int.MaxValue
                   kept.foreach { p =>
                     if (p.tf > maxTf) maxTf = p.tf
                     if (p.dl < minDl) minDl = p.dl
                   }
+                  val keptPos = if (allPos == null) null
+                    else Codec.encodePositions(kept, keepIdx.map(allPos))
                   Iterator.single(SegTermRow(seg, tid, term, kept.length,
-                    maxTf, minDl, Codec.encode(kept)))
+                    maxTf, minDl, Codec.encode(kept), keptPos))
                 }
               }
             }
@@ -729,13 +835,23 @@ object IndexBuild {
       } finally carriedIds.unpersist(blocking = false)
     }
     kills.foreach(_.unpersist(blocking = false))
+    // the merged unit is positional only if EVERY constituent was: rows
+    // copied from a pre-positional unit have null word positions, which the
+    // phrase path must never trust (min, with absent/null read as 1)
+    val mergedCodecVer: Int = {
+      val mf = manifests(spark, indexDir, ids)
+      if (!mf.columns.contains("codec_ver")) 1
+      else mf.agg(min(coalesce(col("codec_ver"), lit(1))).cast("int"))
+        .as[Int].head()
+    }
     Seq((newId, batch.map(_.nDocs).sum - killedDocs,
       batch.map(_.sumDl).sum - killedSumDl, expN, expCk,
       batch.head.segShift, batch.head.rangeSegsShift,
       (System.nanoTime() - t0) / 1000000L,
-      batch.flatMap(_.docRanges), ids))
+      batch.flatMap(_.docRanges), ids, mergedCodecVer))
       .toDF("range_id", "n_docs", "sum_dl", "n_rows", "checksum",
-        "seg_shift", "range_segs_shift", "build_ms", "doc_ranges", "retires")
+        "seg_shift", "range_segs_shift", "build_ms", "doc_ranges", "retires",
+        "codec_ver")
       .coalesce(1).write.mode("overwrite").parquet(s"${manifestDir(indexDir)}/range=$newId")
   }
 
@@ -1187,9 +1303,10 @@ object IndexBuild {
           om("n_rows").asInstanceOf[Long], om("checksum").asInstanceOf[Long])
       val m = Seq((r, nd, sdl, nRows, checksum, cfg.segShift, cfg.rangeSegsShift,
         (System.nanoTime() - rt0) / 1000000L,
-        Seq(DocRangeStat(r, nRows, checksum)), Seq.empty[Long]))
+        Seq(DocRangeStat(r, nRows, checksum)), Seq.empty[Long], CodecVer))
         .toDF("range_id", "n_docs", "sum_dl", "n_rows", "checksum",
-          "seg_shift", "range_segs_shift", "build_ms", "doc_ranges", "retires")
+          "seg_shift", "range_segs_shift", "build_ms", "doc_ranges", "retires",
+          "codec_ver")
       m.coalesce(1).write.mode("overwrite").parquet(s"${manifestDir(indexDir)}/range=$r")
       (nd, sdl)
       } finally slice.unpersist(blocking = false)
@@ -1226,4 +1343,31 @@ private[index] final class LongBuf {
     System.arraycopy(vs, 0, a, n, vs.length); n += vs.length
   }
   def toArray: Array[Long] = java.util.Arrays.copyOf(a, n)
+}
+
+/** Growable primitive int buffer (per-doc token positions, build hot path). */
+private[index] final class IntBuf {
+  private var a = new Array[Int](8)
+  private var n = 0
+  def add(v: Int): Unit = {
+    if (n == a.length) a = java.util.Arrays.copyOf(a, n * 2)
+    a(n) = v; n += 1
+  }
+  def length: Int = n
+  def apply(i: Int): Int = a(i)
+}
+
+/** One (term, seg) map-side partial: packed postings + (word terms only)
+  * the aligned position varint stream. The position stream is lazily
+  * allocated so shingle terms never pay for it.
+  */
+private[index] final class PartialBuf {
+  val packed = new LongBuf
+  private var pos: java.io.ByteArrayOutputStream = null
+  def posOut: java.io.ByteArrayOutputStream = {
+    if (pos == null) pos = new java.io.ByteArrayOutputStream(32)
+    pos
+  }
+  def posBytes: Array[Byte] =
+    if (pos == null) Array.emptyByteArray else pos.toByteArray
 }

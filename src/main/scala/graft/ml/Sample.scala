@@ -25,6 +25,12 @@ import org.apache.spark.sql.functions._
   * keeps every intermediate below 2^63 for any stratum size, and `target`
   * up to 2^30 — overflow-free where the product form would wrap at
   * n ≥ 2^31.
+  *
+  * Null strata: docs whose stratum value is NULL are DROPPED, not
+  * sampled — the stratum equi-join has a null key (never matches), and
+  * the DuckDB oracle mirrors the same inner join. Callers that want a
+  * null stratum sampled must coalesce the column to a sentinel value
+  * first (part of the keep-rule contract; ADVICE r04).
   */
 object Sample {
 

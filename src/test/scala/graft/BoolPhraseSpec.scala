@@ -151,6 +151,23 @@ class BoolPhraseSpec extends SparkSpec {
     assert(got == truth, "phrase match set must be exact (no collision FPs, no misses)")
   }
 
+  test("positional route is on and is score-identical to the stored-field twin") {
+    assert(engine.index.hasPositions, "fresh v7 index must be positional")
+    for (phrase <- Seq(SparkEntry.PhraseBigram, SparkEntry.PhraseTrigram, "batch batch")) {
+      val toks = Tokenizer.tokenizeScala(phrase)
+      val words = toks.toSeq.map("w:" + _)
+      val dfs = engine.index.dfOf(words.distinct)
+      val (n, avgdl) = engine.index.stats
+      val idfSum = words.map(w => Bm25.idf(dfs(w).toDouble, n.toDouble)).sum
+      val pos = engine.phraseScores(corpus, toks, 1.0)
+        .collect().map(s => (s.docId, s.scoreQ)).sortBy(_._1).toSeq
+      val stored = engine.phraseScoresStored(corpus, toks, 1.0, idfSum, avgdl)
+        .collect().map(s => (s.docId, s.scoreQ)).sortBy(_._1).toSeq
+      assert(pos == stored, s"'$phrase': positional vs stored verify diverge")
+      assert(pos.nonEmpty, s"'$phrase': twin pin must be non-vacuous")
+    }
+  }
+
   test("conjunctive candidate generator equals the brute AND of term doc sets") {
     val terms = Seq("w:hash", "w:join", "w:window")
     val got = engine.conjunctiveDocs(terms).collect().toSet

@@ -82,6 +82,72 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  // ---- positional side-blob ----------------------------------------------
+
+  private def genPositions(ps: Array[Posting], seed: Long): Array[Array[Int]] = {
+    val rnd = new scala.util.Random(seed)
+    ps.map { p =>
+      // tf strictly-ascending positions
+      val gaps = Array.fill(p.tf)(1 + rnd.nextInt(40))
+      gaps.scanLeft(rnd.nextInt(10))(_ + _).tail
+    }
+  }
+
+  test("positions round-trip aligned with postings (property)") {
+    for ((ps, i) <- samples(genList(600), 60).zipWithIndex) {
+      val pos = genPositions(ps, 7000L + i)
+      val post = Codec.encode(ps)
+      val blob = Codec.encodePositions(ps, pos)
+      val back = Codec.decodeAllPositions(post, blob)
+      assert(back.length == pos.length)
+      for (k <- ps.indices) assert(back(k).toSeq == pos(k).toSeq, s"entry $k")
+    }
+  }
+
+  test("IterPos: advanceTo matches linear scan, positions included") {
+    for ((ps, si) <- samples(genList(600), 40).zipWithIndex if ps.nonEmpty) {
+      val pos = genPositions(ps, 9000L + si)
+      val post = Codec.encode(ps)
+      val blob = Codec.encodePositions(ps, pos)
+      val maxL = ps.last.local
+      val targets = Gen.listOfN(30, Gen.chooseNum(0, maxL + 5))
+        .apply(Gen.Parameters.default, Seed(4000L + si)).get.sorted
+      val it = new Codec.IterPos(post, blob)
+      for (t <- targets) {
+        val expectedIdx = ps.indexWhere(_.local >= t)
+        val ok = it.advanceTo(t)
+        if (expectedIdx >= 0) {
+          val p = ps(expectedIdx)
+          assert(ok && it.curLocal == p.local && it.curTf == p.tf && it.curDl == p.dl)
+          assert(it.curPositions.toSeq == pos(expectedIdx).toSeq)
+        } else assert(!ok && it.exhausted)
+      }
+    }
+  }
+
+  test("IterPos: block-boundary walks keep positions aligned") {
+    for (n <- Seq(1, 127, 128, 129, 256, 300)) {
+      val ps = Array.tabulate(n)(i => Posting(i * 2, i % 5 + 1, 50 + i % 9))
+      val pos = ps.map(p => Array.tabulate(p.tf)(k => 3 * k + p.local % 4))
+      val it = new Codec.IterPos(Codec.encode(ps), Codec.encodePositions(ps, pos))
+      var i = 0
+      var go = !it.exhausted
+      while (go) {
+        assert(it.curLocal == ps(i).local && it.curPositions.toSeq == pos(i).toSeq)
+        i += 1
+        go = it.next()
+      }
+      assert(i == n)
+    }
+  }
+
+  test("encodePositions rejects tf/positions length mismatch") {
+    val ps = Array(Posting(1, 2, 10))
+    intercept[IllegalArgumentException] {
+      Codec.encodePositions(ps, Array(Array(1)))
+    }
+  }
+
   test("compression: dense ascending lists take ~4 bytes/posting") {
     // delta=1 (1B) + tf<128 (1B) + dl in [128,16384) (2B) + block headers
     val ps = Array.tabulate(100000)(i => Posting(i, 1 + i % 3, 120 + i % 40))

@@ -35,6 +35,24 @@ class IndexSpec extends SparkSpec {
     }
   }
 
+  test("over-cap dictionary route: dfViaScan pinned on, rank-identical across query shapes") {
+    val big = new Engine(new Index(spark, indexDir, dictDriverMax = 16L))
+    assert(big.index.dfViaScan, "low cap must force the distributed df route")
+    assert(!engine.index.dfViaScan, "control engine must keep the driver map")
+    // term search (WAND), pruned accuracy, phrase (positional route: also
+    // resolves dfs through the over-cap path), prefix expansion
+    for ((name, dfOf) <- Seq[(String, Engine => org.apache.spark.sql.DataFrame)](
+        "wand" -> (_.searchByTerms(SparkEntry.FlagshipTerms, rows = 30)),
+        "pruned" -> (_.searchByTerms(SparkEntry.FlagshipTerms, rows = 30, accuracy = 0.5)),
+        "phrase" -> (e => e.searchPhrase(corpus, SparkEntry.PhraseBigram, rows = 30)),
+        "prefix" -> (_.searchPrefix("w:s", rows = 30)))) {
+      val a = dfOf(engine).collect().map(_.toSeq).toSeq
+      val b = dfOf(big).collect().map(_.toSeq).toSeq
+      assert(a == b, s"$name: over-cap route diverged from driver-map route")
+      assert(a.nonEmpty, s"$name: route pin must be non-vacuous")
+    }
+  }
+
   test("segment postings decode back to the exact postings table") {
     val post = Bm25.postings(corpus)
       .select($"term", $"doc_id", $"tf".cast("int")).as[(String, Long, Int)]

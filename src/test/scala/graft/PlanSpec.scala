@@ -252,11 +252,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"corpus shingles shuffled:\n$p")
   }
 
-  test("phrase verify broadcasts the candidate ids; stored-field corpus never shuffles") {
+  test("positional phrase plan never touches the corpus: one segments scan, no content, no join") {
     val corpus = Corpus.fromDocuments(spark, sfTiny)
+    assert(engine.index.hasPositions, "precondition: v7 positional index")
     val df = engine.phraseScores(corpus,
       SparkEntry.PhraseBigram.split(" "), 1.0) // gate phrase: present at sfTiny
     val p = plan(df.toDF())
+    // the scale-killer pin (VERDICT r04 next #1): no stored-field access of
+    // any kind — no corpus/docmeta relation, no content column, no join at
+    // all (phrase scoring is one segment-cogroup over postings+positions)
+    assert(!p.contains("content"), s"phrase plan reads stored content:\n$p")
+    assert(!p.toLowerCase.contains("documents.parquet"), s"phrase plan scans the corpus:\n$p")
+    assert(!p.contains("docmeta"), s"phrase plan scans docmeta:\n$p")
+    assert(!p.contains("Join"), s"phrase plan joins (expected postings-only cogroup):\n$p")
+    assert(p.contains("segments"), s"phrase plan missing the segments scan:\n$p")
+    // and the term_id filter reaches parquet so hot segments row-group-prune
+    assert(p.contains("PushedFilters: [In(term_id"), s"no term_id pushdown:\n$p")
+  }
+
+  test("stored-verify fallback twin still broadcasts candidates; corpus never shuffles") {
+    val corpus = Corpus.fromDocuments(spark, sfTiny)
+    val toks = SparkEntry.PhraseBigram.split(" ")
+    val words = toks.toSeq.map("w:" + _)
+    val dfs = engine.index.dfOf(words.distinct)
+    val (n, avgdl) = engine.index.stats
+    val idfSum = words.map(w => Bm25.idf(dfs(w).toDouble, n.toDouble)).sum
+    val p = plan(engine.phraseScoresStored(corpus, toks, 1.0, idfSum, avgdl).toDF())
     assert(p.contains("BroadcastHashJoin"), s"candidates not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"stored-field corpus shuffled:\n$p")
   }
