@@ -150,6 +150,25 @@ object Bench {
 
     val hotRare = Seq("w:license" -> 1.0, "w:apache" -> 1.0, "w:hashimpl" -> 1.0,
       "w:mergefactory" -> 1.0, "w:scanptr" -> 1.0, "w:sortz" -> 1.0)
+    val allHot = Seq("w:license" -> 1.0, "w:copyright" -> 1.0, "w:version" -> 1.0)
+
+    // shift>22 guard fallback (VERDICT r04 next #9): a second index over a
+    // corpus slice at segShift 23 — wider than DenseArraySegShiftMax, so a
+    // dense query takes the columnar scan-score route instead of the
+    // per-segment dense array. Built untimed; the route precondition is
+    // asserted so the section can't silently measure the wrong path.
+    val wideEngine = {
+      val wideIdx = graft.util.Tmp.dir("graft-bench-wideseg-")
+      IndexBuild.build(spark,
+        corpus.where(org.apache.spark.sql.functions.col("doc_id") < (1L << 17)),
+        wideIdx, IndexConfig(segShift = 23, rangeSegsShift = 1))
+      val e = new Engine(new Index(spark, wideIdx))
+      require(e.index.cfg.segShift > e.DenseArraySegShiftMax,
+        "wide-segment bench index must exceed the dense-array shift guard")
+      require(e.routesDense(allHot, rows = 60),
+        "wide-segment section query must route dense (scan fallback)")
+      e
+    }
     // deep-page cursor fixed OUTSIDE the timings (cursor acquisition is a
     // separate query; the timed section measures the constant-heap page)
     val cursor1k: (Long, Long) = {
@@ -165,9 +184,17 @@ object Bench {
       "wand_hot_rare" -> (() => engine.searchByTerms(hotRare, rows = 60).count()),
       "wand_pruned" -> (() => engine.searchByTerms(hotRare, rows = 60,
         accuracy = 0.5, candidates = 1000).count()),
-      "wand_all_hot" -> (() => engine.searchByTerms(
-        Seq("w:license" -> 1.0, "w:copyright" -> 1.0, "w:version" -> 1.0),
-        rows = 60).count()),
+      "wand_all_hot" -> (() => engine.searchByTerms(allHot, rows = 60).count()),
+      // the shift>22 columnar fallback, on the wide-segment index (131072
+      // docs, ONE segment) — records the guard path before a 100× segment
+      // geometry forces it
+      "all_hot_wideseg_fallback" -> (() =>
+        wideEngine.searchByTerms(allHot, rows = 60).count()),
+      // trigram-store q-gram-pruned fuzzy expansion + the 8-term OR search
+      // it rewrites to (the sub-linear FuzzyQuery route; the In(gram)
+      // pushdown reads only the query's gram row groups)
+      "fuzzy_pruned" -> (() => engine.searchFuzzy("w:mergefactori",
+        maxEdits = 2, rows = 60, maxExpansions = 8).count()),
       "wand_filtered" -> (() => engine.searchByTerms(hotRare, rows = 60,
         docFilter = Some(("lang", "py"))).count()),
       "wand_filtered_pred" -> (() => engine.searchByTerms(hotRare, rows = 60,

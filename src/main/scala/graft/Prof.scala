@@ -239,7 +239,17 @@ object Prof {
       "unigram_lp" -> (() => graft.ml.TextStats.unigramLogProb(corpus)
         .agg(sum("mean_lp_q"), sum("n_toks")).collect().length.toLong),
       "contamination" -> (() => Dedup.contamination(corpus,
-        corpus.where(col("doc_id") % 997 === 0)).count()))
+        corpus.where(col("doc_id") % 997 === 0)).count()),
+      "fuzzy_pruned" -> (() => engine.searchFuzzy("w:mergefactori",
+        maxEdits = 2, rows = 60, maxExpansions = 8).count()),
+      "all_hot_wideseg_fallback" -> {
+        val wideIdx = tempDir("prof-smoke-wideseg-")
+        IndexBuild.build(spark, corpus, wideIdx,
+          IndexConfig(segShift = 23, rangeSegsShift = 1))
+        val wide = new graft.query.Engine(new graft.query.Index(spark, wideIdx))
+        () => wide.searchByTerms(Seq("w:license" -> 1.0, "w:copyright" -> 1.0,
+          "w:version" -> 1.0), rows = 60).count()
+      })
     sections.foreach { case (tag, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime(); fn(); (System.nanoTime() - t0) / 1e9

@@ -128,6 +128,7 @@ object IndexBuild {
   def tombstonesDir(indexDir: String) = s"$indexDir/tombstones"
   def dictionaryDir(indexDir: String) = s"$indexDir/dictionary"
   def rdictionaryDir(indexDir: String) = s"$indexDir/rdictionary"
+  def ngramsDir(indexDir: String) = s"$indexDir/ngrams"
 
   /** Write the per-unit term dictionary (term, term_id, df) for `unit`
     * from its just-written segments: ONE metadata-column aggregation per
@@ -161,6 +162,31 @@ object IndexBuild {
       .repartition(1)
       .sortWithinPartitions(col("rterm"))
       .write.mode("overwrite").parquet(s"${rdictionaryDir(indexDir)}/range=$unit")
+    // character-trigram side store (gram, term), gram-sorted — the
+    // FuzzyQuery/SpellCheck expansion pre-filter (Lucene's Levenshtein
+    // automaton over the FST terms dict, re-expressed as q-gram count
+    // filtering with parquet row-group pruning: a fuzzy expansion reads
+    // only the row groups holding the query's ~|term| grams instead of
+    // scanning the vocabulary — VERDICT r04 "What's missing" #4 /
+    // SURVEY item 55's documented upgrade). Grams are padded ('^'/'$'
+    // are outside the term alphabet), distinct per term; vocab-sized ×
+    // ~|term| rows, same per-unit derivation as the stores above.
+    spark.read.parquet(s"${dictionaryDir(indexDir)}/range=$unit")
+      .select(explode(gramsCol(col("term"))).as("gram"), col("term"))
+      .repartition(1)
+      .sortWithinPartitions(col("gram"))
+      .write.mode("overwrite").parquet(s"${ngramsDir(indexDir)}/range=$unit")
+  }
+
+  /** Distinct padded character trigrams of a term, as a column expression
+    * (build-time only). Scala twin: [[graft.query.Engine.fuzzyGrams]] —
+    * the two MUST agree or the q-gram count filter loses candidates.
+    */
+  private def gramsCol(term: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val padded = concat(lit("^"), term, lit("$"))
+    array_distinct(transform(
+      sequence(lit(1), length(padded) - lit(2)),
+      i => padded.substr(i, lit(3))))
   }
 
   /** Pack (local, tf, dl) into one long — the shuffle row stays (String,

@@ -77,6 +77,19 @@ object Ann {
   def cosineHof(a: Column, b: Column): Column =
     dotHof(a, b) / (sqrt(dotHof(a, a)) * sqrt(dotHof(b, b)))
 
+  /** Built-in-composed twins of graft_l1 / graft_l2 (pinned equal in
+    * FunctionsSpec) — same left-to-right double accumulation.
+    */
+  def l1Hof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => abs(x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+  def l2Hof(a: Column, b: Column): Column =
+    sqrt(greatest(
+      aggregate(zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }), lit(0.0), (acc, x) => acc + x),
+      lit(0.0)))
+
   /** Per-query exact top-k over (query_id, vec_id, cos_q) rows via the
     * bounded-heap Aggregator ([[graft.query.TopKAggKeyed]]): map-side
     * partial heaps of k entries merge under ObjectHashAggregate, so one

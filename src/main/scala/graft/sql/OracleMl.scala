@@ -204,6 +204,22 @@ object OracleMl {
        | (sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) *
        |  sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))))""".stripMargin
 
+  /** L1 distance — list_sum(list_transform(...)) sums sequentially, so the
+    * doubles are bit-identical to GraftL1's left-to-right loop (verified
+    * exact over 3000 embedding pairs before quantization).
+    */
+  private def l1Sql(a: String, b: String): String =
+    s"""list_sum(list_transform(generate_series(1, len($a)),
+       |  i -> abs($a[i]::DOUBLE - $b[i]::DOUBLE)))""".stripMargin
+
+  /** L2 distance — explicit multiply (not ^2/pow) so the per-element square
+    * is the same single-rounded d*d as GraftL2's loop; greatest(..,0)
+    * mirrors the native clamp before sqrt.
+    */
+  private def l2Sql(a: String, b: String): String =
+    s"""sqrt(greatest(list_sum(list_transform(generate_series(1, len($a)),
+       |  i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE))), 0))""".stripMargin
+
   def embCosPairsSql(minCosQ: Long): String =
     s"""WITH p AS (
        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -236,8 +252,17 @@ object OracleMl {
     */
   def rerankSql(terms: Seq[(String, Double)], queryVecId: Long,
                 candidates: Int, rows: Int,
-                embPred: Option[String] = None): String = {
+                embPred: Option[String] = None,
+                metric: String = "cosine"): String = {
     val embWhere = embPred.map(p => s" WHERE $p").getOrElse("")
+    // cosine is a similarity (DESC, sentinel below every real value);
+    // l1/l2 are distances (ASC, sentinel above — Engine.MissingFeatureDistQ)
+    val (distExpr, qCol, ord, sentinel) = metric match {
+      case "cosine" => (cosSql("qv.q_emb", "e.embedding"), "cos_q", "DESC", "-10001")
+      case "l1" => (l1Sql("qv.q_emb", "e.embedding"), "dist_q", "ASC", "10000000001")
+      case "l2" => (l2Sql("qv.q_emb", "e.embedding"), "dist_q", "ASC", "10000000001")
+      case other => throw new IllegalArgumentException(s"metric $other")
+    }
     withPrelude(
       s"""     , ${Oracle.qFromValues(terms)},
          |${Oracle.bm25Body(None)},
@@ -247,14 +272,14 @@ object OracleMl {
          |rer AS (
          |  SELECT c.doc_id, c.score_q,
          |         coalesce(
-         |           CAST(round(${cosSql("qv.q_emb", "e.embedding")} * 10000.0) AS BIGINT),
-         |           -10001) AS cos_q
+         |           CAST(round($distExpr * 10000.0) AS BIGINT),
+         |           $sentinel) AS $qCol
          |  FROM cand c LEFT JOIN emb e ON e.vec_id = c.doc_id CROSS JOIN qv),
          |rr AS (
-         |  SELECT row_number() OVER (ORDER BY cos_q DESC, doc_id ASC) AS rank,
-         |         doc_id, cos_q, score_q
+         |  SELECT row_number() OVER (ORDER BY $qCol $ord, doc_id ASC) AS rank,
+         |         doc_id, $qCol, score_q
          |  FROM rer)
-         |SELECT rank, doc_id, cos_q, score_q FROM rr WHERE rank <= $rows ORDER BY rank""".stripMargin)
+         |SELECT rank, doc_id, $qCol, score_q FROM rr WHERE rank <= $rows ORDER BY rank""".stripMargin)
   }
 
   /** Multi-probe LSH ANN (mirror of Ann.lshTopKMultiProbe): each query

@@ -206,6 +206,36 @@ class FunctionsSpec extends SparkSpec {
     assert(edge.isNullAt(4), "HOF twin is NULL on length mismatch — natives must match")
   }
 
+  test("graft_l1/graft_l2 == HOF composition; null semantics; SQL-registered") {
+    val emb = spark.read.parquet(s"$sfTiny/embeddings.parquet").cache()
+    val both = emb.crossJoin(broadcast(
+        emb.where($"vec_id" === 42L).select($"embedding".as("q_emb"))))
+      .select($"vec_id",
+        GraftFunctions.graft_l1($"q_emb", $"embedding").as("l1_native"),
+        graft.ml.Ann.l1Hof($"q_emb", $"embedding").as("l1_hof"),
+        GraftFunctions.graft_l2($"q_emb", $"embedding").as("l2_native"),
+        graft.ml.Ann.l2Hof($"q_emb", $"embedding").as("l2_hof"))
+      .as[(Long, Double, Double, Double, Double)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (id, a, ah, b, bh) =>
+      assert(a == ah, s"l1 mismatch vec $id")
+      assert(b == bh, s"l2 mismatch vec $id")
+    }
+    // identical vectors: exactly 0 (the greatest-clamp keeps sqrt off NaN)
+    GraftFunctions.register(spark)
+    val edge = spark.sql(
+      """SELECT graft_l1(array(1.0D, 2.0D), array(1.0D, 2.0D)) AS z1,
+        |       graft_l2(array(1.0D, 2.0D), array(1.0D, 2.0D)) AS z2,
+        |       graft_l1(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D)) AS n1,
+        |       graft_l2(array(1.0D), array(1.0D, 2.0D)) AS n2,
+        |       graft_l1(array(3.0D, -1.0D), array(1.0D, 2.0D)) AS v1,
+        |       graft_l2(array(4.0D, 0.0D), array(1.0D, 4.0D)) AS v2""".stripMargin)
+      .collect().head
+    assert(edge.getDouble(0) == 0.0 && edge.getDouble(1) == 0.0)
+    assert(edge.isNullAt(2) && edge.isNullAt(3))
+    assert(edge.getDouble(4) == 5.0 && edge.getDouble(5) == 5.0)
+  }
+
   test("GraftExtensions registers the functions via spark.sql.extensions") {
     import org.apache.spark.sql.SparkSession
     // a NEW session over the same context picks up extensions; restore after

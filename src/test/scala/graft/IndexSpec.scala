@@ -35,6 +35,43 @@ class IndexSpec extends SparkSpec {
     }
   }
 
+  test("fuzzy gram-pruned route == vocabulary-scan twin; candidates << vocab; short terms fall back") {
+    assert(engine.index.hasNgrams, "fresh index must carry the trigram store")
+    // driver Levenshtein must equal Spark's function exactly
+    val rnd = new scala.util.Random(7)
+    val alpha = "abcdz:"
+    val pairs = Seq.fill(300)((
+      Seq.fill(rnd.nextInt(12))(alpha(rnd.nextInt(alpha.length))).mkString,
+      Seq.fill(rnd.nextInt(12))(alpha(rnd.nextInt(alpha.length))).mkString))
+    val viaSpark = pairs.toDF("a", "b")
+      .select(levenshtein($"a", $"b")).as[Int].collect().toSeq
+    pairs.zip(viaSpark).foreach { case ((a, b), d) =>
+      assert(graft.query.Engine.levenshteinScala(a, b) == d, s"('$a','$b')")
+    }
+    // long term routes pruned and matches the scan twin exactly
+    for ((t, d) <- Seq(("w:custoner", 2), ("w:customer", 2), ("w:windoww", 1))) {
+      val cands = engine.fuzzyCandidates(t, d)
+      assert(cands.isDefined, s"'$t'~$d must route pruned")
+      assert(engine.fuzzyExpansions(t, d, 8) == engine.fuzzyExpansionsScan(t, d, 8),
+        s"'$t'~$d expansion diverged")
+      // the pre-filter candidate set must be far below the vocabulary
+      val vocab = engine.index.dictionary.count()
+      assert(cands.get.size < vocab / 5,
+        s"'$t'~$d: ${cands.get.size} candidates of $vocab vocab — not pruning")
+    }
+    assert(engine.fuzzyExpansions("w:custoner", 2, 8).nonEmpty, "non-vacuous")
+    // short term: threshold <= 0 -> scan fallback (None)
+    assert(engine.fuzzyCandidates("w:hach", 2).isEmpty)
+    // spellcheck: pruned route == scan ordering/content (long term)
+    val viaPruned = engine.spellcheck("w:custoner", 2, 10)
+      .as[(String, Long)].collect().toSeq
+    val viaScan = engine.index.dictionary
+      .where(levenshtein($"term", lit("w:custoner")) <= 2 && $"term" =!= "w:custoner")
+      .select($"term", $"df").orderBy($"df".desc, $"term".asc).limit(10)
+      .as[(String, Long)].collect().toSeq
+    assert(viaPruned == viaScan)
+  }
+
   test("over-cap dictionary route: dfViaScan pinned on, rank-identical across query shapes") {
     val big = new Engine(new Index(spark, indexDir, dictDriverMax = 16L))
     assert(big.index.dfViaScan, "low cap must force the distributed df route")

@@ -221,9 +221,16 @@ class PlanSpec extends SparkSpec {
     // sort param: bounded top-k, never a global sort
     val pS = plan(engine.searchSortedBy(SparkEntry.FlagshipTerms, "dl", ascending = true, rows = 10))
     assert(pS.contains("TakeOrderedAndProject"), s"sort param not bounded:\n$pS")
-    // spellcheck: bounded top-k over the dictionary
+    // spellcheck, long term: the gram-pruned route returns a tiny
+    // driver-materialized relation — NO dictionary scan in the plan at all
+    // (the sub-linear upgrade; the scan fallback below keeps the old pin)
     val pC = plan(engine.spellcheck("w:licence", maxEdits = 2, limit = 10))
-    assert(pC.contains("TakeOrderedAndProject"), s"spellcheck not bounded:\n$pC")
+    assert(pC.contains("LocalTableScan") && !pC.contains("dictionary"),
+      s"pruned spellcheck should be a local relation:\n$pC")
+    // spellcheck, short term (threshold <= 0): bounded top-k over the
+    // dictionary — the fallback's plan contract
+    val pC2 = plan(engine.spellcheck("w:li", maxEdits = 2, limit = 10))
+    assert(pC2.contains("TakeOrderedAndProject"), s"spellcheck fallback not bounded:\n$pC2")
     // stats + range facet: partial (map-side) aggregation before the exchange
     for ((tag, df) <- Seq(
       "stats" -> engine.statsField(SparkEntry.FlagshipTerms, "dl"),
@@ -250,6 +257,16 @@ class PlanSpec extends SparkSpec {
       corpus.where(col("doc_id") % 13 === 0)))
     assert(p.contains("BroadcastHashJoin"), s"benchmark side not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"corpus shingles shuffled:\n$p")
+  }
+
+  test("fuzzy gram pre-filter pushes In(gram) into the gram-sorted store scan") {
+    val qGrams = graft.query.Engine.fuzzyGrams("w:custoner")
+    val p = plan(engine.index.ngramStore
+      .where(col("gram").isin(qGrams: _*))
+      .select("gram", "term"))
+    // the sub-linear property: row groups not holding the query's grams
+    // prune via parquet min/max stats on the gram-sorted files
+    assert(p.contains("PushedFilters: [In(gram"), s"no gram pushdown:\n$p")
   }
 
   test("positional phrase plan never touches the corpus: one segments scan, no content, no join") {
