@@ -88,6 +88,12 @@ object SparkEntry {
   val FuzzyQ = "w:hach"
   val FuzzyMaxEdits = 2
   val FuzzyMaxExpansions = 8
+  /** Span dedup gate params: 12-token windows, 64-occurrence boilerplate
+    * cap (see Dedup.spanDups).
+    */
+  val SpanDupWidth = 12
+  val SpanDupMaxOcc = 64
+
   /** Long fuzzy query: 10 padded trigrams − 3·2 edits = threshold 4 > 0,
     * so it takes the trigram-store pruned route ("customer" is the
     * corpus's long vocab word; one substitution away).
@@ -301,6 +307,12 @@ object SparkEntry {
         groupLimit = 3, groups = 8)),
     // Solr field collapsing ({!collapse field=repo}): flat ranking, one
     // best doc per value — searchGrouped at groupLimit=1 reshaped flat
+    // block join to-parent (nesteddocs.xml analog: repos are the parents
+    // wrapping file children): ScoreMode max and total, both driver-gated
+    "q_block_join" -> ((s, dir) =>
+      Engine.forDir(s, dir).blockJoinParents(FlagshipTerms, scoreMode = "max", rows = 10)),
+    "q_block_join_total" -> ((s, dir) =>
+      Engine.forDir(s, dir).blockJoinParents(FlagshipTerms, scoreMode = "total", rows = 10)),
     "q_collapsed" -> ((s, dir) =>
       Engine.forDir(s, dir).searchCollapsed(FlagshipTerms, "repo", rows = 10)),
     // Solr q+fq+group: the fq bitmap intersects the dense score array's
@@ -432,6 +444,12 @@ object SparkEntry {
     // exact dedup: hash-groupBy over corpus with injected dups
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactDups(Dedup.withDups(Corpus.fromDocuments(s, dir)))),
+    // substring-level exact dedup (Lee et al. 2021 bounded analog):
+    // maximal cross-doc duplicated token spans — 27/24/246 runs at
+    // sf0.001/0.01/0.1, non-vacuous at every driver SF
+    "q_span_dup" -> ((s, dir) =>
+      Dedup.spanDups(Corpus.fromDocuments(s, dir), width = SpanDupWidth,
+        maxOcc = SpanDupMaxOcc)),
     // MinHash+LSH: shingle -> 12 minhashes -> 4 bands -> bucket join
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(Dedup.minhashBands(
@@ -742,6 +760,8 @@ object SparkEntry {
     "q_facet_top" -> Oracle.facetTopSql(FlagshipTerms, "repo", mincount = 2, limit = 10),
     "q_grouped" -> Oracle.groupedSql(FlagshipTerms, "repo", groupLimit = 3, groups = 8),
     "q_collapsed" -> Oracle.collapsedSql(FlagshipTerms, "repo", rows = 10),
+    "q_block_join" -> Oracle.blockJoinSql(FlagshipTerms, "max", rows = 10),
+    "q_block_join_total" -> Oracle.blockJoinSql(FlagshipTerms, "total", rows = 10),
     "q_grouped_filtered" -> Oracle.groupedSql(FlagshipTerms, "repo",
       groupLimit = 3, groups = 8, docPred = Some("lang = 'en'")),
     "q_stats_dl" -> Oracle.statsDlSql(FlagshipTerms),
@@ -787,6 +807,7 @@ object SparkEntry {
       """SELECT c.doc_id, c.lang, e.label
         |FROM corpus c JOIN embeddings e ON e.vec_id = c.doc_id""".stripMargin),
     "q_dedup_exact" -> OracleMl.exactDupsSql,
+    "q_span_dup" -> OracleMl.spanDupsSql(SpanDupWidth, SpanDupMaxOcc),
     "q_dedup_minhash" -> OracleMl.minhashPairsSql,
     "q_dedup_clusters" -> OracleMl.dedupClustersSql,
     "q_curation" -> OracleMl.curationSql,

@@ -526,6 +526,48 @@ case class GraftShingles(child: Expression, width: Int)
     copy(child = newChild)
 }
 
+/** POSITIONED window hashes: md5 hex of every width-token window, one
+  * entry per window in token order (NOT distinct — [[GraftShingles]]'s
+  * set form can't carry offsets). Feeds the substring-level span dedup
+  * ([[graft.ml.Dedup.spanDups]], Lee et al. 2021's duplicated-span
+  * extraction, bounded): element i (0-based) is the window starting at
+  * token i. One tokenize + one md5 per window per row; the HOF twin
+  * (transform + md5 over slices) pays interpreted-lambda md5s — the
+  * contamination lesson. Fewer than `width` tokens -> empty array; null
+  * content -> null.
+  */
+case class GraftShingleHashes(child: Expression, width: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(width >= 2, "window width must be >= 2")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = Tokenizer.tokenizeScala(input.toString)
+    if (toks.length < width)
+      return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - width + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= toks.length - width) {
+      sb.setLength(0)
+      var k = 0
+      while (k < width) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      out(i) = UTF8String.fromString(Tokenizer.md5Hex(sb.toString))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GraftShingleHashes =
+    copy(child = newChild)
+}
+
 /** Exact phrase verification for the PhraseQuery route — per row, the
   * struct (pf, dl): pf = occurrences of the token sequence `toks` among
   * the content's analyzer tokens (overlaps counted, Lucene exact-phrase
@@ -687,6 +729,8 @@ object GraftFunctions {
     GraftBridge.column(GraftRepStats(GraftBridge.expression(c)))
   def graft_shingles(c: Column, width: Int): Column =
     GraftBridge.column(GraftShingles(GraftBridge.expression(c), width))
+  def graft_shingle_hashes(c: Column, width: Int): Column =
+    GraftBridge.column(GraftShingleHashes(GraftBridge.expression(c), width))
   def graft_phrase_pfdl(c: Column, toks: Seq[String], maxDl: Int): Column =
     GraftBridge.column(GraftPhrasePfDl(GraftBridge.expression(c), toks, maxDl))
   def graft_gopher_stats(c: Column, required: Seq[String]): Column =

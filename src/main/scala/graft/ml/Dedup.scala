@@ -135,6 +135,65 @@ object Dedup {
         countDistinct(col("shh")).as("n_shingles"))
   }
 
+  /** Substring-level exact dedup (Lee et al. 2021 "Deduplicating Training
+    * Data Makes Language Models Better", bounded analog): maximal token
+    * SPANS duplicated across documents — the one dedup mode doc-level
+    * hashing can't see (a license header pasted into distinct files).
+    *
+    * Rule: windows of `width` consecutive tokens (stride 1, positioned
+    * md5 — [[graft.functions.GraftShingleHashes]]); window hashes whose
+    * total occurrence count exceeds `maxOcc` are DROPPED as boilerplate
+    * (the bounded-work disclosure: Lee et al.'s suffix array sees those
+    * too; the cap bounds per-hash pair emission at maxOcc² instead).
+    * Cross-doc matches (doc_a < doc_b only) merge along run diagonals —
+    * consecutive window positions at the same offset difference — into
+    * maximal runs. Output (doc_a, doc_b, start_a, start_b, n_windows,
+    * span_tokens): 1-based token starts, span_tokens = n_windows+width−1.
+    *
+    * Scale shape: windows shuffle ONCE on the 32-byte hash key (never
+    * content); per-hash groups are maxOcc-bounded; the run merge groups
+    * on (doc_a, doc_b, diagonal) whose size is bounded by the shorter
+    * doc's window count. No cartesian, no driver loop. Mirrored 1:1 by
+    * [[graft.sql.OracleMl.spanDupsSql]] (gaps-and-islands form).
+    */
+  def spanDups(corpus: DataFrame, width: Int = 12, maxOcc: Int = 64): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val wins = corpus
+      .select(col("doc_id"),
+        posexplode(graft.functions.GraftFunctions.graft_shingle_hashes(col("content"), width)))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("whash"))
+    wins
+      .groupBy(col("whash"))
+      .agg(collect_list(struct(col("doc_id"), col("pos"))).as("occ"))
+      .where(size(col("occ")).between(2, maxOcc))
+      .select(col("occ")).as[Seq[(Long, Int)]]
+      .flatMap { occ =>
+        for {
+          (da, pa) <- occ.iterator
+          (db, pb) <- occ.iterator
+          if da < db
+        } yield (da, db, pa, pb)
+      }
+      .groupByKey { case (da, db, pa, pb) => (da, db, pa.toLong - pb.toLong) }
+      .flatMapGroups { (key: (Long, Long, Long), it: Iterator[(Long, Long, Int, Int)]) =>
+        val (da, db, diag) = key
+        val pas = it.map(_._3).toArray
+        java.util.Arrays.sort(pas)
+        val out = Seq.newBuilder[(Long, Long, Long, Long, Long, Long)]
+        var i = 0
+        while (i < pas.length) {
+          var j = i
+          while (j + 1 < pas.length && pas(j + 1) == pas(j) + 1) j += 1
+          val n = (j - i + 1).toLong
+          out += ((da, db, pas(i).toLong, pas(i).toLong - diag, n, n + width - 1))
+          i = j + 1
+        }
+        out.result()
+      }
+      .toDF("doc_a", "doc_b", "start_a", "start_b", "n_windows", "span_tokens")
+  }
+
   /** MinHash signature columns mh0..mh{H-1}: per function i, the lexical
     * min of md5("i:" || shingle). Typed per-partition pass (no shuffle);
     * md5 values identical to the SQL oracle's (hex order of an md5 string

@@ -1863,6 +1863,69 @@ final class Engine(val index: Index) {
         round(sum(col(field)).cast("double") * lit(1e6) / count(lit(1)))
           .cast("long").as("mean_q"))
 
+  /** Lucene/Solr block join, to-parent direction (`{!parent
+    * which=type:parent}childQuery` / ToParentBlockJoinQuery — the
+    * reference tree's one unconsumed data shape, nesteddocs.xml:2-6:
+    * a parent_b doc wrapping child docs): rank PARENTS by their matching
+    * CHILDREN's BM25 scores. Parent/child here is the corpus's real
+    * nesting — files (children) under a repo (parent) — with the parent
+    * key materialized as the child's `repo` column rather than Lucene's
+    * doc-id block adjacency (our doc ids are range-structured; the
+    * docmeta key plays the parent BitSet's role).
+    *
+    * `scoreMode` is Lucene's ScoreMode over the child block:
+    *   max   — parent score = best child (ToParentBlockJoinQuery default
+    *           scoring choice in Solr's score=max)
+    *   total — Σ child scores
+    *   avg   — total div n (INTEGER division on the quantized scores —
+    *           float division could flip a rank between engines)
+    * Children are quantized BEFORE aggregation (Σ/max of longs is
+    * partition-order invariant; a double sum would not be). Output
+    * (rank, parent, score_q, n_children), rank by (score_q DESC, parent
+    * ASC).
+    *
+    * Scale shape: exact all-match scoring ([[scanScoreAll]] — exploded
+    * postings of the query terms only), one doc-keyed join to docmeta
+    * for the parent key (the facetScan analog, match-set-sized), then a
+    * map-side-partial aggregation on the parent key and a bounded top-k.
+    * No cartesian, no window over the corpus, no driver loop.
+    */
+  def blockJoinParents(childTerms: Seq[(String, Double)],
+                       scoreMode: String = "max",
+                       rows: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kept = keptTerms(childTerms, 1.0)
+    if (kept.isEmpty)
+      return spark.emptyDataset[(Long, String, Long, Long)]
+        .toDF("rank", "parent", "score_q", "n_children")
+    val (n, avgdl) = index.stats
+    val weights = weightsOf(kept, n)
+    val children = scanScoreAll(weights, avgdl, None)
+      .withColumn("score_q", round(col("score") * lit(Bm25.Quant)).cast("long"))
+      .select(col("doc_id"), col("score_q"))
+    val agg = index.docmeta
+      .select(col("doc_id"), col("repo").cast("string").as("parent"))
+      .join(children, Seq("doc_id"))
+      .groupBy(col("parent"))
+      .agg(sum(col("score_q")).cast("long").as("total_q"),
+        max(col("score_q")).cast("long").as("max_q"),
+        count(lit(1)).cast("long").as("n_children"))
+    val score = scoreMode match {
+      case "max" => col("max_q")
+      case "total" => col("total_q")
+      case "avg" => expr("total_q div n_children")
+      case other =>
+        throw new IllegalArgumentException(
+          s"blockJoinParents scoreMode must be max|total|avg, got $other")
+    }
+    agg.select(col("parent"), score.as("score_q"), col("n_children"))
+      .orderBy(col("score_q").desc, col("parent").asc)
+      .limit(rows)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_q").desc, col("parent").asc)).cast("long"))
+      .select("rank", "parent", "score_q", "n_children")
+  }
+
   /** Solr result grouping / field collapsing
     * (`group=true&group.field=f&group.limit=m&rows=g`): the top-`groups`
     * groups ordered by their best doc (score_q DESC, doc_id ASC — a

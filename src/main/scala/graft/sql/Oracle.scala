@@ -231,6 +231,36 @@ object Oracle {
          |WHERE g.group_rank <= $groups AND w.rank <= $groupLimit
          |ORDER BY g.group_rank, w.rank""".stripMargin)
 
+  /** Block-join twin (Engine.blockJoinParents): parents ranked by an
+    * aggregate of their children's quantized scores; avg is INTEGER
+    * division, mirroring the engine's div.
+    */
+  def blockJoinSql(terms: Seq[(String, Double)], scoreMode: String,
+                   rows: Int): String = {
+    val score = scoreMode match {
+      case "max" => "max_q"
+      case "total" => "total_q"
+      case "avg" => "total_q // n_children"
+      case other => throw new IllegalArgumentException(s"scoreMode $other")
+    }
+    withPrelude(
+      s"""     , ${qFromValues(terms)},
+         |${bm25Body(None)},
+         |pj AS (
+         |  SELECT c.repo::VARCHAR AS parent, r.score_q
+         |  FROM ranked r JOIN corpus c ON c.doc_id = r.doc_id),
+         |agg AS (
+         |  SELECT parent, sum(score_q)::BIGINT AS total_q,
+         |         max(score_q)::BIGINT AS max_q, count(*)::BIGINT AS n_children
+         |  FROM pj GROUP BY parent),
+         |bj AS (
+         |  SELECT row_number() OVER (ORDER BY ($score) DESC, parent ASC)::BIGINT AS rank,
+         |         parent, ($score)::BIGINT AS score_q, n_children
+         |  FROM agg)
+         |SELECT rank, parent, score_q, n_children FROM bj
+         |WHERE rank <= $rows ORDER BY rank""".stripMargin)
+  }
+
   /** CollapsingQParserPlugin twin (Engine.searchCollapsed): one best doc
     * per field value, flat global ranking — [[groupedSql]]'s CTE chain
     * emitting only each group's rank-1 row.

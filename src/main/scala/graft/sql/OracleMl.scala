@@ -31,6 +31,33 @@ object OracleMl {
 
   val shingleCtes: String = shingleCtesOver("corpus2")
 
+  /** Mirror of [[graft.ml.Dedup.spanDups]]: positioned width-token window
+    * md5s, boilerplate cap (2 ≤ occurrences ≤ maxOcc), cross-doc matches,
+    * maximal runs via gaps-and-islands (pa − row_number over the diagonal
+    * is constant per consecutive run).
+    */
+  def spanDupsSql(width: Int, maxOcc: Int): String = withPrelude(
+    s"""     , wtoks AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_split_to_array(lower(content), '[^a-z0-9]+'), x -> x <> '') AS ts
+       |  FROM corpus),
+       |wins AS (
+       |  SELECT doc_id, i AS pos, md5(array_to_string(ts[i:i+${width - 1}], ' ')) AS whash
+       |  FROM wtoks, unnest(generate_series(1, len(ts) - ${width - 1})) AS g(i)),
+       |keep AS (SELECT whash FROM wins GROUP BY whash HAVING count(*) BETWEEN 2 AND $maxOcc),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+       |  FROM wins a JOIN keep USING (whash) JOIN wins b USING (whash)
+       |  WHERE a.doc_id < b.doc_id),
+       |r AS (
+       |  SELECT doc_a, doc_b, pa - pb AS diag, pa,
+       |         pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS grp
+       |  FROM p)
+       |SELECT doc_a, doc_b,
+       |       min(pa)::BIGINT AS start_a, (min(pa) - diag)::BIGINT AS start_b,
+       |       count(*)::BIGINT AS n_windows, (count(*) + ${width - 1})::BIGINT AS span_tokens
+       |FROM r GROUP BY doc_a, doc_b, diag, grp""".stripMargin)
+
   def exactDupsSql: String = withPrelude(
     s"""     , $dupCtes
        |SELECT md5(content) AS content_hash, count(*)::BIGINT AS n_dups,

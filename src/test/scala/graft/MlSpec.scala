@@ -21,6 +21,35 @@ class MlSpec extends SparkSpec {
     assert(groups.forall(_.getAs[Long]("keep_doc_id") < 1000000L))
   }
 
+  test("span dedup: exact maximal runs, offsets, boilerplate cap, overlap split") {
+    def doc(id: Long, words: String) = (id, words)
+    // shared 7-token run "s1..s7" at offset 3 in doc 1 (tokens 4..10,
+    // 1-based) and offset 0 in doc 2 (tokens 1..7); width 4 -> 4 windows
+    val shared = "s1 s2 s3 s4 s5 s6 s7"
+    val tiny = Seq(
+      doc(1L, s"a1 a2 a3 $shared a4 a5"),
+      doc(2L, s"$shared b1 b2 b3 b4"),
+      // doc 3 shares a DIFFERENT 4-token run with doc 1's tail — exactly
+      // one window
+      doc(3L, "s4 s5 s6 s7 zz yy xx"),
+      // unrelated
+      doc(4L, "q1 q2 q3 q4 q5 q6 q7 q8")
+    ).toDF("doc_id", "content")
+    val got = Dedup.spanDups(tiny, width = 4, maxOcc = 64)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    // doc1-doc2: windows at (4..7, 1..4) -> one run of 4 windows = 7 tokens
+    assert(got.contains((1L, 2L, 4L, 1L, 4L, 7L)), s"main run missing: $got")
+    // doc1-doc3: "s4 s5 s6 s7" = window at (7, 1) -> 1 window = 4 tokens
+    assert(got.contains((1L, 3L, 7L, 1L, 1L, 4L)), s"tail run missing: $got")
+    // doc2-doc3 share it too (at 4,1)
+    assert(got.contains((2L, 3L, 4L, 1L, 1L, 4L)), s"2-3 run missing: $got")
+    assert(got.size == 3, s"unexpected extra runs: $got")
+    // boilerplate cap: the same window in maxOcc+1 docs is dropped entirely
+    val boiler = (0 until 10).map(i => (100L + i, "c1 c2 c3 c4")).toDF("doc_id", "content")
+    assert(Dedup.spanDups(boiler, width = 4, maxOcc = 9).count() == 0)
+    assert(Dedup.spanDups(boiler, width = 4, maxOcc = 10).count() == 45) // all pairs kept
+  }
+
   test("minhash candidate pairs cover all exact dups with all bands shared") {
     val pairs = Dedup.minhashPairs(Dedup.minhashBands(Dedup.minhashSignatures(dupped)))
       .as[(Long, Long, Long)].collect().toSeq
