@@ -247,8 +247,14 @@ object Prof {
         IndexBuild.build(spark, corpus, wideIdx,
           IndexConfig(segShift = 23, rangeSegsShift = 1))
         val wide = new graft.query.Engine(new graft.query.Index(spark, wideIdx))
-        () => wide.searchByTerms(Seq("w:license" -> 1.0, "w:copyright" -> 1.0,
-          "w:version" -> 1.0), rows = 60).count()
+        val allHot = Seq("w:license" -> 1.0, "w:copyright" -> 1.0, "w:version" -> 1.0)
+        // same route preconditions as the Bench section — a smoke pass
+        // that measured a different code path would defeat its purpose
+        require(wide.index.cfg.segShift > wide.DenseArraySegShiftMax,
+          "smoke wideseg index must exceed the dense-array shift guard")
+        require(wide.routesDense(allHot, rows = 60),
+          "smoke wideseg query must route dense (scan fallback)")
+        () => wide.searchByTerms(allHot, rows = 60).count()
       })
     sections.foreach { case (tag, fn) =>
       val times = (1 to 2).map { _ =>

@@ -307,14 +307,14 @@ object SparkEntry {
         groupLimit = 3, groups = 8)),
     // Solr field collapsing ({!collapse field=repo}): flat ranking, one
     // best doc per value — searchGrouped at groupLimit=1 reshaped flat
+    "q_collapsed" -> ((s, dir) =>
+      Engine.forDir(s, dir).searchCollapsed(FlagshipTerms, "repo", rows = 10)),
     // block join to-parent (nesteddocs.xml analog: repos are the parents
     // wrapping file children): ScoreMode max and total, both driver-gated
     "q_block_join" -> ((s, dir) =>
       Engine.forDir(s, dir).blockJoinParents(FlagshipTerms, scoreMode = "max", rows = 10)),
     "q_block_join_total" -> ((s, dir) =>
       Engine.forDir(s, dir).blockJoinParents(FlagshipTerms, scoreMode = "total", rows = 10)),
-    "q_collapsed" -> ((s, dir) =>
-      Engine.forDir(s, dir).searchCollapsed(FlagshipTerms, "repo", rows = 10)),
     // Solr q+fq+group: the fq bitmap intersects the dense score array's
     // touched set inside the segment (same cogroup)
     "q_grouped_filtered" -> ((s, dir) =>

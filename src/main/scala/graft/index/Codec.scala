@@ -120,19 +120,24 @@ object Codec {
   //   repeat numBlocks times:
   //     posPayloadLen (varint)
   //     payload: per entry, in the block's entry order:
-  //              tf varints — first = absolute token position,
-  //              rest = gaps (positions strictly ascending)
+  //              numPositions (varint), then numPositions varints —
+  //              first = absolute token position, rest = gaps
+  //              (positions strictly ascending)
   //
   // Entry alignment is by construction: entry i of the postings blob owns
-  // the i-th run of tf_i varints of its block's payload (tf comes from the
-  // postings payload, so decode order is postings-then-positions).
+  // the i-th (count, run) of its block's payload. The count is stored
+  // (one varint per entry) rather than derived from the posting's tf so
+  // the MaxTf saturation of the packed tf cannot TRUNCATE positions — a
+  // pathological doc repeating a phrase word beyond the clamp still
+  // phrase-matches exactly (pf comes from positions; BM25's tf stays
+  // saturating by design).
   // Reference anchor: Lucene's .prx/.pos positional postings backing the
   // host platform's PhraseQuery surface (SURVEY.md §2.11, lire.html:83).
 
   /** Encode the positions blob for an already-encoded posting list.
     * `positions(i)` are the strictly-ascending token positions of
-    * `postings(i)`; each must hold exactly `postings(i).tf` entries
-    * (the build clamps both sides to MaxTf together).
+    * `postings(i)` — at least tf entries (tf saturates at the pack clamp,
+    * positions never do).
     */
   def encodePositions(postings: Array[Posting], positions: Array[Array[Int]]): Array[Byte] = {
     require(postings.length == positions.length,
@@ -147,8 +152,9 @@ object Codec {
       var i = from
       while (i < until) {
         val ps = positions(i)
-        require(ps.length == postings(i).tf,
-          s"positions(${i}).length=${ps.length} != tf=${postings(i).tf}")
+        require(ps.length >= postings(i).tf,
+          s"positions(${i}).length=${ps.length} < tf=${postings(i).tf}")
+        writeVarInt(payload, ps.length)
         var k = 0
         var prev = 0
         while (k < ps.length) {
@@ -244,11 +250,11 @@ object Codec {
       pr.readVarInt() // posPayloadLen
       i = 0
       while (i < blockCnt) {
-        val tf = tfs(i)
-        val arr = new Array[Int](tf)
+        val cnt = pr.readVarInt()
+        val arr = new Array[Int](cnt)
         var p = 0
         var k = 0
-        while (k < tf) { p += pr.readVarInt(); arr(k) = p; k += 1 }
+        while (k < cnt) { p += pr.readVarInt(); arr(k) = p; k += 1 }
         poss(i) = arr
         i += 1
       }

@@ -220,9 +220,10 @@ object IndexBuild {
     * Word terms additionally carry their token positions (the positional
     * index feeding native PhraseQuery): the 4th tuple element is a varint
     * stream of per-entry position runs ALIGNED with the packed array —
-    * entry i owns the i-th run of `min(tf_i, MaxTf)` varints (first
-    * absolute, rest gaps). Shingle terms ship an empty blob — no query
-    * reads hash-term positions, so their bytes are never paid for.
+    * entry i owns the i-th (count, positions…) run (count varint, then
+    * count position varints: first absolute, rest gaps). Shingle terms
+    * ship an empty blob — no query reads hash-term positions, so their
+    * bytes are never paid for.
     */
   def partialPostings(spark: SparkSession, corpus: DataFrame,
                       cfg: IndexConfig): Dataset[(String, Long, Array[Long], Array[Byte])] = {
@@ -257,14 +258,16 @@ object IndexBuild {
                 .computeIfAbsent(e.getKey, _ => new java.util.HashMap[Long, PartialBuf]())
                 .computeIfAbsent(segId, _ => new PartialBuf)
               pb.packed.add(pack(local, ps.length, dl))
-              // exactly min(tf, MaxTf) position varints, matching the
-              // clamped tf pack() stored — alignment survives the clamp
-              val tf = math.min(ps.length, MaxTf)
+              // self-counting run: ALL positions, count varint first — the
+              // pack() MaxTf saturation must not truncate phrase positions
+              // (pf is exact even past the clamp; only BM25's tf saturates)
+              val out = pb.posOut
+              Codec.writeVarInt(out, ps.length)
               var k = 0
               var prev = 0
-              while (k < tf) {
+              while (k < ps.length) {
                 val p = ps(k)
-                Codec.writeVarInt(pb.posOut, p - prev)
+                Codec.writeVarInt(out, p - prev)
                 prev = p
                 k += 1
               }
@@ -335,11 +338,11 @@ object IndexBuild {
             val r = new Codec.Reader(p._4)
             var i = 0
             while (i < packed.length) {
-              val tf = unpackTf(packed(i))
-              val ps = new Array[Int](tf)
+              val cnt = r.readVarInt()
+              val ps = new Array[Int](cnt)
               var pos = 0
               var k = 0
-              while (k < tf) { pos += r.readVarInt(); ps(k) = pos; k += 1 }
+              while (k < cnt) { pos += r.readVarInt(); ps(k) = pos; k += 1 }
               entries += ((packed(i), ps))
               i += 1
             }
@@ -1165,10 +1168,19 @@ object IndexBuild {
       if (fs.exists(new Path(s"${rdictionaryDir(indexDir)}/range=$tmpl")))
         spark.read.parquet(s"${rdictionaryDir(indexDir)}/range=$tmpl").limit(0)
           .write.mode("overwrite").parquet(s"${rdictionaryDir(indexDir)}/range=$unit")
+      if (fs.exists(new Path(s"${ngramsDir(indexDir)}/range=$tmpl")))
+        spark.read.parquet(s"${ngramsDir(indexDir)}/range=$tmpl").limit(0)
+          .write.mode("overwrite").parquet(s"${ngramsDir(indexDir)}/range=$unit")
+      // codec_ver = current: a tombstone-only unit holds NO postings rows,
+      // so it cannot degrade the index's positional-ness — omitting the
+      // column would read as 1 and silently flip hasPositions (and, after
+      // a compaction absorbed the unit, poison the merged manifest) for
+      // EVERY phrase query after the first delete
       Seq((unit, 0L, 0L, 0L, 0L, cfg.segShift, cfg.rangeSegsShift, 0L,
-        Seq.empty[DocRangeStat], Seq.empty[Long]))
+        Seq.empty[DocRangeStat], Seq.empty[Long], CodecVer))
         .toDF("range_id", "n_docs", "sum_dl", "n_rows", "checksum",
-          "seg_shift", "range_segs_shift", "build_ms", "doc_ranges", "retires")
+          "seg_shift", "range_segs_shift", "build_ms", "doc_ranges", "retires",
+          "codec_ver")
         .coalesce(1).write.mode("overwrite").parquet(s"${manifestDir(indexDir)}/range=$unit")
       n
     } finally kills.unpersist(blocking = false)

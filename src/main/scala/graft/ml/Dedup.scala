@@ -163,10 +163,19 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(graft.functions.GraftFunctions.graft_shingle_hashes(col("content"), width)))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("whash"))
+    // two passes so the cap bounds the AGGREGATION, not just the pair
+    // emission: a corpus-boilerplate window (10M occurrences at scale)
+    // must never materialize one 10M-element collect_list buffer — the
+    // count pass is map-side-partial and drops the hash before anything
+    // collects (the same keep-CTE shape as the oracle)
+    val keep = wins.groupBy(col("whash"))
+      .agg(count(lit(1)).as("nocc"))
+      .where(col("nocc").between(2, maxOcc))
+      .select(col("whash"))
     wins
+      .join(keep, Seq("whash"), "left_semi")
       .groupBy(col("whash"))
       .agg(collect_list(struct(col("doc_id"), col("pos"))).as("occ"))
-      .where(size(col("occ")).between(2, maxOcc))
       .select(col("occ")).as[Seq[(Long, Int)]]
       .flatMap { occ =>
         for {

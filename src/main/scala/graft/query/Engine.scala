@@ -2213,30 +2213,15 @@ object Engine {
       .toSeq.distinct
   }
 
-  /** Classic Levenshtein DP (insert/delete/substitute, no transposition) —
-    * must match Spark's `levenshtein` function exactly (pinned in
-    * IndexSpec against it); runs driver-side on gram-pruned candidate
-    * sets only.
+  /** Driver-side Levenshtein, equal to Spark's `levenshtein` function BY
+    * CONSTRUCTION: it delegates to the same UTF8String implementation the
+    * SQL function evaluates (no re-implemented DP to keep in sync; the
+    * IndexSpec property pin stays as a regression tripwire). Runs on
+    * gram-pruned candidate sets only.
     */
-  def levenshteinScala(a: String, b: String): Int = {
-    if (a == b) return 0
-    val n = b.length
-    var prev = Array.tabulate(n + 1)(identity)
-    var cur = new Array[Int](n + 1)
-    var i = 1
-    while (i <= a.length) {
-      cur(0) = i
-      var j = 1
-      while (j <= n) {
-        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
-        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
-        j += 1
-      }
-      val t = prev; prev = cur; cur = t
-      i += 1
-    }
-    prev(n)
-  }
+  def levenshteinScala(a: String, b: String): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .levenshteinDistance(org.apache.spark.unsafe.types.UTF8String.fromString(b))
 
   /** OR-merge serialized bitmaps; callers guarantee nonEmpty. */
   private[query] def orAll(bs: Iterable[Array[Byte]]): RoaringBitmap = {

@@ -141,11 +141,21 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
-  test("encodePositions rejects tf/positions length mismatch") {
+  test("encodePositions rejects positions shorter than tf") {
     val ps = Array(Posting(1, 2, 10))
     intercept[IllegalArgumentException] {
       Codec.encodePositions(ps, Array(Array(1)))
     }
+  }
+
+  test("positions beyond the tf clamp survive (self-counting runs)") {
+    // a saturated tf (e.g. MaxTf-clamped) must NOT truncate positions:
+    // the run stores its own count, so pf stays exact past the clamp
+    val ps = Array(Posting(3, 2, 10), Posting(9, 1, 10))
+    val pos = Array(Array(1, 5, 9, 14), Array(7)) // entry 0: 4 positions, tf 2
+    val back = Codec.decodeAllPositions(Codec.encode(ps), Codec.encodePositions(ps, pos))
+    assert(back(0).toSeq == Seq(1, 5, 9, 14))
+    assert(back(1).toSeq == Seq(7))
   }
 
   test("compression: dense ascending lists take ~4 bytes/posting") {
