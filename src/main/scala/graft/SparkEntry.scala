@@ -588,6 +588,10 @@ object SparkEntry {
       Engine.forDir(s, dir).searchRerank(FlagshipTerms,
         s.read.parquet(s"$dir/embeddings.parquet"),
         RerankVecId, rows = RerankRows, candidates = RerankCands, metric = "l2")),
+    "q_search_rerank_tanimoto" -> ((s, dir) =>
+      Engine.forDir(s, dir).searchRerank(FlagshipTerms,
+        s.read.parquet(s"$dir/embeddings.parquet"),
+        RerankVecId, rows = RerankRows, candidates = RerankCands, metric = "tanimoto")),
     // missing-feature semantics (LireValueSource.java:274-276): embedding
     // store thinned so most candidates LACK a vector — they must keep
     // their slots at cos_q = -10001 and rank last, not vanish
@@ -853,6 +857,8 @@ object SparkEntry {
       RerankCands, RerankRows, metric = "l1"),
     "q_search_rerank_l2" -> OracleMl.rerankSql(FlagshipTerms, RerankVecId,
       RerankCands, RerankRows, metric = "l2"),
+    "q_search_rerank_tanimoto" -> OracleMl.rerankSql(FlagshipTerms, RerankVecId,
+      RerankCands, RerankRows, metric = "tanimoto"),
     "q_search_rerank_missing" -> OracleMl.rerankSql(FlagshipTerms, RerankVecId,
       RerankCands, RerankRows, embPred = Some(s"vec_id % 25 = $RerankMissingPred")),
     "q_wand_cursor" -> Oracle.bm25Page(FlagshipTerms, CursorStart, 30),

@@ -299,6 +299,41 @@ object GraftDot {
     }
     s
   }
+  /** LIRE MetricsUtils.tanimoto, decompiled semantics verbatim
+    * (lib/LIRE-1.0_b05.jar, tanimoto(float[],float[]) bytecode):
+    * L1-normalize both vectors by their element sums, then
+    * 100 − 100·T where T = dot/(‖b‖² + ‖a‖² − dot) over the normalized
+    * values; both-zero-sum → 0, one-zero-sum → 100, any non-positive
+    * sum → 0 (the bytecode's uninitialized-result fall-through). Every
+    * per-element op (f2d, the /sa, /sb divisions, the multiply) and the
+    * final expression tree are kept in LIRE's exact order so the DuckDB
+    * mirror is bit-identical.
+    */
+  def tanimoto(a: ArrayData, ea: DataType, b: ArrayData, eb: DataType): Double = {
+    val n = a.numElements()
+    var sa = 0.0
+    var sb = 0.0
+    var i = 0
+    while (i < n) { sa += valAt(a, ea, i); sb += valAt(b, eb, i); i += 1 }
+    if (sa == 0.0 && sb == 0.0) return 0.0
+    if (sa == 0.0 || sb == 0.0) return 100.0
+    if (sa > 0.0 && sb > 0.0) {
+      var tmp1 = 0.0
+      var tmp2 = 0.0
+      var tmp3 = 0.0
+      i = 0
+      while (i < n) {
+        val an = valAt(a, ea, i) / sa
+        val bn = valAt(b, eb, i) / sb
+        tmp1 += an * bn
+        tmp2 += bn * bn
+        tmp3 += an * an
+        i += 1
+      }
+      100.0 - 100.0 * (tmp1 / (tmp2 + tmp3 - tmp1))
+    } else 0.0
+  }
+
   /** Σ|a_i − b_i| (caller-checked like [[dot]]). */
   def l1(a: ArrayData, ea: DataType, b: ArrayData, eb: DataType): Double = {
     val n = a.numElements()
@@ -419,6 +454,32 @@ case class GraftL2(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** LIRE Tanimoto distance (MetricsUtils.tanimoto — [[GraftDot.tanimoto]]
+  * for the exact decompiled semantics): the third re-rank metric class
+  * next to cosine and L1/L2, completing the reference's per-feature
+  * polymorphic getDistance surface. Null on length mismatch / null
+  * element like the other array natives.
+  */
+case class GraftTanimoto(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_tanimoto"
+  @transient private lazy val ea = GraftDot.elemType(left)
+  @transient private lazy val eb = GraftDot.elemType(right)
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements() ||
+        GraftDot.hasNull(a) || GraftDot.hasNull(b)) null
+    else java.lang.Double.valueOf(GraftDot.tanimoto(a, ea, b, eb))
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GraftTanimoto =
+    copy(left = newLeft, right = newRight)
+}
+
 /** SparkSessionExtensions entry point: register the graft functions on
   * every session via configuration —
   * `--conf spark.sql.extensions=graft.functions.GraftExtensions` — the
@@ -469,6 +530,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       info(classOf[GraftL2], "graft_l2",
         "graft_l2(a, b) - L2 (Euclidean) distance of two arrays (lirefunc analog)"),
       (exprs: Seq[Expression]) => GraftL2(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_tanimoto"),
+      info(classOf[GraftTanimoto], "graft_tanimoto",
+        "graft_tanimoto(a, b) - LIRE Tanimoto distance of two arrays (lirefunc analog)"),
+      (exprs: Seq[Expression]) => GraftTanimoto(exprs(0), exprs(1))))
   }
 }
 
@@ -743,6 +808,8 @@ object GraftFunctions {
     GraftBridge.column(GraftL1(GraftBridge.expression(a), GraftBridge.expression(b)))
   def graft_l2(a: Column, b: Column): Column =
     GraftBridge.column(GraftL2(GraftBridge.expression(a), GraftBridge.expression(b)))
+  def graft_tanimoto(a: Column, b: Column): Column =
+    GraftBridge.column(GraftTanimoto(GraftBridge.expression(a), GraftBridge.expression(b)))
 
   /** SQL registration: SELECT graft_terms(content) ... (lirefunc analog). */
   def register(spark: SparkSession): Unit = {
@@ -772,5 +839,7 @@ object GraftFunctions {
       "graft_l1", exprs => GraftL1(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_l2", exprs => GraftL2(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_tanimoto", exprs => GraftTanimoto(exprs(0), exprs(1)), "scala_udf")
   }
 }

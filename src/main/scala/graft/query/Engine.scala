@@ -1292,11 +1292,15 @@ final class Engine(val index: Index) {
             Window.orderBy(col("cos_q").desc, col("doc_id").asc)).cast("long"))
           .where(col("rank") <= rows)
           .select("rank", "doc_id", "cos_q", "score_q")
-      case "l1" | "l2" =>
-        val dist =
-          if (metric == "l1")
+      case "l1" | "l2" | "tanimoto" =>
+        val dist = metric match {
+          case "l1" =>
             graft.functions.GraftFunctions.graft_l1(col("q_emb"), col("embedding"))
-          else graft.functions.GraftFunctions.graft_l2(col("q_emb"), col("embedding"))
+          case "l2" =>
+            graft.functions.GraftFunctions.graft_l2(col("q_emb"), col("embedding"))
+          case _ =>
+            graft.functions.GraftFunctions.graft_tanimoto(col("q_emb"), col("embedding"))
+        }
         joined
           .select(col("doc_id"), col("score_q"),
             coalesce(round(dist * lit(1e4)).cast("long"),
@@ -1307,7 +1311,7 @@ final class Engine(val index: Index) {
           .select("rank", "doc_id", "dist_q", "score_q")
       case other =>
         throw new IllegalArgumentException(
-          s"searchRerank metric must be cosine|l1|l2, got $other")
+          s"searchRerank metric must be cosine|l1|l2|tanimoto, got $other")
     }
   }
 

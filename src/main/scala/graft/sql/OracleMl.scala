@@ -247,6 +247,29 @@ object OracleMl {
     s"""sqrt(greatest(list_sum(list_transform(generate_series(1, len($a)),
        |  i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE))), 0))""".stripMargin
 
+  /** LIRE Tanimoto distance — mirror of GraftDot.tanimoto (decompiled
+    * MetricsUtils semantics): per-element ops and the final expression
+    * tree in LIRE's exact order; `sa`/`sb` are the precomputed element
+    * sums (rerankSql's emb/qv CTEs carry them). NULL inputs (the missing-
+    * feature LEFT JOIN row) must yield NULL — a bare CASE would fall
+    * through NULL conditions to the ELSE 0 arm and rank the missing doc
+    * FIRST instead of last.
+    */
+  private def tanimotoSql(a: String, b: String, sa: String, sb: String): String = {
+    val t1 = s"""list_sum(list_transform(generate_series(1, len($a)),
+                |    i -> ($a[i]::DOUBLE / $sa) * ($b[i]::DOUBLE / $sb)))""".stripMargin
+    val t2 = s"""list_sum(list_transform(generate_series(1, len($b)),
+                |    i -> ($b[i]::DOUBLE / $sb) * ($b[i]::DOUBLE / $sb)))""".stripMargin
+    val t3 = s"""list_sum(list_transform(generate_series(1, len($a)),
+                |    i -> ($a[i]::DOUBLE / $sa) * ($a[i]::DOUBLE / $sa)))""".stripMargin
+    s"""(CASE WHEN $a IS NULL OR $b IS NULL THEN NULL
+       |      WHEN $sa = 0 AND $sb = 0 THEN 0.0
+       |      WHEN $sa = 0 OR $sb = 0 THEN 100.0
+       |      WHEN $sa > 0 AND $sb > 0
+       |        THEN 100.0 - 100.0 * ($t1 / ($t2 + $t3 - $t1))
+       |      ELSE 0.0 END)""".stripMargin
+  }
+
   def embCosPairsSql(minCosQ: Long): String =
     s"""WITH p AS (
        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -288,14 +311,17 @@ object OracleMl {
       case "cosine" => (cosSql("qv.q_emb", "e.embedding"), "cos_q", "DESC", "-10001")
       case "l1" => (l1Sql("qv.q_emb", "e.embedding"), "dist_q", "ASC", "10000000001")
       case "l2" => (l2Sql("qv.q_emb", "e.embedding"), "dist_q", "ASC", "10000000001")
+      case "tanimoto" => (tanimotoSql("qv.q_emb", "e.embedding", "qv.s_q", "e.s_e"),
+        "dist_q", "ASC", "10000000001")
       case other => throw new IllegalArgumentException(s"metric $other")
     }
     withPrelude(
       s"""     , ${Oracle.qFromValues(terms)},
          |${Oracle.bm25Body(None)},
          |cand AS (SELECT doc_id, score_q FROM ranked WHERE rank <= $candidates),
-         |emb AS (SELECT vec_id, embedding FROM embeddings$embWhere),
-         |qv AS (SELECT embedding AS q_emb FROM emb WHERE vec_id = $queryVecId),
+         |emb AS (SELECT vec_id, embedding,
+         |        list_sum(embedding::DOUBLE[]) AS s_e FROM embeddings$embWhere),
+         |qv AS (SELECT embedding AS q_emb, s_e AS s_q FROM emb WHERE vec_id = $queryVecId),
          |rer AS (
          |  SELECT c.doc_id, c.score_q,
          |         coalesce(

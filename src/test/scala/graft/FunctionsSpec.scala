@@ -236,6 +236,55 @@ class FunctionsSpec extends SparkSpec {
     assert(edge.getDouble(4) == 5.0 && edge.getDouble(5) == 5.0)
   }
 
+  test("graft_tanimoto: LIRE decompiled semantics (sentinels, formula, nulls)") {
+    GraftFunctions.register(spark)
+    // independent reference twin of the decompiled MetricsUtils.tanimoto
+    def ref(a: Array[Double], b: Array[Double]): Double = {
+      val sa = a.sum; val sb = b.sum
+      if (sa == 0.0 && sb == 0.0) 0.0
+      else if (sa == 0.0 || sb == 0.0) 100.0
+      else if (sa > 0.0 && sb > 0.0) {
+        var t1 = 0.0; var t2 = 0.0; var t3 = 0.0
+        for (i <- a.indices) {
+          val an = a(i) / sa; val bn = b(i) / sb
+          t1 += an * bn; t2 += bn * bn; t3 += an * an
+        }
+        100.0 - 100.0 * (t1 / (t2 + t3 - t1))
+      } else 0.0
+    }
+    val rnd = new scala.util.Random(11)
+    val cases = Seq(
+      (Array(1.0, 2.0, 3.0), Array(1.0, 2.0, 3.0)), // identical -> 0
+      (Array(0.0, 0.0), Array(0.0, 0.0)),           // both zero-sum -> 0
+      (Array(0.0, 0.0), Array(1.0, 2.0)),           // one zero-sum -> 100
+      (Array(-1.0, 0.5), Array(1.0, 2.0)),          // negative sum -> 0 (LIRE fall-through)
+      (Array.fill(16)(rnd.nextDouble()), Array.fill(16)(rnd.nextDouble())))
+    val got = cases.toDF("a", "b")
+      .select(GraftFunctions.graft_tanimoto($"a", $"b")).as[Double].collect()
+    cases.zip(got).foreach { case ((a, b), g) =>
+      assert(g == ref(a, b), s"(${a.toSeq}, ${b.toSeq})")
+    }
+    assert(got(0) == 0.0 && got(1) == 0.0 && got(2) == 100.0 && got(3) == 0.0)
+    // null semantics like the other array natives
+    val edge = spark.sql(
+      """SELECT graft_tanimoto(array(1.0D), array(1.0D, 2.0D)) AS m,
+        |       graft_tanimoto(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D)) AS n
+        |""".stripMargin).collect().head
+    assert(edge.isNullAt(0) && edge.isNullAt(1))
+    // float inputs (the embeddings element type) go through f2d like LIRE
+    val emb = spark.read.parquet(s"$sfTiny/embeddings.parquet").limit(50).cache()
+    val viaNative = emb.crossJoin(broadcast(
+        emb.where($"vec_id" === 42L).select($"embedding".as("q_emb"))))
+      .select($"vec_id", GraftFunctions.graft_tanimoto($"q_emb", $"embedding").as("t"))
+      .as[(Long, Double)].collect().toMap
+    val q = emb.where($"vec_id" === 42L).select($"embedding").as[Seq[Float]].head()
+      .map(_.toDouble).toArray
+    emb.select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().foreach {
+      case (id, e) =>
+        assert(viaNative(id) == ref(q, e.map(_.toDouble).toArray), s"vec $id")
+    }
+  }
+
   test("GraftExtensions registers the functions via spark.sql.extensions") {
     import org.apache.spark.sql.SparkSession
     // a NEW session over the same context picks up extensions; restore after
