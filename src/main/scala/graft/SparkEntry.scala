@@ -78,6 +78,12 @@ object SparkEntry {
     */
   val PhraseBigram = "hash join"
   val PhraseTrigram = "big order scan"
+  // sloppy-phrase gate slops: 1 = one-word gap; 2 = Lucene's reversed-
+  // adjacent-order distance. Both non-vacuous AND strictly wider than the
+  // exact q_phrase at sf0.001/0.01/0.1 (24→49→93 / 27→55→96 / 278→516→903
+  // matching docs at slop 0→1→2)
+  val PhraseSlop1 = 1
+  val PhraseSlop2 = 2
 
   /** PrefixQuery gate: "w:s" matches many word terms — the cap (10 of
     * them) exercises the deterministic top-terms rewrite order. FuzzyQuery
@@ -682,6 +688,16 @@ object SparkEntry {
     "q_phrase3" -> ((s, dir) =>
       Engine.forDir(s, dir).searchPhrase(Corpus.fromDocuments(s, dir),
         PhraseTrigram, rows = 60)),
+    // sloppy PhraseQuery ("hash join"~1): positions within ±slop of the
+    // expected slot — strictly wider than q_phrase at every SF
+    "q_phrase_slop" -> ((s, dir) =>
+      Engine.forDir(s, dir).searchPhrase(Corpus.fromDocuments(s, dir),
+        PhraseBigram, rows = 60, slop = PhraseSlop1)),
+    // slop 2 admits the REVERSED adjacent bigram (Lucene's transposition
+    // distance), exercised through the full parser (`"hash join"~2`)
+    "q_phrase_slop2" -> ((s, dir) =>
+      Engine.forDir(s, dir).searchParsed(Corpus.fromDocuments(s, dir),
+        "\"" + PhraseBigram + "\"~" + PhraseSlop2, rows = 60)),
     // benchmark-contamination screen: dup-injected corpus vs a benchmark
     // table (every 13th base doc), flagged on any shared 13-token shingle
     "q_contamination" -> ((s, dir) => {
@@ -867,6 +883,8 @@ object SparkEntry {
     "q_bool_mixed" -> Oracle.bm25BoolTopK(BoostedTerms, BoolMixedMust, BoolNotTerms, 60),
     "q_phrase" -> Oracle.phraseSql(PhraseBigram, 60),
     "q_phrase3" -> Oracle.phraseSql(PhraseTrigram, 60),
+    "q_phrase_slop" -> Oracle.phraseSql(PhraseBigram, 60, slop = PhraseSlop1),
+    "q_phrase_slop2" -> Oracle.phraseSql(PhraseBigram, 60, slop = PhraseSlop2),
     "q_prefix_search" -> Oracle.prefixSql(PrefixQ, PrefixMaxExpansions, 60),
     "q_fuzzy_search" -> Oracle.fuzzySql(FuzzyQ, FuzzyMaxEdits, FuzzyMaxExpansions, 60),
     "q_fuzzy_pruned" -> Oracle.fuzzySql(FuzzyLongQ, FuzzyMaxEdits, FuzzyMaxExpansions, 60),

@@ -645,9 +645,11 @@ case class GraftShingleHashes(child: Expression, width: Int)
   * FunctionsSpec (pinned equal), and the DuckDB oracle mirrors the same
   * position-window count in SQL.
   */
-case class GraftPhrasePfDl(child: Expression, toks: Seq[String], maxDl: Int)
+case class GraftPhrasePfDl(child: Expression, toks: Seq[String], maxDl: Int,
+                           slop: Int = 0)
     extends UnaryExpression with CodegenFallback {
   require(toks.nonEmpty, "empty phrase")
+  require(slop >= 0, s"negative slop: $slop")
   override def dataType: DataType = org.apache.spark.sql.types.StructType(
     org.apache.spark.sql.types.StructField("pf",
       org.apache.spark.sql.types.IntegerType, nullable = false) ::
@@ -660,12 +662,35 @@ case class GraftPhrasePfDl(child: Expression, toks: Seq[String], maxDl: Int)
     val ts = Tokenizer.tokenizeScala(input.toString)
     val k = toks.length
     var pf = 0
-    var i = 0
-    while (i <= ts.length - k) {
-      var j = 0
-      while (j < k && ts(i + j) == toks(j)) j += 1
-      if (j == k) pf += 1
-      i += 1
+    if (slop == 0) {
+      var i = 0
+      while (i <= ts.length - k) {
+        var j = 0
+        while (j < k && ts(i + j) == toks(j)) j += 1
+        if (j == k) pf += 1
+        i += 1
+      }
+    } else {
+      // sloppy rule (Engine.phraseScores scaladoc): anchor i matches when
+      // every word j has an occurrence in [i+j-slop, i+j+slop]; windows
+      // are checked independently (the positional route's exact mirror)
+      var i = 0
+      while (i < ts.length) {
+        if (ts(i) == toks(0)) {
+          var ok = true
+          var j = 1
+          while (ok && j < k) {
+            val lo = math.max(0, i + j - slop)
+            val hi = math.min(ts.length - 1, i + j + slop)
+            var q = lo
+            while (q <= hi && ts(q) != toks(j)) q += 1
+            ok = q <= hi
+            j += 1
+          }
+          if (ok) pf += 1
+        }
+        i += 1
+      }
     }
     val dl = math.min(2 * ts.length - 1, maxDl)
     org.apache.spark.sql.catalyst.InternalRow(pf, dl)
@@ -796,8 +821,9 @@ object GraftFunctions {
     GraftBridge.column(GraftShingles(GraftBridge.expression(c), width))
   def graft_shingle_hashes(c: Column, width: Int): Column =
     GraftBridge.column(GraftShingleHashes(GraftBridge.expression(c), width))
-  def graft_phrase_pfdl(c: Column, toks: Seq[String], maxDl: Int): Column =
-    GraftBridge.column(GraftPhrasePfDl(GraftBridge.expression(c), toks, maxDl))
+  def graft_phrase_pfdl(c: Column, toks: Seq[String], maxDl: Int,
+                        slop: Int = 0): Column =
+    GraftBridge.column(GraftPhrasePfDl(GraftBridge.expression(c), toks, maxDl, slop))
   def graft_gopher_stats(c: Column, required: Seq[String]): Column =
     GraftBridge.column(GraftGopherStats(GraftBridge.expression(c), required))
   def graft_dot(a: Column, b: Column): Column =

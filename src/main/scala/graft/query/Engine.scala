@@ -549,20 +549,34 @@ final class Engine(val index: Index) {
     * by the rarest word/shingle posting list and the stored-field verify
     * touches candidate rows only (semi-join pruned into the corpus scan).
     */
-  def searchPhrase(corpus: DataFrame, phrase: String, rows: Int = 60): DataFrame = {
+  def searchPhrase(corpus: DataFrame, phrase: String, rows: Int = 60,
+                   slop: Int = 0): DataFrame = {
     val toks = graft.analyze.Tokenizer.tokenizeScala(phrase)
     require(toks.nonEmpty, "empty phrase")
     if (toks.length == 1) // Lucene parses a one-word phrase as a TermQuery
       return searchByTerms(Seq(("w:" + toks(0)) -> 1.0), rows)
-    Wand.topK(spark, phraseScores(corpus, toks, 1.0), rows)
+    Wand.topK(spark, phraseScores(corpus, toks, 1.0, slop), rows)
   }
 
   /** All (docId, score) phrase contributions, pre-top-k — the phase-1 +
     * verify pipeline of [[searchPhrase]], reused by the parsed-query score
     * composition. Empty when a phrase word is unindexed.
+    *
+    * `slop > 0` = sloppy PhraseQuery: an anchor position `p` of the first
+    * word matches when EVERY word `j` has a position within `slop` of its
+    * expected slot `p + j`; pf = the anchor count, scored exactly like the
+    * exact route (tf = pf). slop 0 degenerates to the exact rule. For a
+    * two-word phrase this is Lucene's match set (`|q − (p+1)| ≤ slop` —
+    * reversed adjacent order matches at slop 2, as in Lucene); the
+    * DELIBERATE deviations, same pattern as the fuzzy boost's 1/(1+d):
+    * each match weighs 1 where Lucene's SloppyPhraseScorer accumulates
+    * 1/(1+matchLength) (a float rule that cannot be mirrored exactly in
+    * integer-quantized cross-engine scoring), and ≥3-word phrases bound
+    * each word's displacement independently where Lucene bounds the SUM.
     */
   private[graft] def phraseScores(corpus: DataFrame, toks: Array[String],
-      boost: Double): org.apache.spark.sql.Dataset[Scored] = {
+      boost: Double, slop: Int = 0): org.apache.spark.sql.Dataset[Scored] = {
+    require(slop >= 0, s"negative slop: $slop")
     val words = toks.toSeq.map("w:" + _)
     val dfs = index.dfOf(words.distinct)
     if (words.exists(w => dfs.getOrElse(w, 0L) == 0L)) // a phrase term absent from the corpus
@@ -570,8 +584,8 @@ final class Engine(val index: Index) {
     val (n, avgdl) = index.stats
     val idfSum = words.map(w => Bm25.idf(dfs(w).toDouble, n.toDouble)).sum
     if (index.hasPositions)
-      return phraseScoresPositional(toks, boost * idfSum, avgdl)
-    phraseScoresStored(corpus, toks, boost, idfSum, avgdl)
+      return phraseScoresPositional(toks, boost * idfSum, avgdl, slop)
+    phraseScoresStored(corpus, toks, boost, idfSum, avgdl, slop)
   }
 
   /** Positional PhraseQuery (primary route, codec_ver ≥ 2 indexes): per
@@ -589,7 +603,7 @@ final class Engine(val index: Index) {
     * BoolPhraseSpec on a fallback-forced twin).
     */
   private def phraseScoresPositional(toks: Array[String], weight: Double,
-      avgdl: Double): org.apache.spark.sql.Dataset[Scored] = {
+      avgdl: Double, slop: Int = 0): org.apache.spark.sql.Dataset[Scored] = {
     val words = toks.map("w:" + _)
     val names = words.distinct.toSeq
     val ids = names.map(TermHash.hash)
@@ -603,12 +617,12 @@ final class Engine(val index: Index) {
       case None =>
         hits.groupByKey(_._1).flatMapGroups((seg, it) =>
           Engine.phraseMatches(seg, it.toArray, words, nDistinct, cfg, null,
-            weight, avgdl))
+            weight, avgdl, slop))
       case Some(k) =>
         val segShift = cfg.segShift
         hits.groupByKey(_._1).cogroup(k.groupByKey(_._1)) { (seg, hitIt, bmIt) =>
           Engine.phraseMatches(seg, hitIt.toArray, words, nDistinct, cfg,
-            Engine.flipAllow(bmIt.map(_._2).toSeq, segShift), weight, avgdl)
+            Engine.flipAllow(bmIt.map(_._2).toSeq, segShift), weight, avgdl, slop)
         }
     }
   }
@@ -619,10 +633,14 @@ final class Engine(val index: Index) {
     */
   private[graft] def phraseScoresStored(corpus: DataFrame, toks: Array[String],
       boost: Double, idfSum: Double,
-      avgdl: Double): org.apache.spark.sql.Dataset[Scored] = {
+      avgdl: Double, slop: Int = 0): org.apache.spark.sql.Dataset[Scored] = {
     val words = toks.toSeq.map("w:" + _)
-    val shingles = (0 until toks.length - 1)
-      .map(i => graft.analyze.Tokenizer.shingleTerm(toks(i), toks(i + 1)))
+    // adjacency shingles narrow candidates only for the EXACT phrase; a
+    // sloppy match need not contain any adjacent pair, so slop > 0 falls
+    // back to the plain word conjunction
+    val shingles = if (slop > 0) Nil
+      else (0 until toks.length - 1)
+        .map(i => graft.analyze.Tokenizer.shingleTerm(toks(i), toks(i + 1)))
     val dfs = index.dfOf(words.distinct)
     val cand = conjunctiveDocs(words ++ shingles).toDF("doc_id")
     // native verify: tokenize + sliding phrase count + dl in ONE eval per
@@ -630,7 +648,7 @@ final class Engine(val index: Index) {
     // composition it replaced is kept as [[Engine.phrasePfDlHof]] for the
     // equivalence pin
     val pfDl = graft.functions.GraftFunctions.graft_phrase_pfdl(
-      col("content"), toks.toSeq, IndexBuild.MaxDl)
+      col("content"), toks.toSeq, IndexBuild.MaxDl, slop)
     // explicit broadcast, SIZE-GATED on a bound already in hand: cand
     // comes out of a groupByKey/flatMapGroups, so the planner has no
     // size estimate and falls back to a sort-merge join that shuffles
@@ -867,7 +885,7 @@ final class Engine(val index: Index) {
     val must = Seq.newBuilder[(String, Double)]
     val mustNot = Seq.newBuilder[String]
     val groups = Seq.newBuilder[Seq[(String, Double)]]
-    val phrases = Seq.newBuilder[(Array[String], Double, Engine.Occur)]
+    val phrases = Seq.newBuilder[(Array[String], Double, Engine.Occur, Int)]
     Engine.parseLucene(q).foreach {
       case TermClause(t, b, Occur.Should) => should += (t -> b)
       case TermClause(t, b, Occur.Must) => must += (t -> b)
@@ -897,13 +915,13 @@ final class Engine(val index: Index) {
         groups += rangeExpansions(lo, hi, il, ih, maxExpansions).map(_ -> b)
       case Engine.RangeClause(lo, hi, il, ih, _, Occur.MustNot) =>
         mustNot ++= rangeExpansions(lo, hi, il, ih, maxExpansions)
-      case PhraseClause(toks, b, occ) if toks.length == 1 => // Lucene: a one-word phrase IS a TermQuery
+      case PhraseClause(toks, b, occ, _) if toks.length == 1 => // Lucene: a one-word phrase IS a TermQuery (slop is meaningless)
         occ match {
           case Occur.Should => should += (("w:" + toks.head) -> b)
           case Occur.Must => must += (("w:" + toks.head) -> b)
           case Occur.MustNot => mustNot += ("w:" + toks.head)
         }
-      case PhraseClause(toks, b, occ) => phrases += ((toks.toArray, b, occ))
+      case PhraseClause(toks, b, occ, slop) => phrases += ((toks.toArray, b, occ, slop))
     }
     val shouldSeq = should.result()
     val mustSeq = must.result()
@@ -941,13 +959,13 @@ final class Engine(val index: Index) {
     // where the previous shape (a second phraseScores call at boost 1.0)
     // guaranteed two full postings + verify passes per required phrase
     val phraseDfs =
-      phraseSeq.map { case p @ (toks, b, occ) =>
+      phraseSeq.map { case p @ (toks, b, occ, slop) =>
         val boost = if (occ == Occur.MustNot) 1.0 else b
-        p -> phraseScores(corpus, toks, boost).toDF("doc_id", "score")
+        p -> phraseScores(corpus, toks, boost, slop).toDF("doc_id", "score")
       }
     val parts: Seq[DataFrame] =
       (if (weights.isEmpty) Nil else Seq(scanScoreAll(weights, avgdl))) ++
-        phraseDfs.collect { case (((_, _, occ), df0)) if occ != Occur.MustNot => df0 }
+        phraseDfs.collect { case (((_, _, occ, _), df0)) if occ != Occur.MustNot => df0 }
     if (parts.isEmpty) // purely negative query matches nothing, as in Lucene
       return Wand.topK(spark, spark.emptyDataset[Scored], rows)
     var res = parts.reduce(_ unionAll _)
@@ -958,7 +976,7 @@ final class Engine(val index: Index) {
     groupsKept.foreach { g => // ≥1 member per required group
       res = res.join(matchSet(g), Seq("doc_id"), "left_semi")
     }
-    phraseDfs.foreach { case ((_, _, occ), df0) =>
+    phraseDfs.foreach { case ((_, _, occ, _), df0) =>
       occ match {
         case Occur.Must =>
           res = res.join(df0.select("doc_id"), Seq("doc_id"), "left_semi")
@@ -2192,15 +2210,29 @@ object Engine {
     * the filter (measured ~30x without it).
     */
   private[graft] def phrasePfDlHof(content: Column, toks: Array[String],
-      maxDl: Int): Column = {
+      maxDl: Int, slop: Int = 0): Column = {
     val k = toks.length
     graft.analyze.Tokenizer.bindOnce(
         graft.analyze.Tokenizer.tokens(content)) { ts =>
+      // slop 0: per-anchor k-way consecutive conjunction; slop > 0: per
+      // word an EXISTS over its [i+j-slop, i+j+slop] window (the
+      // independent-window sloppy rule of [[phraseScores]]) — the anchor
+      // sequence then spans every position of the first word, not just
+      // those with k-1 following slots
+      val anchors =
+        if (slop == 0) sequence(lit(1), greatest(size(ts) - lit(k - 1), lit(0)))
+        else sequence(lit(1), size(ts))
+      def wordOk(i: Column, w: String, j: Int): Column =
+        if (slop == 0 || j == 0) element_at(ts, i + lit(j)) === lit(w)
+        else exists(
+          sequence(greatest(i + lit(j - slop), lit(1)),
+            least(i + lit(j + slop), size(ts))),
+          q => element_at(ts, q) === lit(w))
       struct(
-        when(size(ts) >= lit(k),
-          size(filter(sequence(lit(1), size(ts) - lit(k - 1)),
+        when(size(ts) >= lit(if (slop == 0) k else 1),
+          size(filter(anchors,
             i => toks.toSeq.zipWithIndex.map { case (w, j) =>
-              element_at(ts, i + lit(j)) === lit(w)
+              wordOk(i, w, j)
             }.reduce(_ && _))))
           .otherwise(lit(0)).as("pf"),
         least(lit(2) * size(ts) - lit(1), lit(maxDl)).as("dl"))
@@ -2311,7 +2343,8 @@ object Engine {
   private[query] def phraseMatches(seg: Long,
       rows: Array[(Long, String, Array[Byte], Array[Byte])],
       words: Array[String], nDistinct: Int, cfg: IndexConfig,
-      allow: RoaringBitmap, weight: Double, avgdl: Double): Iterator[Scored] = {
+      allow: RoaringBitmap, weight: Double, avgdl: Double,
+      slop: Int = 0): Iterator[Scored] = {
     val byTerm = new java.util.HashMap[String, Codec.IterPos]()
     rows.foreach { r =>
       // no build path writes two rows per (segment, term) (compaction units
@@ -2354,12 +2387,16 @@ object Engine {
             var ok = true
             var j = 1
             while (ok && j < slots.length) {
+              // word j accepted anywhere in [p+j-slop, p+j+slop]; anchors
+              // ascend, so the window's lower bound ascends and each slot
+              // pointer only moves forward — linear in Σ|positions| at any
+              // slop (slop 0 = the exact conjunction)
               val lj = slots(j).curPositions
               var q = ptrs(j)
-              val tgt = p + j
-              while (q < lj.length && lj(q) < tgt) q += 1
+              val lo = p + j - slop
+              while (q < lj.length && lj(q) < lo) q += 1
               ptrs(j) = q
-              ok = q < lj.length && lj(q) == tgt
+              ok = q < lj.length && lj(q) <= p + j + slop
               j += 1
             }
             if (ok) pf += 1
@@ -2431,7 +2468,11 @@ object Engine {
   final case class PrefixClause(prefix: String, boost: Double, occur: Occur) extends QClause
   final case class FuzzyClause(term: String, maxEdits: Int, boost: Double, occur: Occur) extends QClause
   final case class WildcardClause(pattern: String, boost: Double, occur: Occur) extends QClause
-  final case class PhraseClause(toks: Seq[String], boost: Double, occur: Occur) extends QClause
+  /** `"w1 w2 …"` (slop 0) or `"w1 w2 …"~N` — Lucene PhraseQuery with slop
+    * (QueryParser `PhraseSlop` suffix, the host's `q="d e"~2` surface).
+    */
+  final case class PhraseClause(toks: Seq[String], boost: Double, occur: Occur,
+                                slop: Int = 0) extends QClause
   /** TermRangeQuery: `[lo TO hi]` inclusive / `{lo TO hi}` exclusive per
     * bracket (mixable, as in Lucene), `None` bound = `*` (open).
     */
@@ -2449,7 +2490,7 @@ object Engine {
     b
   }
 
-  private val QuotedRe = """([+-]?)"([^"]*)"(?:\^(\S+))?""".r
+  private val QuotedRe = """([+-]?)"([^"]*)"(?:~(\d+))?(?:\^(\S+))?""".r
   // bound bodies exclude brackets/whitespace so the greedy token can't
   // swallow the closing bracket; `TO` is Lucene's literal keyword
   private val RangeRe = """([+-]?)([\[{])([^\s\[\]{}]+)\s+TO\s+([^\s\[\]{}]+)([\]}])(?:\^(\S+))?""".r
@@ -2457,7 +2498,7 @@ object Engine {
   /** Full Lucene QueryParser grammar over one field:
     *
     *   clause := [+|-] body [^boost]
-    *   body   := "phrase words" | [lo TO hi] | {lo TO hi} | prefix*
+    *   body   := "phrase words"[~slop] | [lo TO hi] | {lo TO hi} | prefix*
     *           | wild?car*d | term~[N] | term
     *
     * `+` = MUST, `-` = MUST_NOT, bare = SHOULD; `^boost` scales the
@@ -2474,10 +2515,11 @@ object Engine {
     while (m.isDefined) {
       val mm = m.get
       val occ = occurOf(mm.group(1))
+      val slop = Option(mm.group(3)).map(_.toInt).getOrElse(0)
       val boost = requirePositiveBoost(
-        Option(mm.group(3)).flatMap(b => b.toDoubleOption).getOrElse(1.0))
+        Option(mm.group(4)).flatMap(b => b.toDoubleOption).getOrElse(1.0))
       val toks = graft.analyze.Tokenizer.tokenizeScala(mm.group(2))
-      if (toks.nonEmpty) out += PhraseClause(toks.toSeq, boost, occ)
+      if (toks.nonEmpty) out += PhraseClause(toks.toSeq, boost, occ, slop)
       rest = rest.substring(0, mm.start) + " " + rest.substring(mm.end)
       m = QuotedRe.findFirstMatchIn(rest)
     }

@@ -521,9 +521,9 @@ object Oracle {
     * from the dictionary empties the result (n_terms < n_q guard), exactly
     * as Engine.searchPhrase returns empty on a df=0 word.
     */
-  def phraseSql(phrase: String, k: Int): String =
+  def phraseSql(phrase: String, k: Int, slop: Int = 0): String =
     withPrelude(
-      s"""     , ${phraseCtes(phrase, 1.0, "")},
+      s"""     , ${phraseCtes(phrase, 1.0, "", slop)},
          |ranked AS (
          |  SELECT doc_id,
          |         CAST(round(score * 1000000.0) AS BIGINT) AS score_q,
@@ -536,12 +536,25 @@ object Oracle {
     * so several phrases can coexist in one query): ends with
     * pscored$tag(doc_id, score).
     */
-  def phraseCtes(phrase: String, boost: Double, tag: String): String = {
+  def phraseCtes(phrase: String, boost: Double, tag: String,
+                 slop: Int = 0): String = {
     val toks = graft.analyze.Tokenizer.tokenizeScala(phrase)
     require(toks.length >= 2, "phraseCtes mirrors the multi-token form")
     val kTok = toks.length
-    val conds = toks.zipWithIndex
-      .map { case (w, j) => s"ts[i + $j] = '$w'" }.mkString(" AND ")
+    // slop 0: exact per-anchor conjunction; slop > 0: the independent-
+    // window sloppy rule of Engine.phraseScores — word j anywhere in
+    // [i+j-slop, i+j+slop] (list bounds clamp; anchors span every position
+    // of the first word)
+    val conds =
+      if (slop == 0) toks.zipWithIndex
+        .map { case (w, j) => s"ts[i + $j] = '$w'" }.mkString(" AND ")
+      else (s"ts[i] = '${toks.head}'" +: toks.toSeq.zipWithIndex.tail.map {
+        case (w, j) =>
+          s"len(list_filter(generate_series(greatest(1, i + ${j - slop}), " +
+            s"least(len(ts), i + ${j + slop})), q -> ts[q] = '$w')) > 0"
+      }).mkString(" AND ")
+    val (guardLen, anchorHi) =
+      if (slop == 0) (kTok, s"len(ts) - ${kTok - 1}") else (1, "len(ts)")
     val pwVals = toks.map(t => s"('w:$t')").mkString(", ")
     s"""pw$tag(term) AS (SELECT * FROM (VALUES $pwVals) v(term)),
        |idfs$tag AS (
@@ -551,8 +564,8 @@ object Oracle {
        |  FROM pw$tag JOIN dict f ON f.term = pw$tag.term CROSS JOIN stats s),
        |pf$tag AS (
        |  SELECT t.doc_id,
-       |         (CASE WHEN len(ts) >= $kTok
-       |               THEN len(list_filter(generate_series(1, len(ts) - ${kTok - 1}), i -> $conds))
+       |         (CASE WHEN len(ts) >= $guardLen
+       |               THEN len(list_filter(generate_series(1, $anchorHi), i -> $conds))
        |               ELSE 0 END)::BIGINT AS pf
        |  FROM toks t),
        |pscored$tag AS (

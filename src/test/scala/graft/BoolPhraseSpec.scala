@@ -168,6 +168,109 @@ class BoolPhraseSpec extends SparkSpec {
     }
   }
 
+  /** Brute sloppy pf under the independent-window rule of
+    * [[Engine.phraseScores]]: anchor i of word0 matches when every word j
+    * has an occurrence in [i+j-slop, i+j+slop].
+    */
+  private def bruteSloppyPf(ts: Array[String], toks: Array[String], slop: Int): Int =
+    ts.indices.count { i =>
+      ts(i) == toks(0) && toks.indices.tail.forall { j =>
+        val lo = math.max(0, i + j - slop)
+        val hi = math.min(ts.length - 1, i + j + slop)
+        (lo to hi).exists(q => ts(q) == toks(j))
+      }
+    }
+
+  private def bruteSloppy(phrase: String, slop: Int, k: Int): Seq[BruteScorer.Scored] = {
+    val toks = Tokenizer.tokenizeScala(phrase)
+    val words = toks.map("w:" + _)
+    val nonEmpty = docs.filter(d => Tokenizer.tokenCountScala(d._2) > 0)
+    val n = nonEmpty.size.toDouble
+    val dls = nonEmpty.map { case (id, c) =>
+      id -> math.min(Tokenizer.dlOf(Tokenizer.tokenCountScala(c)), IndexBuild.MaxDl).toDouble
+    }.toMap
+    val avgdl = dls.values.sum / n
+    val df: Map[String, Int] =
+      words.distinct.map(w => w -> docs.count(d => termSets(d._1)(w))).toMap
+    if (words.exists(w => df(w) == 0)) return Nil
+    val idfSum = words.map(w => Bm25.idf(df(w).toDouble, n)).sum
+    nonEmpty.flatMap { case (id, c) =>
+      val pf = bruteSloppyPf(Tokenizer.tokenizeScala(c), toks, slop)
+      if (pf > 0) Some(BruteScorer.Scored(id, idfSum * Bm25.tfNorm(pf.toDouble, dls(id), avgdl)))
+      else None
+    }.sortBy(s => (-s.scoreQ, s.docId)).take(k)
+  }
+
+  test("sloppy phrase rank-identical to the brute window scorer; slop 0 = exact") {
+    for (slop <- Seq(1, 2, 3)) {
+      val got = engine.searchPhrase(corpus, SparkEntry.PhraseBigram, rows = 10000, slop = slop)
+        .as[(Long, Long, Long)].collect().toSeq
+      val exp = bruteSloppy(SparkEntry.PhraseBigram, slop, 10000)
+      assert(exp.nonEmpty, s"slop $slop pin must be non-vacuous")
+      assert(got.map(_._2) == exp.map(_.docId), s"slop $slop doc order")
+      assert(got.map(_._3) == exp.map(_.scoreQ), s"slop $slop scores")
+    }
+    // slop 0 through the slop parameter IS the exact route
+    val exact = engine.searchPhrase(corpus, SparkEntry.PhraseBigram, rows = 60)
+      .collect().map(_.toSeq).toSeq
+    val slop0 = engine.searchPhrase(corpus, SparkEntry.PhraseBigram, rows = 60, slop = 0)
+      .collect().map(_.toSeq).toSeq
+    assert(exact == slop0)
+    // trigram: the ≥3-word independent-window rule
+    val got3 = engine.searchPhrase(corpus, SparkEntry.PhraseTrigram, rows = 10000, slop = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    val exp3 = bruteSloppy(SparkEntry.PhraseTrigram, 2, 10000)
+    assert(got3.map(_._2) == exp3.map(_.docId) && got3.map(_._3) == exp3.map(_.scoreQ))
+  }
+
+  test("sloppy positional route is score-identical to the stored-field twin") {
+    val toks = Tokenizer.tokenizeScala(SparkEntry.PhraseBigram)
+    val words = toks.toSeq.map("w:" + _)
+    val dfs = engine.index.dfOf(words.distinct)
+    val (n, avgdl) = engine.index.stats
+    val idfSum = words.map(w => Bm25.idf(dfs(w).toDouble, n.toDouble)).sum
+    for (slop <- Seq(1, 2)) {
+      val pos = engine.phraseScores(corpus, toks, 1.0, slop)
+        .collect().map(s => (s.docId, s.scoreQ)).sortBy(_._1).toSeq
+      val stored = engine.phraseScoresStored(corpus, toks, 1.0, idfSum, avgdl, slop)
+        .collect().map(s => (s.docId, s.scoreQ)).sortBy(_._1).toSeq
+      assert(pos == stored, s"slop $slop: positional vs stored verify diverge")
+      assert(pos.nonEmpty, s"slop $slop: twin pin must be non-vacuous")
+    }
+  }
+
+  test("slop widens monotonically and slop 2 admits the reversed adjacent bigram") {
+    val toks = Tokenizer.tokenizeScala(SparkEntry.PhraseBigram)
+    def matchSet(slop: Int): Set[Long] =
+      engine.searchPhrase(corpus, SparkEntry.PhraseBigram, rows = 10000, slop = slop)
+        .select($"doc_id").as[Long].collect().toSet
+    val s0 = matchSet(0); val s1 = matchSet(1); val s2 = matchSet(2)
+    assert(s0.subsetOf(s1) && s1.subsetOf(s2), "sloppy match sets must nest")
+    assert(s0.size < s1.size && s1.size < s2.size,
+      "gates chose a phrase where each slop is strictly wider")
+    // a doc holding ONLY the reversed adjacent order ("join hash") matches
+    // at slop 2 and not below — Lucene's transposition distance
+    val revOnly = docs.collect {
+      case (id, c) if {
+        val ts = Tokenizer.tokenizeScala(c)
+        bruteSloppyPf(ts, toks, 1) == 0 &&
+          (0 until ts.length - 1).exists(i => ts(i) == toks(1) && ts(i + 1) == toks(0))
+      } => id
+    }
+    assert(revOnly.nonEmpty, "corpus must hold a reversed-only doc (non-vacuous)")
+    revOnly.foreach { id =>
+      assert(!s1.contains(id) && s2.contains(id), s"doc $id: reversal is slop-2")
+    }
+  }
+
+  test("parsed `\"…\"~N` routes through the sloppy scorer (gate twin)") {
+    val viaParser = engine.searchParsed(corpus,
+      "\"" + SparkEntry.PhraseBigram + "\"~2", rows = 60).collect().map(_.toSeq).toSeq
+    val direct = engine.searchPhrase(corpus, SparkEntry.PhraseBigram, rows = 60, slop = 2)
+      .collect().map(_.toSeq).toSeq
+    assert(viaParser == direct)
+  }
+
   test("conjunctive candidate generator equals the brute AND of term doc sets") {
     val terms = Seq("w:hash", "w:join", "w:window")
     val got = engine.conjunctiveDocs(terms).collect().toSet

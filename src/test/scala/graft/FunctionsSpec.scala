@@ -144,6 +144,33 @@ class FunctionsSpec extends SparkSpec {
       GraftFunctions.graft_phrase_pfdl($"content", Seq("get", "get"), IndexBuild.MaxDl).as("pd"))
       .select($"doc_id", $"pd.pf").as[(Long, Int)].collect().toMap
     assert(pf204(9204L) == 2 && pf204(9203L) == 0)
+    // sloppy form: expression == HOF composition at slops 1-3, incl. the
+    // repeated-word and doc-boundary-window edges
+    for (slop <- Seq(1, 2, 3);
+         toks <- Seq(Array("get", "geter"), Array("geter", "get"), Array("get", "get"))) {
+      val a = all.select($"doc_id",
+        GraftFunctions.graft_phrase_pfdl($"content", toks.toSeq, IndexBuild.MaxDl, slop).as("pd"))
+        .select($"doc_id", struct($"pd.pf", $"pd.dl").as("v"))
+        .as[(Long, (Int, Int))].collect().toMap
+      val b = all.select($"doc_id",
+        graft.query.Engine.phrasePfDlHof($"content", toks, IndexBuild.MaxDl, slop).as("pd"))
+        .select($"doc_id", struct($"pd.pf", $"pd.dl").as("v"))
+        .as[(Long, (Int, Int))].collect().toMap
+      assert(a == b, s"slop $slop phrase ${toks.mkString(" ")}")
+    }
+    // pinned sloppy fact: "geter get geter get geter", phrase "geter get"
+    // slop 1 — geter anchors 1,3 find a get in their [i, i+2] window, the
+    // trailing anchor 5's clamped window [5,5] does not -> pf 2
+    val slopPf = all.select($"doc_id",
+      GraftFunctions.graft_phrase_pfdl($"content", Seq("geter", "get"), IndexBuild.MaxDl, 1).as("pd"))
+      .select($"doc_id", $"pd.pf").as[(Long, Int)].collect().toMap
+    assert(slopPf(9205L) == 2, "two of three geter anchors reach a get within the slop-1 window")
+    // "get geter" is the REVERSED order: distance 2, invisible at slop 1
+    assert(slopPf(9203L) == 0 && slopPf(9202L) == 0)
+    val slopPf2 = all.select($"doc_id",
+      GraftFunctions.graft_phrase_pfdl($"content", Seq("geter", "get"), IndexBuild.MaxDl, 2).as("pd"))
+      .select($"doc_id", $"pd.pf").as[(Long, Int)].collect().toMap
+    assert(slopPf2(9203L) == 1, "reversal matches at slop 2 (transposition distance)")
   }
 
   test("graft_postings decodes exactly what Codec encoded") {

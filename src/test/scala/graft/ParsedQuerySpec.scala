@@ -64,6 +64,13 @@ class ParsedQuerySpec extends SparkSpec {
       Seq(PhraseClause(Seq("hash", "join"), 2.5, Occur.MustNot)))
     // digits-only suffix after ~ is the edit budget; otherwise a plain term
     assert(Engine.parseLucene("a~1x") == Seq(TermClause("a~1x", 1.0, Occur.Should)))
+    // phrase slop: `"…"~N` (PhraseSlop), composing with occur and ^boost;
+    // an unsuffixed phrase keeps slop 0
+    assert(Engine.parseLucene("+\"Hash JOIN\"~2^1.5") ==
+      Seq(PhraseClause(Seq("hash", "join"), 1.5, Occur.Must, slop = 2)))
+    assert(Engine.parseLucene("\"a b\"~10 c") == Seq(
+      PhraseClause(Seq("a", "b"), 1.0, Occur.Should, slop = 10),
+      TermClause("c", 1.0, Occur.Should)))
     // wildcard bodies: trailing-star-only stays a PrefixClause; any other
     // *(/? placement is a WildcardClause (occur + boost preserved)
     assert(Engine.parseLucene("w:s?a* -mid*dle^2") == Seq(

@@ -275,6 +275,15 @@ class PlanSpec extends SparkSpec {
     val df = engine.phraseScores(corpus,
       SparkEntry.PhraseBigram.split(" "), 1.0) // gate phrase: present at sfTiny
     val p = plan(df.toDF())
+    // the sloppy route shares the pin: slop only changes the in-task
+    // position arithmetic, never the plan shape
+    val pSloppy = plan(engine.phraseScores(corpus,
+      SparkEntry.PhraseBigram.split(" "), 1.0, slop = 2).toDF())
+    def canon(s: String) = s.replaceAll("#\\d+L?", "#")
+      .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+@[0-9a-f]+", "Lambda")
+      .replaceAll("plan_id=\\d+", "plan_id=")
+    assert(canon(pSloppy) == canon(p),
+      s"sloppy phrase plan diverges from the exact plan:\n$pSloppy")
     // the scale-killer pin (VERDICT r04 next #1): no stored-field access of
     // any kind — no corpus/docmeta relation, no content column, no join at
     // all (phrase scoring is one segment-cogroup over postings+positions)
