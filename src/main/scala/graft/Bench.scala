@@ -244,6 +244,14 @@ object Bench {
       "parsed_mixed" -> (() => engine.searchParsed(corpus,
         "+w:license \"get geter\" w:scanptr^2 -w:stream w:merge*^0.5 w:hach~1",
         rows = 60).count()),
+      // positional phrase family head-to-head: the same bigram exact and
+      // at slop 2 — the slop window rides the SAME leapfrog pass, so the
+      // two records should sit within noise of each other (the plan is
+      // pinned identical in PlanSpec)
+      "phrase_exact" -> (() => engine.searchPhrase(corpus, "get geter",
+        rows = 60).count()),
+      "phrase_slop" -> (() => engine.searchPhrase(corpus, "get geter",
+        rows = 60, slop = 2).count()),
       "gopher_rules" -> (() => graft.ml.TextStats.gopherRules(corpus)
         .agg(org.apache.spark.sql.functions.sum("keep"),
           org.apache.spark.sql.functions.min("mean_wlen_q")).collect().length.toLong),

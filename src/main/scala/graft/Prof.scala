@@ -242,6 +242,10 @@ object Prof {
         corpus.where(col("doc_id") % 997 === 0)).count()),
       "fuzzy_pruned" -> (() => engine.searchFuzzy("w:mergefactori",
         maxEdits = 2, rows = 60, maxExpansions = 8).count()),
+      "phrase_exact" -> (() => engine.searchPhrase(corpus, "get geter",
+        rows = 60).count()),
+      "phrase_slop" -> (() => engine.searchPhrase(corpus, "get geter",
+        rows = 60, slop = 2).count()),
       "all_hot_wideseg_fallback" -> {
         val wideIdx = tempDir("prof-smoke-wideseg-")
         IndexBuild.build(spark, corpus, wideIdx,

@@ -465,6 +465,11 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s, dir) =>
       Dedup.connectedComponents(Dedup.minhashPairs(Dedup.minhashBands(
         Dedup.minhashSignatures(Dedup.withDups(Corpus.fromDocuments(s, dir))))))),
+    // same components via alternating large-star/small-star — the
+    // O(log diameter)-round variant for long-chain graphs at 100x
+    "q_dedup_clusters_stars" -> ((s, dir) =>
+      Dedup.connectedComponentsStars(Dedup.minhashPairs(Dedup.minhashBands(
+        Dedup.minhashSignatures(Dedup.withDups(Corpus.fromDocuments(s, dir))))))),
     // full per-doc decision table: cluster + keep(min-of-cluster)/drop
     "q_dedup_decisions" -> ((s, dir) => {
       val c = Dedup.withDups(Corpus.fromDocuments(s, dir))
@@ -830,6 +835,7 @@ object SparkEntry {
     "q_span_dup" -> OracleMl.spanDupsSql(SpanDupWidth, SpanDupMaxOcc),
     "q_dedup_minhash" -> OracleMl.minhashPairsSql,
     "q_dedup_clusters" -> OracleMl.dedupClustersSql,
+    "q_dedup_clusters_stars" -> OracleMl.dedupClustersSql,
     "q_curation" -> OracleMl.curationSql,
     "q_dedup_decisions" -> OracleMl.dedupDecisionsSql,
     "q_dedup_jaccard" -> OracleMl.jaccardPairsSql,

@@ -315,8 +315,8 @@ object Dedup {
     * on doc ids, no driver-side graph. Near-dup components are
     * near-cliques by construction (members collide in shared LSH buckets),
     * so the propagation distance — and round count — stays small (2-3);
-    * a pathological long-chain graph would want the large-star/small-star
-    * variant (O(log n) rounds, same join shape per round). Convergence is
+    * a pathological long-chain graph wants [[connectedComponentsStars]]
+    * (O(log diameter) rounds, same join shape per round). Convergence is
     * detected by Σ labels (labels only ever decrease, so an unchanged sum
     * IS the fixpoint — one cheap aggregate, no change-join). Lineage is
     * truncated per round (localCheckpoint) so the plan does not grow with
@@ -360,6 +360,78 @@ object Dedup {
       }
       labels
     } finally edges.unpersist(blocking = false)
+  }
+
+  /** Connected components by alternating large-star/small-star (Kiveris
+    * et al. 2014, "Connected Components in MapReduce and Beyond") — the
+    * long-chain upgrade [[connectedComponents]]'s scaladoc names: a
+    * diameter-d component needs ~d min-label rounds but only O(log d)
+    * star rounds, each round the SAME shuffle shape (one groupBy-min +
+    * one equi-join on node ids; no driver-side graph, no windows).
+    *
+    *  - large-star(u): attach every LARGER neighbor of u to
+    *    m = min(Γ(u) ∪ {u})
+    *  - small-star(u): orient edges (big → small), then attach u and all
+    *    its (smaller) neighbors to their minimum
+    *
+    * Self-loops drop (a doc appearing ONLY in a degenerate self-pair gets
+    * no row — [[connectedComponents]] would label it a singleton;
+    * unreachable from [[minhashPairs]]' strict doc_a < doc_b output, and
+    * [[dedupDecisions]]' coalesce covers it), edges stay oriented
+    * (big, small), and the fixpoint (a star forest: every node attached
+    * directly to its component's min) is detected EXACTLY — equal counts
+    * + `exceptAll` emptiness, not a checksum. Output schema identical to
+    * [[connectedComponents]] (doc_id, cluster_id over nodes appearing in
+    * `pairs`); MlSpec pins the two algorithms equal on the LSH graph AND
+    * on a constructed long chain where min-label's round count is the
+    * chain length. Driver-gated q_dedup_clusters_stars against the SAME
+    * recursive-CTE DuckDB oracle as q_dedup_clusters.
+    */
+  def connectedComponentsStars(pairs: DataFrame): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("src"), col("dst"))
+        .unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      val m = sym.groupBy("src")
+        .agg(least(min(col("dst")), first(col("src"))).as("m"))
+      sym.join(m, Seq("src"))
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(
+        greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      val m = oriented.groupBy("src").agg(min(col("dst")).as("m"))
+      // attach u AND its smaller neighbors to the minimum; (m, m) self-
+      // loops drop, (u, m) stays oriented big -> small
+      oriented.join(m, Seq("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .unionAll(m.select(col("src"), col("m").as("dst")))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+    }
+    var edges = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("src"),
+        least(col("doc_a"), col("doc_b")).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    var converged = edges.isEmpty
+    while (!converged) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // exact set equality (both relations are distinct): equal counts and
+      // an empty one-sided difference
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).isEmpty
+      edges.unpersist(blocking = false)
+      edges = next
+    }
+    // star forest -> labels: every attached node + each root labeling itself
+    edges.select(col("src").as("doc_id"), col("dst").as("cluster_id"))
+      .unionAll(edges.select(col("dst").as("doc_id"), col("dst").as("cluster_id")).distinct())
+      .distinct()
   }
 
   /** Full dedup decision table: every corpus doc with its cluster and

@@ -92,6 +92,35 @@ class MlSpec extends SparkSpec {
     assert(none.length == 60 && none.forall(d => d._3 == 1L && d._2 == d._1))
   }
 
+  test("large-star/small-star components == min-label on chains, cliques, and a 128-hop chain") {
+    // the structured graph of the min-label test
+    val pairs = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L), (15L, 16L),
+      (30L, 31L), (31L, 32L), (30L, 32L),
+      (50L, 51L)).toDF("doc_a", "doc_b")
+    val viaStars = Dedup.connectedComponentsStars(pairs)
+      .as[(Long, Long)].collect().toMap
+    val viaMinLabel = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(viaStars == viaMinLabel)
+    // a 128-hop chain — the diameter regime the stars variant exists for
+    // (min-label would need ~128 rounds; stars converge in O(log 128)).
+    // Ids deliberately DESCEND along the chain so naive orientations that
+    // assume src < dst would break.
+    val chain = (0 until 128).map(i => (1000L - i, 1000L - i - 1)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponentsStars(chain).as[(Long, Long)].collect().toMap
+    assert(cc.size == 129 && cc.values.forall(_ == 872L), "all chain nodes -> min id 872")
+    // empty graph: no rows, no crash
+    assert(Dedup.connectedComponentsStars(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).isEmpty)
+    // self-pairs alone contribute singleton labels... they are dropped as
+    // self-loops, so a doc appearing ONLY in a self-pair gets no row (the
+    // dedupDecisions coalesce covers it), same as min-label on a loop-free
+    // projection
+    assert(Dedup.connectedComponentsStars(
+      Seq((7L, 7L)).toDF("doc_a", "doc_b")).isEmpty)
+  }
+
   test("curation stage order: a low-quality cluster-min must not become the survivor") {
     // doc 1 = doc 2's text plus heavy trailing punctuation: identical word
     // bigrams (guaranteed minhash pair) but much higher punct_ratio, so 1
