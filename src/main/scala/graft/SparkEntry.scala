@@ -137,6 +137,14 @@ object SparkEntry {
     */
   val ParsedMixedQuery = "+\"hash join\" w:window^2 -w:stream w:sm*^0.5 w:hach~1"
 
+  /** Folded-membership gate: same mix plus a REQUIRED TERM (`+w:license`),
+    * which routes the phrase-mixed composition through
+    * [[graft.query.Engine.scanScoreMembership]] — term-side MUST/NOT ride
+    * the scoring scan as a bitmask instead of membership joins.
+    */
+  val ParsedMixedReqQuery =
+    "+w:the +\"hash join\" w:window^2 -w:stream w:sm*^0.5 w:hach~1"
+
   /** Required-group gate: `+w:sm*` is Lucene's required multi-term
     * rewrite — an OR-required group (≥1 expanded term per result doc,
     * matching expansions score at the clause boost).
@@ -676,6 +684,11 @@ object SparkEntry {
     "q_parsed_mixed" -> ((s, dir) =>
       Engine.forDir(s, dir).searchParsed(Corpus.fromDocuments(s, dir),
         ParsedMixedQuery, rows = 60)),
+    // required-term variant: MUST/NOT membership folds into the scoring
+    // scan (scanScoreMembership bitmask route) instead of joins
+    "q_parsed_mixed_req" -> ((s, dir) =>
+      Engine.forDir(s, dir).searchParsed(Corpus.fromDocuments(s, dir),
+        ParsedMixedReqQuery, rows = 60)),
     // Solr /export: full sorted match set, exact scores, global ranks —
     // range-partitioned sort + zipWithIndex, no single-partition window
     "q_export" -> ((s, dir) => Engine.forDir(s, dir).exportMatches(ExportTerms)),
@@ -907,6 +920,9 @@ object SparkEntry {
     "q_parsed_mixed" -> Oracle.parsedMixedSql("hash join",
       Seq("w:window" -> 2.0), "w:sm", 0.5, "w:hach", 1, 1.0,
       50, Seq("w:stream"), 60),
+    "q_parsed_mixed_req" -> Oracle.parsedMixedSql("hash join",
+      Seq("w:window" -> 2.0), "w:sm", 0.5, "w:hach", 1, 1.0,
+      50, Seq("w:stream"), 60, mustTerms = Seq("w:the" -> 1.0)),
     "q_extract" -> Oracle.extractSql(ExtractContent, extractBudget),
     "q_sha_invariant" -> Oracle.withPrelude(
       "SELECT count(*)::BIGINT AS n_docs, 0::BIGINT AS n_mismatch FROM corpus"),

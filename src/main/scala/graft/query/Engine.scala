@@ -865,18 +865,25 @@ final class Engine(val index: Index) {
     *              + Σ phrase-clause scores ([[phraseScores]])
     *
     * summed by one hash aggregation over the unioned contribution tables,
-    * then MUST clauses intersect ([[conjunctiveDocs]] / the phrase match
-    * set), MUST_NOT clauses anti-join, and the bounded heap ranks. No
-    * global sort, no driver-side scoring; every contribution table is
-    * doc_id-keyed so AQE plans the final joins.
+    * then MUST clauses intersect, MUST_NOT clauses exclude, and the
+    * bounded heap ranks. No global sort, no driver-side scoring.
     *
     * A MUST multi-term clause (`+pre*`, `+term~`, `+[a TO b]`) is Lucene's
     * required rewrite: an OR-required GROUP — the doc must hold at least
     * one expanded term; all matching expansions score. Groups fold into
     * the same per-segment allow bitmap as MUST terms (the group's postings
     * union ANDs in — [[Engine.boolAllow]]), and are exempt from accuracy
-    * pruning like every required clause. On the phrase-mixed path each
-    * group is one left-semi membership join on its expansion's match set.
+    * pruning like every required clause.
+    *
+    * On the phrase-mixed path, when any required term/group clause is
+    * present, term-side membership (MUST / groups / MUST_NOT) rides the
+    * scoring scan itself as a per-term bitmask ([[scanScoreMembership]]) —
+    * no membership join touches postings a second time — and the phrase
+    * contributions graft on with one doc_id left_outer join. Without a
+    * required clause (a phrase-only doc can then match), the general
+    * shape unions all contribution tables, aggregates, and applies the
+    * membership joins ([[conjunctiveDocs]] / [[matchSet]]), every table
+    * doc_id-keyed so AQE plans the final joins.
     */
   def searchParsed(corpus: DataFrame, q: String, rows: Int = 60,
                    maxExpansions: Int = 50): DataFrame = {
@@ -886,42 +893,69 @@ final class Engine(val index: Index) {
     val mustNot = Seq.newBuilder[String]
     val groups = Seq.newBuilder[Seq[(String, Double)]]
     val phrases = Seq.newBuilder[(Array[String], Double, Engine.Occur, Int)]
-    Engine.parseLucene(q).foreach {
-      case TermClause(t, b, Occur.Should) => should += (t -> b)
-      case TermClause(t, b, Occur.Must) => must += (t -> b)
-      case TermClause(t, _, Occur.MustNot) => mustNot += t
-      case PrefixClause(p, b, Occur.Should) =>
-        should ++= termsEnum(p, maxExpansions).select(col("term")).as[String].collect().map(_ -> b)
-      case PrefixClause(p, b, Occur.Must) =>
-        groups += termsEnum(p, maxExpansions).select(col("term")).as[String]
-          .collect().toSeq.map(_ -> b)
-      case PrefixClause(p, _, Occur.MustNot) =>
-        mustNot ++= termsEnum(p, maxExpansions).select(col("term")).as[String].collect()
-      case FuzzyClause(t, e, b, Occur.Should) =>
-        should ++= fuzzyExpansions(t, e, maxExpansions).map { case (x, d) => x -> (b / (1 + d)) }
-      case FuzzyClause(t, e, b, Occur.Must) =>
-        groups += fuzzyExpansions(t, e, maxExpansions).map { case (x, d) => x -> (b / (1 + d)) }
-      case FuzzyClause(t, e, _, Occur.MustNot) =>
-        mustNot ++= fuzzyExpansions(t, e, maxExpansions).map(_._1)
-      case WildcardClause(p, b, Occur.Should) =>
-        should ++= wildcardExpansions(p, maxExpansions).map(_ -> b)
-      case WildcardClause(p, b, Occur.Must) =>
-        groups += wildcardExpansions(p, maxExpansions).map(_ -> b)
-      case WildcardClause(p, _, Occur.MustNot) =>
-        mustNot ++= wildcardExpansions(p, maxExpansions)
-      case Engine.RangeClause(lo, hi, il, ih, b, Occur.Should) =>
-        should ++= rangeExpansions(lo, hi, il, ih, maxExpansions).map(_ -> b)
-      case Engine.RangeClause(lo, hi, il, ih, b, Occur.Must) =>
-        groups += rangeExpansions(lo, hi, il, ih, maxExpansions).map(_ -> b)
-      case Engine.RangeClause(lo, hi, il, ih, _, Occur.MustNot) =>
-        mustNot ++= rangeExpansions(lo, hi, il, ih, maxExpansions)
-      case PhraseClause(toks, b, occ, _) if toks.length == 1 => // Lucene: a one-word phrase IS a TermQuery (slop is meaningless)
+    val clauses = Engine.parseLucene(q)
+    // every multi-term clause's expansion is its own blocking driver-side
+    // dictionary job; a mixed query with several rewrites would pay them
+    // back-to-back. Launch them concurrently (independent read-only
+    // actions on the shared session) and fold results in clause order —
+    // the composition below is byte-identical to the sequential form.
+    // (term, editDistance) is the common shape; non-fuzzy rewrites carry 0.
+    val expanded: Seq[Option[Seq[(String, Int)]]] = {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      clauses.map {
+        case PrefixClause(p, _, _) => Some(Future(
+          termsEnum(p, maxExpansions).select(col("term")).as[String]
+            .collect().toSeq.map(_ -> 0)))
+        case FuzzyClause(t, e, _, _) =>
+          Some(Future(fuzzyExpansions(t, e, maxExpansions)))
+        case WildcardClause(p, _, _) =>
+          Some(Future(wildcardExpansions(p, maxExpansions).map(_ -> 0)))
+        case Engine.RangeClause(lo, hi, il, ih, _, _) =>
+          Some(Future(rangeExpansions(lo, hi, il, ih, maxExpansions).map(_ -> 0)))
+        case _ => None
+      }.map(_.map(Await.result(_, Duration.Inf)))
+    }
+    clauses.zip(expanded).foreach {
+      case (TermClause(t, b, Occur.Should), _) => should += (t -> b)
+      case (TermClause(t, b, Occur.Must), _) => must += (t -> b)
+      case (TermClause(t, _, Occur.MustNot), _) => mustNot += t
+      case (PrefixClause(_, b, Occur.Should), Some(exp)) =>
+        should ++= exp.map(_._1 -> b)
+      case (PrefixClause(_, b, Occur.Must), Some(exp)) =>
+        groups += exp.map(_._1 -> b)
+      case (PrefixClause(_, _, Occur.MustNot), Some(exp)) =>
+        mustNot ++= exp.map(_._1)
+      case (FuzzyClause(_, _, b, Occur.Should), Some(exp)) =>
+        should ++= exp.map { case (x, d) => x -> (b / (1 + d)) }
+      case (FuzzyClause(_, _, b, Occur.Must), Some(exp)) =>
+        groups += exp.map { case (x, d) => x -> (b / (1 + d)) }
+      case (FuzzyClause(_, _, _, Occur.MustNot), Some(exp)) =>
+        mustNot ++= exp.map(_._1)
+      case (WildcardClause(_, b, Occur.Should), Some(exp)) =>
+        should ++= exp.map(_._1 -> b)
+      case (WildcardClause(_, b, Occur.Must), Some(exp)) =>
+        groups += exp.map(_._1 -> b)
+      case (WildcardClause(_, _, Occur.MustNot), Some(exp)) =>
+        mustNot ++= exp.map(_._1)
+      case (Engine.RangeClause(_, _, _, _, b, Occur.Should), Some(exp)) =>
+        should ++= exp.map(_._1 -> b)
+      case (Engine.RangeClause(_, _, _, _, b, Occur.Must), Some(exp)) =>
+        groups += exp.map(_._1 -> b)
+      case (Engine.RangeClause(_, _, _, _, _, Occur.MustNot), Some(exp)) =>
+        mustNot ++= exp.map(_._1)
+      case (PhraseClause(toks, b, occ, _), _) if toks.length == 1 => // Lucene: a one-word phrase IS a TermQuery (slop is meaningless)
         occ match {
           case Occur.Should => should += (("w:" + toks.head) -> b)
           case Occur.Must => must += (("w:" + toks.head) -> b)
           case Occur.MustNot => mustNot += ("w:" + toks.head)
         }
-      case PhraseClause(toks, b, occ, slop) => phrases += ((toks.toArray, b, occ, slop))
+      case (PhraseClause(toks, b, occ, slop), _) =>
+        phrases += ((toks.toArray, b, occ, slop))
+      case (c, None) =>
+        throw new IllegalStateException(s"clause $c missing its expansion")
     }
     val shouldSeq = should.result()
     val mustSeq = must.result()
@@ -963,19 +997,52 @@ final class Engine(val index: Index) {
         val boost = if (occ == Occur.MustNot) 1.0 else b
         p -> phraseScores(corpus, toks, boost, slop).toDF("doc_id", "score")
       }
-    val parts: Seq[DataFrame] =
-      (if (weights.isEmpty) Nil else Seq(scanScoreAll(weights, avgdl))) ++
-        phraseDfs.collect { case (((_, _, occ, _), df0)) if occ != Occur.MustNot => df0 }
-    if (parts.isEmpty) // purely negative query matches nothing, as in Lucene
-      return Wand.topK(spark, spark.emptyDataset[Scored], rows)
-    var res = parts.reduce(_ unionAll _)
-      .groupBy(col("doc_id")).agg(sum(col("score")).as("score"))
-    if (mustSeq.nonEmpty)
-      res = res.join(conjunctiveDocs(mustSeq.map(_._1)).toDF("doc_id"),
-        Seq("doc_id"), "left_semi")
-    groupsKept.foreach { g => // ≥1 member per required group
-      res = res.join(matchSet(g), Seq("doc_id"), "left_semi")
+    val scoringDfs = phraseDfs.collect {
+      case (((_, _, occ, _), df0)) if occ != Occur.MustNot => df0
     }
+    // Required term/group clauses present: every result doc holds a
+    // required — and therefore scoring — term, so the membership-folded
+    // scan ([[scanScoreMembership]]) is complete on its own: phrase
+    // contributions graft on with ONE left_outer join, replacing the
+    // union+agg+semi/anti-join cascade whose membership joins each
+    // re-shuffled postings against the aggregate (the prohibited-term
+    // anti-join folds into the same scan). The rare mask-overflow query
+    // (≥63 required clauses) and the required-clause-free shape — where
+    // a phrase-only doc can match, so the scan alone is NOT complete —
+    // keep the general union shape.
+    val folded = (mustSeq.nonEmpty || groupsKept.nonEmpty) &&
+      mustSeq.length + groupsKept.length < 63
+    var res =
+      if (folded) {
+        val base = scanScoreMembership(weights, avgdl, mustSeq.map(_._1),
+          groupsKept.map(_.map(_._1)), notSeq)
+        if (scoringDfs.isEmpty) base
+        else {
+          // +0.0 on phrase-free docs is exact, so folded scores are
+          // bit-identical to the union shape's for single-phrase queries
+          val pAgg = scoringDfs.reduce(_ unionAll _)
+            .groupBy(col("doc_id")).agg(sum(col("score")).as("pscore"))
+          base.join(pAgg, Seq("doc_id"), "left_outer")
+            .select(col("doc_id"),
+              (col("score") + coalesce(col("pscore"), lit(0.0))).as("score"))
+        }
+      } else {
+        val parts: Seq[DataFrame] =
+          (if (weights.isEmpty) Nil else Seq(scanScoreAll(weights, avgdl))) ++ scoringDfs
+        if (parts.isEmpty) // purely negative query matches nothing, as in Lucene
+          return Wand.topK(spark, spark.emptyDataset[Scored], rows)
+        var r = parts.reduce(_ unionAll _)
+          .groupBy(col("doc_id")).agg(sum(col("score")).as("score"))
+        if (mustSeq.nonEmpty)
+          r = r.join(conjunctiveDocs(mustSeq.map(_._1)).toDF("doc_id"),
+            Seq("doc_id"), "left_semi")
+        groupsKept.foreach { g => // ≥1 member per required group
+          r = r.join(matchSet(g), Seq("doc_id"), "left_semi")
+        }
+        if (notSeq.nonEmpty)
+          r = r.join(matchSet(notSeq.map(_ -> 1.0)), Seq("doc_id"), "left_anti")
+        r
+      }
     phraseDfs.foreach { case ((_, _, occ, _), df0) =>
       occ match {
         case Occur.Must =>
@@ -985,8 +1052,6 @@ final class Engine(val index: Index) {
         case Occur.Should => ()
       }
     }
-    if (notSeq.nonEmpty)
-      res = res.join(matchSet(notSeq.map(_ -> 1.0)), Seq("doc_id"), "left_anti")
     Wand.topK(spark,
       res.select(col("doc_id").as("docId"), col("score")).as[Scored], rows)
   }
@@ -1221,6 +1286,68 @@ final class Engine(val index: Index) {
     // no join-strategy hint: the kill set is usually broadcast-small but a
     // long-uncompacted index could hold billions — AQE picks at runtime
     if (index.hasTombstones && docPred.isEmpty)
+      agg.join(index.killedDocIds, Seq("doc_id"), "left_anti")
+    else agg
+  }
+
+  /** [[scanScoreAll]] with Boolean membership folded into the SAME scan
+    * and aggregation — the phrase-mixed path's required/prohibited
+    * algebra without any extra postings pass or join shuffle.
+    *
+    * Every required clause's terms are already scoring terms, so their
+    * presence per doc is knowable from the rows the scoring scan reads
+    * anyway; prohibited terms ride the same scan at weight 0 (zero score
+    * contribution by construction). Each term carries a driver-computed
+    * bitmask — bit i = MUST term i, bit |must|+j = member of group j,
+    * top bit = prohibited — broadcast with the weights, and ONE extra
+    * `bit_or` next to the score sum replaces what was previously a
+    * [[conjunctiveDocs]] semi-join, one [[matchSet]] semi-join per
+    * group, and a [[matchSet]] anti-join: at corpus scale those each
+    * re-shuffled a hot term's full postings against the aggregate.
+    * Returns (doc_id, score) already membership-filtered; score values
+    * are bit-identical to the scanScoreAll + joins shape (same
+    * contributions, same sum order class). Caller guarantees
+    * |must| + |groups| < 63 and weights ∩ mustNot = ∅.
+    */
+  private[graft] def scanScoreMembership(
+      weights: Map[String, Double], avgdl: Double,
+      must: Seq[String], groups: Seq[Seq[String]],
+      mustNot: Seq[String]): DataFrame = {
+    val notBit = 1L << (must.length + groups.length)
+    def maskOf(t: String): Long = {
+      var m = 0L
+      var i = 0
+      while (i < must.length) { if (must(i) == t) m |= 1L << i; i += 1 }
+      var j = 0
+      while (j < groups.length) {
+        if (groups(j).contains(t)) m |= 1L << (must.length + j); j += 1
+      }
+      m
+    }
+    val requiredMask = notBit - 1 // all must+group bits
+    val wRows = weights.toSeq.map { case (t, w) => (t, w, maskOf(t)) } ++
+      mustNot.map(t => (t, 0.0, notBit))
+    val names = wRows.map(_._1)
+    val ids = names.map(TermHash.hash)
+    val wDf = wRows.toDF("term", "w", "mask")
+    val agg = index.segments
+      .where(col("term_id").isin(ids: _*) && col("term").isin(names: _*))
+      .select(col("seg_id"), col("term"), col("postings"))
+      .join(broadcast(wDf), Seq("term"))
+      .select(col("seg_id"), col("w"), col("mask"),
+        explode(graft.functions.GraftFunctions.graft_postings(col("postings"))).as("p"))
+      .select(
+        packedDocId(col("seg_id"), col("p.local")).as("doc_id"),
+        (col("w") * Bm25.tfNormCol(col("p.tf").cast("double"),
+          col("p.dl").cast("double"), lit(avgdl))).as("part"),
+        col("mask"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("part")).as("score"),
+        org.apache.spark.sql.functions.bit_or(col("mask")).as("mask"))
+      .where(col("mask").bitwiseAND(lit(requiredMask)) === lit(requiredMask) &&
+        col("mask").bitwiseAND(lit(notBit)) === lit(0L))
+      .select(col("doc_id"), col("score"))
+    if (index.hasTombstones)
       agg.join(index.killedDocIds, Seq("doc_id"), "left_anti")
     else agg
   }

@@ -586,9 +586,15 @@ object Oracle {
   def parsedMixedSql(mustPhrase: String, shouldTerms: Seq[(String, Double)],
       prefix: String, prefixBoost: Double,
       fuzzyTerm: String, fuzzyEdits: Int, fuzzyBoost: Double,
-      maxExpansions: Int, mustNot: Seq[String], k: Int): String = {
+      maxExpansions: Int, mustNot: Seq[String], k: Int,
+      mustTerms: Seq[(String, Double)] = Nil): String = {
     val notVals = mustNot.map(t => s"'$t'").mkString(", ")
-    val terms = shouldTerms.filterNot(t => mustNot.contains(t._1))
+    // required terms score like SHOULD terms (Lucene: a MUST clause both
+    // filters and scores) and each adds a membership conjunct below
+    val terms = (shouldTerms.filterNot(t => mustNot.contains(t._1))) ++ mustTerms
+    val mustConds = mustTerms.map { case (t, _) =>
+      s"\n    AND doc_id IN (SELECT doc_id FROM post WHERE term = '$t')"
+    }.mkString
     withPrelude(
       s"""     , qt(term, boost) AS (SELECT * FROM (VALUES ${termValues(terms)}) v(term, boost)),
          |qp(term, boost) AS (
@@ -624,7 +630,7 @@ object Oracle {
          |filtered AS (
          |  SELECT * FROM summed
          |  WHERE doc_id IN (SELECT doc_id FROM pscored1)
-         |    AND doc_id NOT IN (SELECT doc_id FROM post WHERE term IN ($notVals))),
+         |    AND doc_id NOT IN (SELECT doc_id FROM post WHERE term IN ($notVals))$mustConds),
          |ranked AS (
          |  SELECT doc_id,
          |         CAST(round(score * 1000000.0) AS BIGINT) AS score_q,

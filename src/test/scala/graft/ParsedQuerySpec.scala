@@ -291,6 +291,56 @@ class ParsedQuerySpec extends SparkSpec {
     assert(got.map(_._3) == exp.map(_._2), "scores")
   }
 
+  test("folded-membership route (+term +phrase -term) == brute composition") {
+    val nonEmpty = docs.filter(d => Tokenizer.tokenCountScala(d._2) > 0)
+    val n = nonEmpty.size.toDouble
+    val dls = nonEmpty.map { case (id, c) =>
+      id -> math.min(Tokenizer.dlOf(Tokenizer.tokenCountScala(c)), IndexBuild.MaxDl).toDouble
+    }.toMap
+    val avgdl = dls.values.sum / n
+    val prefExp = dfMap.iterator.filter(_._1.startsWith("w:sm"))
+      .toSeq.sortBy { case (t, df) => (-df, t) }.take(50)
+      .map { case (t, _) => t -> 0.5 }
+    val fuzzExp = dfMap.keysIterator.map(t => (t, lev(t, "w:hach")))
+      .filter(_._2 <= 1).toSeq.sortBy { case (t, d) => (d, -dfMap(t), t) }
+      .take(50).map { case (t, d) => t -> (1.0 / (1 + d)) }
+    // the required term both filters and scores (Lucene MUST semantics)
+    val terms = (Seq("w:window" -> 2.0, "w:the" -> 1.0) ++ prefExp ++ fuzzExp)
+      .filterNot(_._1 == "w:stream")
+    val phraseToks = Array("hash", "join")
+    def pf(ts: Array[String]): Int =
+      (0 to ts.length - phraseToks.length)
+        .count(i => phraseToks.indices.forall(j => ts(i + j) == phraseToks(j)))
+    val idfSum = phraseToks.map(w => Bm25.idf(dfMap("w:" + w).toDouble, n)).sum
+    val exp = nonEmpty.flatMap { case (id, c) =>
+      val ts = Tokenizer.tokenizeScala(c)
+      val p = pf(ts)
+      if (p == 0 || termSets(id)("w:stream") || !termSets(id)("w:the")) None
+      else {
+        val tc = Tokenizer.termsScala(c).groupBy(identity).view
+          .mapValues(x => math.min(x.length, IndexBuild.MaxTf)).toMap
+        var s = 0.0
+        terms.foreach { case (t, boost) =>
+          tc.get(t).foreach { tf =>
+            s += boost * Bm25.idf(dfMap(t).toDouble, n) *
+              Bm25.tfNorm(tf.toDouble, dls(id), avgdl)
+          }
+        }
+        val total = s + idfSum * Bm25.tfNorm(p.toDouble, dls(id), avgdl)
+        Some((id, math.round(total * Bm25.Quant)))
+      }
+    }.sortBy { case (id, sq) => (-sq, id) }.take(60)
+    assert(exp.nonEmpty, "gate precondition: the folded query matches docs")
+    val got = engine.searchParsed(corpus, SparkEntry.ParsedMixedReqQuery, rows = 60)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(_._2) == exp.map(_._1), "doc order (folded route)")
+    assert(got.map(_._3) == exp.map(_._2), "scores (folded route)")
+    // the required term must BIND: strictly fewer (or equal) docs than the
+    // unrequired gate twin, and every result doc holds it
+    got.foreach { case (_, id, _) =>
+      assert(termSets(id)("w:the"), s"doc $id lacks the MUST term") }
+  }
+
   test("MUST multi-term rewrite = OR-required group: brute composition on both routes") {
     val nonEmpty = docs.filter(d => Tokenizer.tokenCountScala(d._2) > 0)
     val n = nonEmpty.size.toDouble

@@ -296,6 +296,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [In(term_id"), s"no term_id pushdown:\n$p")
   }
 
+  test("folded parsed plan: membership rides the scoring scan — no semi/anti joins, no extra postings pass") {
+    val corpus = Corpus.fromDocuments(spark, sfTiny)
+    // required term + SHOULD phrase + prohibited term: the scanScoreMembership
+    // route. Membership joins are gone (bitmask in the scan aggregation);
+    // the only join is the phrase-contribution left_outer graft.
+    val df = engine.searchParsed(corpus, "+w:the \"hash join\" -w:stream", rows = 60)
+    val p = plan(df)
+    assert(!p.contains("LeftSemi"), s"membership semi-join survived the fold:\n$p")
+    assert(!p.contains("LeftAnti"), s"prohibited-term anti-join survived the fold:\n$p")
+    // exactly TWO postings scans: the flagged scoring scan and the phrase
+    // leapfrog — conjunctiveDocs/matchSet would each have added another
+    val nSegScans = "In\\(term_id".r.findAllIn(p).size
+    assert(nSegScans == 2, s"expected 2 segments scans, got $nSegScans:\n$p")
+    assert(!p.contains("content"), s"folded parsed plan reads stored content:\n$p")
+  }
+
   test("stored-verify fallback twin still broadcasts candidates; corpus never shuffles") {
     val corpus = Corpus.fromDocuments(spark, sfTiny)
     val toks = SparkEntry.PhraseBigram.split(" ")
