@@ -266,6 +266,13 @@ object Bench {
         .agg(org.apache.spark.sql.functions.sum("top2_q"),
           org.apache.spark.sql.functions.sum("dup_line_q")).collect().length.toLong),
       "stratified_sample" -> (() => graft.ml.Sample.stratified(corpus, "lang", 10000L).count()),
+      // round-5 operators: maximal shared-span extraction (Lee et al.
+      // 2021-style substring dedup — count-bounded before any
+      // collect_list) and the Lucene block-join analog (parents ranked
+      // by child matches under ScoreMode max)
+      "span_dup" -> (() => Dedup.spanDups(corpus, width = 12, maxOcc = 64).count()),
+      "block_join" -> (() => engine.blockJoinParents(
+        Seq("w:license" -> 1.0, "w:scanptr" -> 2.0), "max", rows = 10).count()),
       "unigram_lp" -> (() => graft.ml.TextStats.unigramLogProb(corpus)
         .agg(org.apache.spark.sql.functions.sum("mean_lp_q"),
           org.apache.spark.sql.functions.sum("n_toks")).collect().length.toLong),
@@ -295,7 +302,10 @@ object Bench {
     val BatchSections = Set("fingerprint", "dedup_minhash", "dedup_simhash_banded",
       "dedup_embcos_bucketed", "gopher_rules", "pii_redact", "repetition",
       "stratified_sample", "unigram_lp", "contamination", "parsed_mixed",
-      "wildcard_leading", "range_search")
+      "wildcard_leading", "range_search",
+      // span_dup is a corpus-wide shingle scan; block_join scores a hot
+      // term's full postings (wand_all_hot-class scan work)
+      "span_dup", "block_join")
     require(BatchSections.subsetOf(queries.map(_._1).toSet),
       s"BatchSections names a section not in queries: " +
         (BatchSections -- queries.map(_._1).toSet).mkString(", ") +

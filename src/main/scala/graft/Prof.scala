@@ -236,6 +236,9 @@ object Prof {
       "repetition" -> (() => graft.ml.TextStats.repetition(corpus)
         .agg(sum("top2_q"), sum("dup_line_q")).collect().length.toLong),
       "stratified_sample" -> (() => graft.ml.Sample.stratified(corpus, "lang", 1000L).count()),
+      "span_dup" -> (() => Dedup.spanDups(corpus, width = 12, maxOcc = 64).count()),
+      "block_join" -> (() => engine.blockJoinParents(
+        Seq("w:license" -> 1.0, "w:scanptr" -> 2.0), "max", rows = 10).count()),
       "unigram_lp" -> (() => graft.ml.TextStats.unigramLogProb(corpus)
         .agg(sum("mean_lp_q"), sum("n_toks")).collect().length.toLong),
       "contamination" -> (() => Dedup.contamination(corpus,
