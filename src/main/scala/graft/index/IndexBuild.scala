@@ -141,7 +141,8 @@ object IndexBuild {
     * via row-group pruning. Written BEFORE the manifest, so the unit's
     * commit gate covers it.
     */
-  private def writeDictionary(spark: SparkSession, indexDir: String, unit: Long): Unit = {
+  private def writeDictionary(spark: SparkSession, indexDir: String, unit: Long,
+      timeoutSec: Long = 21600L): Unit = {
     import org.apache.spark.sql.functions.{col, reverse, sum}
     // ONE segments read feeds all three stores: the vocab-sized aggregate
     // is cached, the derived stores are written from the cache in parallel
@@ -154,15 +155,42 @@ object IndexBuild {
       .groupBy(col("term"), col("term_id"))
       .agg(sum(col("df")).cast("long").as("df"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // a dedicated 3-thread pool, not ExecutionContext.global: the global
+    // pool also carries each concurrent range's segments-write future (and
+    // query-side expansion futures), so on a small-core box these three
+    // "parallel" writes would queue behind multi-minute builds instead of
+    // overlapping — exactly the serialization this method exists to remove
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
     try {
       // materialize once BEFORE the concurrent writes: three actions racing
       // an unfilled cache would each recompute the aggregation
       dict.count(): Unit
-      implicit val ec: scala.concurrent.ExecutionContext =
-        scala.concurrent.ExecutionContext.global
+      // ONE shared job group + bounded await (the segments-write hang
+      // lesson, boundedAwait scaladoc): a wedged store write must fail the
+      // unit (manifest never committed, rerun resumes) — not pin the
+      // range's driver-pool slot forever. Group membership is thread-local,
+      // so it is set inside each future body; one group covers all three
+      // writes so a timeout cancels them together.
+      val jobGroup = s"graft-dict-$unit-${System.nanoTime()}"
+      val cancelled = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def write(what: String)(body: => Unit): scala.concurrent.Future[Unit] =
+        scala.concurrent.Future {
+          spark.sparkContext.setJobGroup(jobGroup,
+            s"graft $what store write range=$unit", interruptOnCancel = true)
+          try {
+            // a timeout that fired before this body ran must not start the
+            // write (cancelJobGroup only kills already-submitted jobs)
+            if (cancelled.get())
+              throw new IllegalStateException(
+                s"$what store write for range=$unit cancelled before start")
+            body
+          } finally spark.sparkContext.clearJobGroup()
+        }
       // one file per unit: the dictionary is vocab-sized (≪ postings); the
       // repartition keeps the aggregation itself parallel, unlike coalesce
-      val dictF = scala.concurrent.Future {
+      val dictF = write("dictionary") {
         dict
           .repartition(1)
           .sortWithinPartitions(col("term_id"))
@@ -172,7 +200,7 @@ object IndexBuild {
       // analog): (rterm, term, df) sorted by rterm so a leading-wildcard
       // query becomes a StartsWith pushdown against tight row-group stats
       // instead of a full-vocabulary LIKE scan (Engine.shouldReverse).
-      val rdictF = scala.concurrent.Future {
+      val rdictF = write("rdictionary") {
         dict
           .select(reverse(col("term")).as("rterm"), col("term"), col("df"))
           .repartition(1)
@@ -188,17 +216,21 @@ object IndexBuild {
       // SURVEY item 55's documented upgrade). Grams are padded ('^'/'$'
       // are outside the term alphabet), distinct per term; vocab-sized ×
       // ~|term| rows, same per-unit derivation as the stores above.
-      val ngramsF = scala.concurrent.Future {
+      val ngramsF = write("ngrams") {
         dict
           .select(explode(gramsCol(col("term"))).as("gram"), col("term"))
           .repartition(1)
           .sortWithinPartitions(col("gram"))
           .write.mode("overwrite").parquet(s"${ngramsDir(indexDir)}/range=$unit")
       }
-      import scala.concurrent.duration.Duration
-      Seq(dictF, rdictF, ngramsF)
-        .foreach(scala.concurrent.Await.result(_, Duration.Inf))
-    } finally dict.unpersist(blocking = false)
+      boundedAwait(spark,
+        scala.concurrent.Future.sequence(Seq(dictF, rdictF, ngramsF)),
+        jobGroup, timeoutSec, s"dictionary store writes for range=$unit",
+        Some(cancelled)): Unit
+    } finally {
+      dict.unpersist(blocking = false)
+      pool.shutdown()
+    }
   }
 
   /** Distinct padded character trigrams of a term, as a column expression
@@ -1357,7 +1389,7 @@ object IndexBuild {
         s"segments write for range=$r", Some(segCancelled))
       // per-unit term dictionary from the attested segments (see
       // writeDictionary): part of the unit, covered by the manifest gate
-      writeDictionary(spark, indexDir, r)
+      writeDictionary(spark, indexDir, r, cfg.segmentsWriteTimeoutSec)
       val om = obs.get
       val (nd, sdl, nRows, checksum) =
         (om("n_docs").asInstanceOf[Long], om("sum_dl").asInstanceOf[Long],

@@ -1258,20 +1258,55 @@ final class Engine(val index: Index) {
     */
   private[graft] def scanScoreAll(
       weights: Map[String, Double], avgdl: Double,
-      docPred: Option[Column] = None): DataFrame = {
-    val ids = weights.keys.map(TermHash.hash).toSeq
-    val names = weights.keys.toSeq
-    val wDf = weights.toSeq.toDF("term", "w")
+      docPred: Option[Column] = None): DataFrame =
+    scanScoreBase(weights, avgdl, docPred, membership = None)
+
+  /** Shared builder behind [[scanScoreAll]] and [[scanScoreMembership]] —
+    * ONE copy of the exploded-postings scan (term_id+term collision
+    * guard, broadcast weight join, BM25 part, kill exclusion) so the two
+    * routes cannot drift. `membership = None` keeps the plan byte-
+    * identical to the historical scanScoreAll (no mask column anywhere).
+    */
+  private def scanScoreBase(
+      weights: Map[String, Double], avgdl: Double,
+      docPred: Option[Column],
+      membership: Option[(Seq[String], Seq[Seq[String]], Seq[String])]): DataFrame = {
+    // (term, weight, membership bitmask) rows; prohibited terms ride the
+    // scan at weight 0 (zero score contribution by construction)
+    val wRows: Seq[(String, Double, Long)] = membership match {
+      case None => weights.toSeq.map { case (t, w) => (t, w, 0L) }
+      case Some((must, groups, mustNot)) =>
+        val notBit = 1L << (must.length + groups.length)
+        def maskOf(t: String): Long = {
+          var m = 0L
+          var i = 0
+          while (i < must.length) { if (must(i) == t) m |= 1L << i; i += 1 }
+          var j = 0
+          while (j < groups.length) {
+            if (groups(j).contains(t)) m |= 1L << (must.length + j); j += 1
+          }
+          m
+        }
+        weights.toSeq.map { case (t, w) => (t, w, maskOf(t)) } ++
+          mustNot.map(t => (t, 0.0, notBit))
+    }
+    val names = wRows.map(_._1)
+    val ids = names.map(TermHash.hash)
+    val wDf = membership match {
+      case None => wRows.map { case (t, w, _) => (t, w) }.toDF("term", "w")
+      case Some(_) => wRows.toDF("term", "w", "mask")
+    }
+    val maskCols = if (membership.isDefined) Seq(col("mask")) else Nil
     val exploded = index.segments
       .where(col("term_id").isin(ids: _*) && col("term").isin(names: _*))
       .select(col("seg_id"), col("term"), col("postings"))
       .join(broadcast(wDf), Seq("term"))
-      .select(col("seg_id"), col("w"),
-        explode(graft.functions.GraftFunctions.graft_postings(col("postings"))).as("p"))
-      .select(
+      .select(Seq(col("seg_id"), col("w")) ++ maskCols :+
+        explode(graft.functions.GraftFunctions.graft_postings(col("postings"))).as("p"): _*)
+      .select(Seq(
         packedDocId(col("seg_id"), col("p.local")).as("doc_id"),
         (col("w") * Bm25.tfNormCol(col("p.tf").cast("double"),
-          col("p.dl").cast("double"), lit(avgdl))).as("part"))
+          col("p.dl").cast("double"), lit(avgdl))).as("part")) ++ maskCols: _*)
     val base = docPred match {
       case None => exploded
       case Some(pred) =>
@@ -1279,8 +1314,19 @@ final class Engine(val index: Index) {
         // also the kill filter when a predicate is present
         exploded.join(index.docmeta.where(pred).select("doc_id"), Seq("doc_id"), "left_semi")
     }
-    val agg = base.groupBy(col("doc_id"))
-      .agg(sum(col("part")).as("score"))
+    val agg = membership match {
+      case None =>
+        base.groupBy(col("doc_id")).agg(sum(col("part")).as("score"))
+      case Some((must, groups, _)) =>
+        val notBit = 1L << (must.length + groups.length)
+        val requiredMask = notBit - 1 // all must+group bits
+        base.groupBy(col("doc_id"))
+          .agg(sum(col("part")).as("score"),
+            org.apache.spark.sql.functions.bit_or(col("mask")).as("mask"))
+          .where(col("mask").bitwiseAND(lit(requiredMask)) === lit(requiredMask) &&
+            col("mask").bitwiseAND(lit(notBit)) === lit(0L))
+          .select(col("doc_id"), col("score"))
+    }
     // Solr-update tombstones: exclude dead docs BEFORE the top-k limit so
     // they never occupy result slots (no-op join skipped when none exist)
     // no join-strategy hint: the kill set is usually broadcast-small but a
@@ -1312,45 +1358,9 @@ final class Engine(val index: Index) {
   private[graft] def scanScoreMembership(
       weights: Map[String, Double], avgdl: Double,
       must: Seq[String], groups: Seq[Seq[String]],
-      mustNot: Seq[String]): DataFrame = {
-    val notBit = 1L << (must.length + groups.length)
-    def maskOf(t: String): Long = {
-      var m = 0L
-      var i = 0
-      while (i < must.length) { if (must(i) == t) m |= 1L << i; i += 1 }
-      var j = 0
-      while (j < groups.length) {
-        if (groups(j).contains(t)) m |= 1L << (must.length + j); j += 1
-      }
-      m
-    }
-    val requiredMask = notBit - 1 // all must+group bits
-    val wRows = weights.toSeq.map { case (t, w) => (t, w, maskOf(t)) } ++
-      mustNot.map(t => (t, 0.0, notBit))
-    val names = wRows.map(_._1)
-    val ids = names.map(TermHash.hash)
-    val wDf = wRows.toDF("term", "w", "mask")
-    val agg = index.segments
-      .where(col("term_id").isin(ids: _*) && col("term").isin(names: _*))
-      .select(col("seg_id"), col("term"), col("postings"))
-      .join(broadcast(wDf), Seq("term"))
-      .select(col("seg_id"), col("w"), col("mask"),
-        explode(graft.functions.GraftFunctions.graft_postings(col("postings"))).as("p"))
-      .select(
-        packedDocId(col("seg_id"), col("p.local")).as("doc_id"),
-        (col("w") * Bm25.tfNormCol(col("p.tf").cast("double"),
-          col("p.dl").cast("double"), lit(avgdl))).as("part"),
-        col("mask"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("part")).as("score"),
-        org.apache.spark.sql.functions.bit_or(col("mask")).as("mask"))
-      .where(col("mask").bitwiseAND(lit(requiredMask)) === lit(requiredMask) &&
-        col("mask").bitwiseAND(lit(notBit)) === lit(0L))
-      .select(col("doc_id"), col("score"))
-    if (index.hasTombstones)
-      agg.join(index.killedDocIds, Seq("doc_id"), "left_anti")
-    else agg
-  }
+      mustNot: Seq[String]): DataFrame =
+    scanScoreBase(weights, avgdl, docPred = None,
+      membership = Some((must, groups, mustNot)))
 
   private[graft] def scanScore(
       weights: Map[String, Double], rows: Int, avgdl: Double,
