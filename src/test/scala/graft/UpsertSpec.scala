@@ -125,6 +125,35 @@ class UpsertSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("folded membership scan excludes dead docs (== join composition under tombstones)") {
+    import graft.query.Bm25
+    val (n, avgdl) = eng.index.stats
+    val terms = Seq("w:the" -> 1.0, "w:hash" -> 1.0, "w:join" -> 1.0)
+    val dfs = eng.index.dfOf(terms.map(_._1))
+    val weights = terms.map { case (t, b) =>
+      t -> b * Bm25.idf(dfs(t).toDouble, n.toDouble) }.toMap
+    val folded = eng.scanScoreMembership(weights, avgdl,
+      must = Seq("w:the"), groups = Nil, mustNot = Seq("w:stream"))
+      .orderBy(col("doc_id")).collect().toSeq.map(_.toSeq)
+    // union shape on the same tombstoned engine: kill-excluded score scan,
+    // then the membership joins the fold replaced (a single term's
+    // conjunctiveDocs IS its match set)
+    val joined = eng.scanScoreAll(weights, avgdl)
+      .join(eng.conjunctiveDocs(Seq("w:the")).toDF("doc_id"), Seq("doc_id"), "left_semi")
+      .join(eng.conjunctiveDocs(Seq("w:stream")).toDF("doc_id"), Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id")).collect().toSeq.map(_.toSeq)
+    assert(folded.nonEmpty, "pin needs a non-empty match set")
+    assert(folded == joined, "folded route diverges from the join shape under tombstones")
+    folded.foreach(r => assert(!dead.contains(r.head.asInstanceOf[Long]),
+      s"dead doc in folded results: $r"))
+    // and THROUGH the parser (phrase + required + prohibited on the
+    // tombstoned index): no dead doc can occupy a result slot
+    val parsed = eng.searchParsed(base, "+w:the \"hash join\" -w:stream", rows = 60)
+      .collect().toSeq.map(_.toSeq)
+    parsed.foreach(r => assert(!dead.contains(r(1).asInstanceOf[Long]),
+      s"dead doc in parsed results: $r"))
+  }
+
   test("predicate route excludes via the tombstone-filtered docmeta") {
     val got = rows(eng.searchByTerms(SparkEntry.FlagshipTerms, rows = 60,
       docPred = Some(col("lang") === "en")))
