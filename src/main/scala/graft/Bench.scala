@@ -41,6 +41,7 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val runSteal0 = graft.util.ProcStat.stealSec()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // 512-doc segments, 64k-doc checkpoint ranges: enough segments that the
@@ -85,12 +86,30 @@ object Bench {
     // noise window (eff 0.797 vs 0.84-0.89 on manual runs) — the budget now
     // leaves enough headroom that re-draws keep going until the min
     // stabilizes above the early-stop threshold.
-    val SampleBudgetMin = 34.0
-    val samples = scala.collection.mutable.Map[Int, List[(Double, Long)]]()
+    // env override for smoke runs (a tiny-SF bench never reaches 0.82 —
+    // fixed per-JVM overheads dominate 2- vs 8-core scaling at 2k files —
+    // so an uncapped smoke would always run the full budget); the official
+    // driver invocation sets nothing and keeps the 34-min default
+    val SampleBudgetMin =
+      sys.env.get("SPARK_GRAFT_BENCH_BUDGET_MIN").map(_.toDouble).getOrElse(34.0)
+    val samples = scala.collection.mutable.Map[Int, List[(Double, Long, Double)]]()
       .withDefaultValue(Nil)
     def samplePair(): Unit =
       pairCores.foreach(c => samples(c) = buildInFreshJvm(corpusDir, c, cfg) :: samples(c))
-    def minOf(c: Int): (Double, Long) = samples(c).minBy(_._1)
+    def minOf(c: Int): (Double, Long, Double) = samples(c).minBy(_._1)
+    // A draw is steal-CLEAN when the host gave the timed section ≥98% of
+    // the CPU it demanded. The official scaling_efficiency stays min-of-ALL
+    // draws (unchanged contract); the clean ratio is reported NEXT TO it so
+    // a sub-0.8 record inside a documented noise window carries its own
+    // apples-to-apples evidence (BASELINE.md: runs 1-3 of round 5 each ate
+    // a full window; per-draw steal% arrays go to the JSON either way).
+    val CleanStealPct = 2.0
+    def cleanMinSec(c: Int): Option[Double] = {
+      val clean = samples(c).filter(_._3 < CleanStealPct).map(_._1)
+      if (clean.isEmpty) None else Some(clean.min)
+    }
+    def effClean: Option[Double] =
+      for { c2 <- cleanMinSec(2); c8 <- cleanMinSec(8) } yield (c2 / c8) / 4.0
     def effNow: Double = {
       val t2 = nFiles / minOf(2)._1; val t8 = nFiles / minOf(8)._1
       (t8 / t2) / 4.0
@@ -125,14 +144,14 @@ object Bench {
     }
     // full-width point: informational curve only (bus-saturated regime);
     // min of 2 so a single noise burst doesn't disfigure the curve
-    val wide: Map[Int, (Double, Long)] =
+    val wide: Map[Int, (Double, Long, Double)] =
       if (cpus != 2 && cpus != 8)
         Map(cpus -> (1 to (if (elapsedMin < SampleBudgetMin) 2 else 1))
           .map(_ => buildInFreshJvm(corpusDir, cpus, cfg)).minBy(_._1))
       else Map.empty
-    val builds: Map[Int, (Double, Long)] = pairCores.map(c => c -> minOf(c)).toMap ++ wide
+    val builds: Map[Int, (Double, Long, Double)] = pairCores.map(c => c -> minOf(c)).toMap ++ wide
     val buildCores = builds.keys.toSeq.sorted
-    val thrOf = builds.map { case (c, (sec, _)) => c -> (nFiles / sec) }
+    val thrOf = builds.map { case (c, (sec, _, _)) => c -> (nFiles / sec) }
     val sec8 = builds(8)._1
     val nDocs = builds(8)._2
     // headline = the fixed 4N point of the contracted N->4N pair (8 cores);
@@ -313,10 +332,18 @@ object Bench {
     val (batchQ, latencyQ) = queries.partition(q => BatchSections(q._1))
     val drawTimes: Map[String, Array[Double]] =
       queries.map(q => q._1 -> new Array[Double](QueryDraws)).toMap
-    for (group <- Seq(latencyQ, batchQ)) {
+    // steal delta per (group, round): a dirty round inflates every section
+    // inside it together, so round granularity is what the min-of-draws
+    // needs to show which draws were window-clipped
+    val roundSteal = Map("latency" -> new Array[Double](QueryDraws),
+      "batch" -> new Array[Double](QueryDraws))
+    for ((groupName, group) <- Seq("latency" -> latencyQ, "batch" -> batchQ)) {
       group.foreach { case (_, f) => f() } // warm pass (plans, file listings)
-      for (d <- 0 until QueryDraws; (name, f) <- group)
-        drawTimes(name)(d) = time(f())._2
+      for (d <- 0 until QueryDraws) {
+        val s0 = graft.util.ProcStat.stealSec()
+        for ((name, f) <- group) drawTimes(name)(d) = time(f())._2
+        roundSteal(groupName)(d) = graft.util.ProcStat.stealSec() - s0
+      }
     }
     val perQuery = queries.map { case (name, _) => name -> drawTimes(name).min }
 
@@ -353,7 +380,7 @@ object Bench {
     var lastCompacted: String = benchIdx
     val compactDraws = (1 to MaintDraws).map { i =>
       val d = freshCopy(benchIdx, s"compact$i")
-      val (rep, sec) = time(IndexBuild.compact(spark, d))
+      val (rep, sec, steal) = graft.util.ProcStat.timedWithSteal(IndexBuild.compact(spark, d))
       // a single-unit index (small SF smoke runs) legitimately no-ops
       require(rep.unitsBefore.size < 2 || rep.unitsAfter.size < rep.unitsBefore.size,
         s"bench compact draw $i was a no-op: ${rep.unitsBefore} -> ${rep.unitsAfter}")
@@ -361,7 +388,7 @@ object Bench {
       // earlier draws' full index copies must not pile up in /tmp
       if (lastCompacted != benchIdx) deleteRecursively(new java.io.File(lastCompacted))
       lastCompacted = d
-      (sec, rep.unitsBefore.size, rep.unitsAfter.size)
+      (sec, rep.unitsBefore.size, rep.unitsAfter.size, steal)
     }
     val compactSec = compactDraws.map(_._1).min
     val postEngine = new Engine(new Index(spark, lastCompacted))
@@ -371,6 +398,7 @@ object Bench {
       s""""compact":{"sec":${f(compactSec)},""" +
         s""""files_per_sec":${f(nFiles / compactSec)},""" +
         s""""draws_sec":${compactDraws.map(d => f(d._1)).mkString("[", ",", "]")},""" +
+        s""""draws_steal_sec":${compactDraws.map(d => f(d._4)).mkString("[", ",", "]")},""" +
         s""""units_before":${compactDraws.head._2},"units_after":${compactDraws.head._3}}"""
 
     // update-path maintenance: re-post ~1% of the corpus (Solr uniqueKey
@@ -386,6 +414,7 @@ object Bench {
       .withColumn("sha", sha2(col("content"), 256))
     val upsertDraws = (1 to MaintDraws).map { i =>
       val d = freshCopy(lastCompacted, s"upsert$i")
+      val drawSteal0 = graft.util.ProcStat.stealSec()
       val (_, uSec) = time(IndexBuild.upsert(spark, upBatch, d, cfg, Seq("path")))
       val upEngine = new Engine(new Index(spark, d))
       require(upEngine.index.hasTombstones, "bench upsert produced no tombstones")
@@ -396,7 +425,7 @@ object Bench {
       require(!postUp.index.hasTombstones && postUp.index.stats._1 == nDocs,
         "reclaim must drain tombstones and restore live-doc stats")
       deleteRecursively(new java.io.File(d)) // draw copy served its purpose
-      (uSec, qSec, rSec)
+      (uSec, qSec, rSec, graft.util.ProcStat.stealSec() - drawSteal0)
     }
     val (upsertSec, tombQuerySec, reclaimSec) =
       (upsertDraws.map(_._1).min, upsertDraws.map(_._2).min, upsertDraws.map(_._3).min)
@@ -407,7 +436,8 @@ object Bench {
         s""""reclaim_sec":${f(reclaimSec)},""" +
         s""""draws_upsert_sec":${upsertDraws.map(d => f(d._1)).mkString("[", ",", "]")},""" +
         s""""draws_query_sec":${upsertDraws.map(d => f(d._2)).mkString("[", ",", "]")},""" +
-        s""""draws_reclaim_sec":${upsertDraws.map(d => f(d._3)).mkString("[", ",", "]")}}"""
+        s""""draws_reclaim_sec":${upsertDraws.map(d => f(d._3)).mkString("[", ",", "]")},""" +
+        s""""draws_steal_sec":${upsertDraws.map(d => f(d._4)).mkString("[", ",", "]")}}"""
 
     val qJson = perQuery.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
     val qDrawsJson = queries.map { case (k, _) =>
@@ -415,26 +445,38 @@ object Bench {
     }.mkString("{", ",", "}")
     val curve = buildCores.map(c =>
       s""""cores_$c":{"sec":${f(builds(c)._1)},"files_per_sec":${f(thrOf(c))}}""").mkString(",")
+    val effCleanJson = effClean.map(e => f(e).toString).getOrElse("null")
+    val roundStealJson = roundSteal.map { case (g, arr) =>
+      s""""$g":${arr.map(f).mkString("[", ",", "]")}"""
+    }.mkString("{", ",", "}")
     println(
       s"""{"metric":"index_build_files_per_sec","value":${f(thrN)},"unit":"files/sec",""" +
-        s""""queries":$qJson,"query_draws":$qDrawsJson,"sf":"$sfDir",""" +
+        s""""queries":$qJson,"query_draws":$qDrawsJson,""" +
+        s""""query_round_steal_sec":$roundStealJson,"sf":"$sfDir",""" +
         s""""build":{"n_files":$nFiles,"n_docs":$nDocs,"sec_8":${f(sec8)},""" +
         s""""scaling_efficiency":${f(eff)},"scaling_pair":"2->8 cores (N->4N)",""" +
+        s""""scaling_efficiency_steal_clean":$effCleanJson,""" +
+        s""""steal_clean_threshold_pct":$CleanStealPct,""" +
         s""""replicates_c2":${samples(2).size},"replicates_c8":${samples(8).size},""" +
         s""""draws_sec_c2":${samples(2).map(s => f(s._1)).reverse.mkString("[", ",", "]")},""" +
         s""""draws_sec_c8":${samples(8).map(s => f(s._1)).reverse.mkString("[", ",", "]")},""" +
+        s""""draws_steal_pct_c2":${samples(2).map(s => f(s._3)).reverse.mkString("[", ",", "]")},""" +
+        s""""draws_steal_pct_c8":${samples(8).map(s => f(s._3)).reverse.mkString("[", ",", "]")},""" +
         s""""best_observed":${f(thrOf.values.max)},$curve},""" +
         s""""query_batch":{"n":${batch.size},"sec":${f(batchSec)},"qps":${f(qps)},""" +
-        s""""batched_sec":${f(manySec)},"batched_qps":${f(manyQps)}},$compactJson,$upsertJson}""")
+        s""""batched_sec":${f(manySec)},"batched_qps":${f(manyQps)}},$compactJson,$upsertJson,""" +
+        s""""steal_sec_run_total":${f(graft.util.ProcStat.stealSec() - runSteal0)}}""")
     Console.out.flush()
     spark.stop()
   }
 
   /** Run one timed build in a freshly forked JVM (same classpath + flags);
-    * child prints "GRAFT_BUILD <sec> <nDocs>".
+    * child prints "GRAFT_BUILD <sec> <nDocs> <stealSec>". Returns
+    * (sec, nDocs, stealPct) — steal% of the demanded CPU during the timed
+    * section (noise forensics; see [[graft.util.ProcStat]]).
     */
   private def buildInFreshJvm(corpusDir: String, cores: Int,
-                              cfg: IndexConfig): (Double, Long) = {
+                              cfg: IndexConfig): (Double, Long, Double) = {
     import scala.jdk.CollectionConverters._
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val jvmArgs = _root_.java.lang.management.ManagementFactory.getRuntimeMXBean
@@ -458,7 +500,11 @@ object Bench {
       s"child build (cores=$cores) failed: exit=$code, tail=${lines.takeRight(5).mkString(" | ")}")
     out.delete(): Unit // keep the log only when the require above threw
     val parts = res.get.split(" ")
-    (parts(1).toDouble, parts(2).toLong)
+    val sec = parts(1).toDouble
+    // steal as a % of the CPU the timed section demanded (cores x wall):
+    // 0% = the VM got every cycle it asked for; >2% marks a window draw
+    val stealPct = 100.0 * parts(3).toDouble / (cores * sec)
+    (sec, parts(2).toLong, stealPct)
   }
 
   private def deleteRecursively(f: java.io.File): Unit = graft.util.Tmp.rmTree(f)
@@ -508,10 +554,13 @@ object BenchBuild {
     // JIT/classloading warmup on a small slice (untimed)
     IndexBuild.build(spark, corpus.where(org.apache.spark.sql.functions.col("doc_id") < 2000),
       s"$workDir/warm", cfg)
-    val t0 = System.nanoTime()
-    val report = IndexBuild.build(spark, corpus, s"$workDir/idx", cfg)
-    val sec = (System.nanoTime() - t0) / 1e9
-    println(s"GRAFT_BUILD $sec ${report.nDocs}")
+    // steal measured around the timed section only (not JVM/Spark startup)
+    // so the parent's per-draw steal%% attributes noise to the measurement
+    // it actually inflated
+    val (report, sec, steal) =
+      graft.util.ProcStat.timedWithSteal(
+        IndexBuild.build(spark, corpus, s"$workDir/idx", cfg))
+    println(s"GRAFT_BUILD $sec ${report.nDocs} $steal")
     spark.stop()
   }
 }
