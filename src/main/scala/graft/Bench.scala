@@ -188,6 +188,22 @@ object Bench {
         "wide-segment section query must route dense (scan fallback)")
       e
     }
+    // over-cap twin of the query engine (driver dictionary cap forced
+    // below the vocabulary): df lookups AND multi-term rewrites take the
+    // distributed stores — trigram In-pushdown fuzzy, reversed-dictionary
+    // leading wildcards — i.e. the 100×-vocabulary routes. Preconditions
+    // asserted so the sections cannot silently measure the driver-map
+    // fast path the default engine takes at this vocabulary.
+    val overCapEngine = {
+      val e = new Engine(new Index(spark, benchIdx, dictDriverMax = 16L))
+      require(e.index.dfViaScan && !e.expandViaDriver,
+        "over-cap bench engine must take the distributed expansion routes")
+      require(e.fuzzyCandidates("w:mergefactori", 2).isDefined,
+        "fuzzy_pruned section query must route through the trigram store")
+      e
+    }
+    require(engine.expandViaDriver,
+      "default bench engine must take driver-map expansions at this vocabulary")
     // deep-page cursor fixed OUTSIDE the timings (cursor acquisition is a
     // separate query; the timed section measures the constant-heap page)
     val cursor1k: (Long, Long) = {
@@ -211,8 +227,12 @@ object Bench {
         wideEngine.searchByTerms(allHot, rows = 60).count()),
       // trigram-store q-gram-pruned fuzzy expansion + the 8-term OR search
       // it rewrites to (the sub-linear FuzzyQuery route; the In(gram)
-      // pushdown reads only the query's gram row groups)
-      "fuzzy_pruned" -> (() => engine.searchFuzzy("w:mergefactori",
+      // pushdown reads only the query's gram row groups). Runs on the
+      // OVER-CAP engine: the default engine's vocabulary sits under the
+      // driver-expansion cap and rewrites off the in-memory dictionary,
+      // so the distributed route this section exists to record needs the
+      // cap forced off (route asserted at engine construction)
+      "fuzzy_pruned" -> (() => overCapEngine.searchFuzzy("w:mergefactori",
         maxEdits = 2, rows = 60, maxExpansions = 8).count()),
       "wand_filtered" -> (() => engine.searchByTerms(hotRare, rows = 60,
         docFilter = Some(("lang", "py"))).count()),
@@ -254,6 +274,11 @@ object Bench {
       // projection); join/filter-driven sections count() safely.
       "wildcard_leading" -> (() => engine.searchWildcard("*factory", rows = 60,
         maxExpansions = 8).count()),
+      // the same leading wildcard through the over-cap engine: reversed-
+      // dictionary StartsWith expansion (the 100×-vocabulary route the
+      // driver-map fast path replaces under the cap)
+      "wildcard_leading_rdict" -> (() => overCapEngine.searchWildcard("*factory",
+        rows = 60, maxExpansions = 8).count()),
       // dictionary bound-filter rewrite + OR search. BATCH group: the
       // [w:sa, w:sp) slice expands to 8 HOT terms, so the search itself is
       // wand_all_hot-class multi-second scan work (run 11: 1.5 s) — the
@@ -322,6 +347,9 @@ object Bench {
       "dedup_embcos_bucketed", "gopher_rules", "pii_redact", "repetition",
       "stratified_sample", "unigram_lp", "contamination", "parsed_mixed",
       "wildcard_leading", "range_search",
+      // the over-cap-engine sections pay distributed df/expansion scans
+      // by design — scan work, not latency-class
+      "wildcard_leading_rdict", "fuzzy_pruned",
       // span_dup is a corpus-wide shingle scan; block_join scores a hot
       // term's full postings (wand_all_hot-class scan work)
       "span_dup", "block_join")

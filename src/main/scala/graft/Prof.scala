@@ -16,6 +16,7 @@ object Prof {
 
   def main(args: Array[String]): Unit = {
     if (args(0) == "queries") { profQueries(args.drop(1)); return }
+    if (args(0) == "parsed") { profParsed(); return }
     if (args(0) == "smoke") { profSmoke(); return }
     if (args(0) == "curation") { profCuration(); return }
     if (args(0) == "unigram") { profUnigram(); return }
@@ -96,6 +97,50 @@ object Prof {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     bench("dedup_minhash")(Dedup.minhashPairs(Dedup.minhashBands(
       Dedup.minhashSignatures(Dedup.withDups(Corpus.fromDocuments(spark, sfDir))))).count())
+    spark.stop()
+  }
+
+  /** Folded parsed-path decomposition at bench scale: where the mixed
+    * query's time goes — expansion wall, folded scan, phrase graft join.
+    */
+  def profParsed(): Unit = {
+    val cores = 32
+    val spark = SparkSession.builder().master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", (cores * 4).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val n = 600000L
+    val dir = s"/tmp/prof-corpus-$n"
+    if (!new java.io.File(s"$dir/_SUCCESS").exists())
+      Corpus.synthesize(spark, n, 42L, 128).write.mode("overwrite").parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    val idxDir = s"/tmp/prof-qidx-$n"
+    val cfg = IndexConfig(segShift = 9, rangeSegsShift = 7)
+    IndexBuild.build(spark, corpus, idxDir, cfg)
+    val engine = new graft.query.Engine(new graft.query.Index(spark, idxDir))
+    engine.index.stats
+    def bench(tag: String)(fn: => Long): Unit = {
+      fn // warm
+      val secs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9 }
+      println(f"PROF $tag min=${secs.min}%.3f s runs=${secs.map(s => f"$s%.3f").mkString(",")}")
+    }
+    // no-expansion variants isolate the folded scan + phrase graft from
+    // the dictionary expansion jobs the full mixed query also pays
+    bench("folded_noexp")(engine.searchParsed(corpus,
+      "+w:license w:scanptr^2 -w:stream", rows = 60).count())
+    bench("folded_phrase_noexp")(engine.searchParsed(corpus,
+      "+w:license \"get geter\" w:scanptr^2 -w:stream", rows = 60).count())
+    bench("phrase_only")(engine.searchPhrase(corpus, "get geter", rows = 60).count())
+    bench("parsed_mixed")(engine.searchParsed(corpus,
+      "+w:license \"get geter\" w:scanptr^2 -w:stream w:merge*^0.5 w:hach~1",
+      rows = 60).count())
+    val q = engine.searchParsed(corpus,
+      "+w:license \"get geter\" w:scanptr^2 -w:stream", rows = 60)
+    q.collect() // finalize the adaptive plan on THIS instance
+    println("PROF folded_phrase FINAL plan:\n" +
+      q.queryExecution.executedPlan.toString.take(9000))
     spark.stop()
   }
 
@@ -218,9 +263,23 @@ object Prof {
     val idxDir = tempDir("prof-smoke-idx-")
     IndexBuild.build(spark, corpus, idxDir, IndexConfig(segShift = 9, rangeSegsShift = 7))
     val engine = new graft.query.Engine(new graft.query.Index(spark, idxDir))
+    // over-cap twin, same route asserts as the Bench sections it smokes
+    val overCapEngine = {
+      val e = new graft.query.Engine(
+        new graft.query.Index(spark, idxDir, dictDriverMax = 16L))
+      require(e.index.dfViaScan && !e.expandViaDriver,
+        "over-cap smoke engine must take the distributed expansion routes")
+      require(e.fuzzyCandidates("w:mergefactori", 2).isDefined,
+        "fuzzy_pruned smoke query must route through the trigram store")
+      e
+    }
+    require(engine.expandViaDriver,
+      "default smoke engine must take driver-map expansions")
     val sections = Seq[(String, () => Long)](
       "wildcard_leading" -> (() => engine.searchWildcard("*factory", rows = 60,
         maxExpansions = 8).count()),
+      "wildcard_leading_rdict" -> (() => overCapEngine.searchWildcard("*factory",
+        rows = 60, maxExpansions = 8).count()),
       "range_search" -> (() => engine.searchRange(Some("w:sa"), Some("w:sp"),
         incLo = true, incHi = false, rows = 60, maxExpansions = 8).count()),
       "parsed_mixed" -> (() => engine.searchParsed(corpus,
@@ -243,7 +302,7 @@ object Prof {
         .agg(sum("mean_lp_q"), sum("n_toks")).collect().length.toLong),
       "contamination" -> (() => Dedup.contamination(corpus,
         corpus.where(col("doc_id") % 997 === 0)).count()),
-      "fuzzy_pruned" -> (() => engine.searchFuzzy("w:mergefactori",
+      "fuzzy_pruned" -> (() => overCapEngine.searchFuzzy("w:mergefactori",
         maxEdits = 2, rows = 60, maxExpansions = 8).count()),
       "phrase_exact" -> (() => engine.searchPhrase(corpus, "get geter",
         rows = 60).count()),

@@ -655,22 +655,26 @@ object SparkEntry {
     "q_fuzzy_search" -> ((s, dir) =>
       Engine.forDir(s, dir).searchFuzzy(FuzzyQ, maxEdits = FuzzyMaxEdits,
         rows = 60, maxExpansions = FuzzyMaxExpansions)),
-    // long-term fuzzy: |grams| − 3·maxEdits > 0, so this one runs the
-    // trigram-store q-gram-pruned expansion (the sub-linear route a 100×
-    // vocabulary takes); the short FuzzyQ above pigeonholes to the scan
-    // fallback — both gated, both must match the same oracle shape
+    // long-term fuzzy THROUGH THE OVER-CAP ENGINE: |grams| − 3·maxEdits > 0
+    // and no driver dictionary, so this runs the trigram-store
+    // q-gram-pruned expansion (the sub-linear route a 100× vocabulary
+    // takes — the default engine's vocabulary sits under the driver-
+    // expansion cap and rewrites in memory); the short FuzzyQ above takes
+    // the driver route — both gated, both must match the same oracle shape
     "q_fuzzy_pruned" -> ((s, dir) =>
-      Engine.forDir(s, dir).searchFuzzy(FuzzyLongQ, maxEdits = FuzzyMaxEdits,
+      Engine.forDirBigVocab(s, dir).searchFuzzy(FuzzyLongQ, maxEdits = FuzzyMaxEdits,
         rows = 60, maxExpansions = FuzzyMaxExpansions)),
     // Lucene WildcardQuery (w:s?a*): LIKE-translated dictionary rewrite,
     // capped + df-ordered, then OR search
     "q_wildcard_search" -> ((s, dir) =>
       Engine.forDir(s, dir).searchWildcard(WildcardQ,
         rows = 60, maxExpansions = WildcardMaxExpansions)),
-    // leading wildcard: served off the reversed-term dictionary (StartsWith
-    // pushdown), oracle scans forward — identical results by construction
+    // leading wildcard THROUGH THE OVER-CAP ENGINE: served off the
+    // reversed-term dictionary (StartsWith pushdown — the 100×-vocabulary
+    // route; the default engine rewrites off the driver map, gated by
+    // q_wildcard_search), oracle scans forward — identical by construction
     "q_wildcard_leading" -> ((s, dir) =>
-      Engine.forDir(s, dir).searchWildcard(WildcardLeadQ,
+      Engine.forDirBigVocab(s, dir).searchWildcard(WildcardLeadQ,
         rows = 60, maxExpansions = WildcardMaxExpansions)),
     // Lucene TermRangeQuery ([lo TO hi}): bound-filtered dictionary
     // rewrite, capped + df-ordered, then OR search

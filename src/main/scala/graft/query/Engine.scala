@@ -241,6 +241,13 @@ final class Index(val spark: SparkSession, val indexDir: String,
     */
   def dfViaScan: Boolean = dictMap.isEmpty
 
+  /** The driver-resident (term → df) map, when the vocabulary is under
+    * [[dictDriverMax]] — multi-term rewrites enumerate it in memory
+    * instead of running a Spark job per clause (see
+    * [[Engine.DriverExpandMaxVocab]]).
+    */
+  private[query] def driverTerms: Option[Map[String, Long]] = dictMap
+
   /** Trigram side store present for every live unit? (Same one-glob
     * contract as [[hasDictStore]]; absent on pre-v7 indexes, where fuzzy/
     * spellcheck keep the vocabulary-scan fallback.)
@@ -686,9 +693,24 @@ final class Engine(val index: Index) {
     */
   def searchPrefix(prefix: String, rows: Int = 60, maxExpansions: Int = 50,
                    boost: Double = 1.0): DataFrame = {
-    val exp = termsEnum(prefix, maxExpansions).select(col("term")).as[String].collect().toSeq
+    val exp = prefixExpansions(prefix, maxExpansions)
     if (exp.isEmpty) return Wand.topK(spark, spark.emptyDataset[Scored], rows)
     searchByTerms(exp.map(_ -> boost), rows, accuracy = 1.0)
+  }
+
+  /** Terms of a prefix clause, (df DESC, term ASC) capped — the
+    * [[termsEnum]] rewrite, off the driver map when the vocabulary is
+    * under the expansion cap.
+    */
+  private[graft] def prefixExpansions(prefix: String,
+      maxExpansions: Int): Seq[String] = driverVocab match {
+    case Some(m) =>
+      m.iterator.filter { case (t, _) => t.startsWith(prefix) }
+        .toSeq.sortBy { case (t, df) => (-df, t) }
+        .take(maxExpansions).map(_._1)
+    case None =>
+      termsEnum(prefix, maxExpansions)
+        .select(col("term")).as[String].collect().toSeq
   }
 
   /** Lucene FuzzyQuery (`term~N`): expand to indexed terms within
@@ -748,18 +770,39 @@ final class Engine(val index: Index) {
     searchByTerms(exp.map(_ -> boost), rows, accuracy = 1.0)
   }
 
+  /** The in-memory dictionary when BOTH caps admit it — the expansion
+    * fast path ([[Engine.DriverExpandMaxVocab]]). The term alphabet is
+    * ASCII ([a-z0-9:] + pads), so Java String order below ≡ the binary
+    * UTF8String order the distributed routes sort by.
+    */
+  private def driverVocab: Option[Map[String, Long]] =
+    index.driverTerms.filter(_.size <= Engine.DriverExpandMaxVocab)
+
+  /** True when multi-term rewrites take the driver-map route — exposed so
+    * gates/bench sections can pin which route they measure.
+    */
+  def expandViaDriver: Boolean = driverVocab.isDefined
+
   /** Terms of a range clause, (df DESC, term ASC) capped — see
     * [[searchRange]]. `None` = open bound.
     */
   private[graft] def rangeExpansions(lo: Option[String], hi: Option[String],
-      incLo: Boolean, incHi: Boolean, maxExpansions: Int): Seq[String] = {
-    var d = index.dictionary
-    lo.foreach(l => d = d.where(if (incLo) col("term") >= lit(l) else col("term") > lit(l)))
-    hi.foreach(h => d = d.where(if (incHi) col("term") <= lit(h) else col("term") < lit(h)))
-    d.orderBy(col("df").desc, col("term").asc)
-      .limit(maxExpansions)
-      .select(col("term")).as[String].collect().toSeq
-  }
+      incLo: Boolean, incHi: Boolean, maxExpansions: Int): Seq[String] =
+    driverVocab match {
+      case Some(m) =>
+        m.iterator.filter { case (t, _) =>
+          lo.forall(l => if (incLo) t >= l else t > l) &&
+            hi.forall(h => if (incHi) t <= h else t < h)
+        }.toSeq.sortBy { case (t, df) => (-df, t) }
+          .take(maxExpansions).map(_._1)
+      case None =>
+        var d = index.dictionary
+        lo.foreach(l => d = d.where(if (incLo) col("term") >= lit(l) else col("term") > lit(l)))
+        hi.foreach(h => d = d.where(if (incHi) col("term") <= lit(h) else col("term") < lit(h)))
+        d.orderBy(col("df").desc, col("term").asc)
+          .limit(maxExpansions)
+          .select(col("term")).as[String].collect().toSeq
+    }
 
   /** Matching terms of a wildcard clause, (df DESC, term ASC) capped.
     * Leading-wildcard patterns with a literal tail route to the reversed
@@ -772,17 +815,27 @@ final class Engine(val index: Index) {
     * ParsedQuerySpec).
     */
   private[graft] def wildcardExpansions(pattern: String, maxExpansions: Int,
-      forceForward: Boolean = false): Seq[String] = {
-    val matched =
-      if (!forceForward && index.hasRDict && Engine.shouldReverse(pattern))
-        index.rdictStore
-          .where(col("rterm").like(Engine.wildcardToLike(pattern.reverse)))
-          .groupBy(col("term")).agg(sum("df").cast("long").as("df"))
-      else index.dictionary.where(col("term").like(Engine.wildcardToLike(pattern)))
-    matched
-      .orderBy(col("df").desc, col("term").asc)
-      .limit(maxExpansions)
-      .select(col("term")).as[String].collect().toSeq
+      forceForward: Boolean = false): Seq[String] = driverVocab match {
+    case Some(m) =>
+      // driver route: one anchored-regex pass over the in-memory
+      // dictionary — leading wildcards cost the same pass as trailing
+      // ones here (Lucene's cost cliff is a disk-seek artifact), so the
+      // reversed store only matters on the over-cap routes below
+      val re = Engine.wildcardToRegex(pattern)
+      m.iterator.filter { case (t, _) => re.matcher(t).matches() }
+        .toSeq.sortBy { case (t, df) => (-df, t) }
+        .take(maxExpansions).map(_._1)
+    case None =>
+      val matched =
+        if (!forceForward && index.hasRDict && Engine.shouldReverse(pattern))
+          index.rdictStore
+            .where(col("rterm").like(Engine.wildcardToLike(pattern.reverse)))
+            .groupBy(col("term")).agg(sum("df").cast("long").as("df"))
+        else index.dictionary.where(col("term").like(Engine.wildcardToLike(pattern)))
+      matched
+        .orderBy(col("df").desc, col("term").asc)
+        .limit(maxExpansions)
+        .select(col("term")).as[String].collect().toSeq
   }
 
   /** (term, editDistance) expansions of a fuzzy clause — see [[searchFuzzy]].
@@ -800,6 +853,27 @@ final class Engine(val index: Index) {
     * IndexSpec).
     */
   private[graft] def fuzzyExpansions(term: String, maxEdits: Int,
+      maxExpansions: Int): Seq[(String, Int)] = driverVocab match {
+    case Some(m) =>
+      // driver route: length band (d edits change |t| by ≤ d), then exact
+      // Levenshtein in memory — the same verify the distributed routes end
+      // in, over the whole (≤2^17-term) vocabulary instead of a pre-pruned
+      // candidate set
+      m.iterator
+        .filter { case (t, _) => math.abs(t.length - term.length) <= maxEdits }
+        .map { case (t, df) => (t, Engine.levenshteinScala(t, term), df) }
+        .filter(_._2 <= maxEdits)
+        .toSeq
+        .sortBy { case (t, d, df) => (d, -df, t) }
+        .take(maxExpansions)
+        .map { case (t, d, _) => (t, d) }
+    case None => fuzzyExpansionsDistributed(term, maxEdits, maxExpansions)
+  }
+
+  /** Over-cap fuzzy expansion: trigram-pruned when the store + pigeonhole
+    * threshold allow, vocabulary scan otherwise — see [[fuzzyExpansions]].
+    */
+  private[graft] def fuzzyExpansionsDistributed(term: String, maxEdits: Int,
       maxExpansions: Int): Seq[(String, Int)] =
     fuzzyCandidates(term, maxEdits) match {
       case Some(cands) =>
@@ -894,9 +968,10 @@ final class Engine(val index: Index) {
     val groups = Seq.newBuilder[Seq[(String, Double)]]
     val phrases = Seq.newBuilder[(Array[String], Double, Engine.Occur, Int)]
     val clauses = Engine.parseLucene(q)
-    // every multi-term clause's expansion is its own blocking driver-side
-    // dictionary job; a mixed query with several rewrites would pay them
-    // back-to-back. Launch them concurrently (independent read-only
+    // under the expansion cap each rewrite is an in-memory dictionary
+    // pass (cheap); over it each is its own blocking driver-side
+    // dictionary job, and a mixed query with several rewrites would pay
+    // them back-to-back. Launch them concurrently (independent read-only
     // actions on the shared session) and fold results in clause order —
     // the composition below is byte-identical to the sequential form.
     // (term, editDistance) is the common shape; non-fuzzy rewrites carry 0.
@@ -906,9 +981,8 @@ final class Engine(val index: Index) {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       clauses.map {
-        case PrefixClause(p, _, _) => Some(Future(
-          termsEnum(p, maxExpansions).select(col("term")).as[String]
-            .collect().toSeq.map(_ -> 0)))
+        case PrefixClause(p, _, _) =>
+          Some(Future(prefixExpansions(p, maxExpansions).map(_ -> 0)))
         case FuzzyClause(t, e, _, _) =>
           Some(Future(fuzzyExpansions(t, e, maxExpansions)))
         case WildcardClause(p, _, _) =>
@@ -995,10 +1069,16 @@ final class Engine(val index: Index) {
     val phraseDfs =
       phraseSeq.map { case p @ (toks, b, occ, slop) =>
         val boost = if (occ == Occur.MustNot) 1.0 else b
-        p -> phraseScores(corpus, toks, boost, slop).toDF("doc_id", "score")
+        // |phrase hits| <= min df over the phrase's words — the same
+        // dictionary-known bound that gates the stored-verify broadcast;
+        // an unindexed word bounds the (empty) contribution at 0
+        val words = toks.map("w:" + _).distinct.toSeq
+        val d = index.dfOf(words)
+        val bound = if (d.size < words.size) 0L else d.values.min
+        (p, phraseScores(corpus, toks, boost, slop).toDF("doc_id", "score"), bound)
       }
     val scoringDfs = phraseDfs.collect {
-      case (((_, _, occ, _), df0)) if occ != Occur.MustNot => df0
+      case ((_, _, occ, _), df0, bound) if occ != Occur.MustNot => (df0, bound)
     }
     // Required term/group clauses present: every result doc holds a
     // required — and therefore scoring — term, so the membership-folded
@@ -1019,16 +1099,35 @@ final class Engine(val index: Index) {
         if (scoringDfs.isEmpty) base
         else {
           // +0.0 on phrase-free docs is exact, so folded scores are
-          // bit-identical to the union shape's for single-phrase queries
-          val pAgg = scoringDfs.reduce(_ unionAll _)
-            .groupBy(col("doc_id")).agg(sum(col("score")).as("pscore"))
-          base.join(pAgg, Seq("doc_id"), "left_outer")
+          // bit-identical to the union shape's for single-phrase queries.
+          // ONE scoring phrase (the common mixed-query shape): its
+          // per-segment leapfrog/verify emits each doc at most once (a doc
+          // lives in exactly one segment), so the doc_id re-aggregation is
+          // a no-op shuffle — rename and graft directly. Phrases can share
+          // docs across clauses, so >=2 keep the union+sum.
+          val pAgg = scoringDfs match {
+            case Seq((one, _)) => one.withColumnRenamed("score", "pscore")
+            case many => many.map(_._1).reduce(_ unionAll _)
+              .groupBy(col("doc_id")).agg(sum(col("score")).as("pscore"))
+          }
+          // explicit broadcast under the dictionary-known bound (the
+          // stored-verify gate's rule): the graft join then builds on the
+          // phrase side with no shuffle or sort of the scoring aggregate.
+          // A corpus-hot phrase fails open to a sort-merge join of two
+          // doc_id-keyed aggregates — (doc_id, score) rows only, never
+          // content (the r04 scale-killer shape is structurally gone).
+          val pSide =
+            if (scoringDfs.map(_._2).sum <= Engine.PhraseBroadcastMaxCand)
+              broadcast(pAgg)
+            else pAgg
+          base.join(pSide, Seq("doc_id"), "left_outer")
             .select(col("doc_id"),
               (col("score") + coalesce(col("pscore"), lit(0.0))).as("score"))
         }
       } else {
         val parts: Seq[DataFrame] =
-          (if (weights.isEmpty) Nil else Seq(scanScoreAll(weights, avgdl))) ++ scoringDfs
+          (if (weights.isEmpty) Nil
+           else Seq(scanScoreAll(weights, avgdl))) ++ scoringDfs.map(_._1)
         if (parts.isEmpty) // purely negative query matches nothing, as in Lucene
           return Wand.topK(spark, spark.emptyDataset[Scored], rows)
         var r = parts.reduce(_ unionAll _)
@@ -1043,12 +1142,17 @@ final class Engine(val index: Index) {
           r = r.join(matchSet(notSeq.map(_ -> 1.0)), Seq("doc_id"), "left_anti")
         r
       }
-    phraseDfs.foreach { case ((_, _, occ, _), df0) =>
+    phraseDfs.foreach { case ((_, _, occ, _), df0, bound) =>
+      // same dictionary-known bound gates the membership side: a required
+      // (or prohibited) phrase's doc set broadcasts when it provably fits
+      val side =
+        if (bound <= Engine.PhraseBroadcastMaxCand) broadcast(df0.select("doc_id"))
+        else df0.select("doc_id")
       occ match {
         case Occur.Must =>
-          res = res.join(df0.select("doc_id"), Seq("doc_id"), "left_semi")
+          res = res.join(side, Seq("doc_id"), "left_semi")
         case Occur.MustNot =>
-          res = res.join(df0.select("doc_id"), Seq("doc_id"), "left_anti")
+          res = res.join(side, Seq("doc_id"), "left_anti")
         case Occur.Should => ()
       }
     }
@@ -1832,6 +1936,28 @@ final class Engine(val index: Index) {
     * 100×-vocabulary ever makes the scan hot).
     */
   def spellcheck(term: String, maxEdits: Int = 2, limit: Int = 10): DataFrame =
+    driverVocab match {
+      case Some(m) =>
+        // driver route (vocabulary under the expansion cap): length band +
+        // exact Levenshtein over the in-memory dictionary; same
+        // driver-local result relation as the gram-pruned route below
+        val rows = m.iterator
+          .filter { case (t, _) =>
+            t != term && math.abs(t.length - term.length) <= maxEdits }
+          .filter { case (t, _) => Engine.levenshteinScala(t, term) <= maxEdits }
+          .filter(_._2 > 0)
+          .toSeq
+          .sortBy { case (t, df) => (-df, t) }
+          .take(limit)
+        spark.createDataset(rows).toDF("term", "df")
+      case None => spellcheckDistributed(term, maxEdits, limit)
+    }
+
+  /** Over-cap spellcheck: gram-pruned when available, dictionary scan
+    * otherwise — see [[spellcheck]].
+    */
+  private[graft] def spellcheckDistributed(term: String, maxEdits: Int = 2,
+      limit: Int = 10): DataFrame =
     fuzzyCandidates(term, maxEdits) match {
       case Some(cands) =>
         // gram-pruned route: suggestions already in hand (tiny), the df
@@ -2336,6 +2462,35 @@ object Engine {
     * the planner's shuffle strategy.
     */
   val PhraseBroadcastMaxCand: Long = 2000000L
+
+  /** Driver-side expansion cap: multi-term rewrites (prefix / wildcard /
+    * fuzzy / range) enumerate the already-resident driver dictionary when
+    * the vocabulary is at most this size — a linear pass over ≤2^17 short
+    * ASCII strings is sub-millisecond, strictly cheaper than any Spark
+    * job (Lucene's own rewrites walk an in-memory FST the same way).
+    * Above it — or over the [[Index.dictDriverMax]] cap entirely — the
+    * distributed stores do the pruning: trigram In-pushdown for fuzzy,
+    * reversed-dictionary StartsWith for leading wildcards, dictionary
+    * scans otherwise (the 100×-vocabulary paths, kept driver-gated and
+    * benched through an over-cap engine). Routes are result-identical
+    * (pinned in IndexSpec).
+    */
+  val DriverExpandMaxVocab: Long = 1L << 17
+
+  /** Anchored regex equivalent of [[wildcardToLike]]'s LIKE translation
+    * (`*` → `.*`, `?` → `.`, everything else literal) — the driver-side
+    * wildcard route. Literal chars are quoted, so the equivalence holds
+    * even for terms outside the [a-z0-9:] alphabet.
+    */
+  private[graft] def wildcardToRegex(pattern: String): java.util.regex.Pattern = {
+    val sb = new StringBuilder
+    pattern.foreach {
+      case '*' => sb.append(".*")
+      case '?' => sb.append('.')
+      case c => sb.append(java.util.regex.Pattern.quote(c.toString))
+    }
+    java.util.regex.Pattern.compile(sb.toString)
+  }
 
   /** Built-in-composed specification twin of the native
     * [[graft.functions.GraftPhrasePfDl]] phrase verify (pinned equal in

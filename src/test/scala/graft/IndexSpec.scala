@@ -48,41 +48,66 @@ class IndexSpec extends SparkSpec {
     pairs.zip(viaSpark).foreach { case ((a, b), d) =>
       assert(graft.query.Engine.levenshteinScala(a, b) == d, s"('$a','$b')")
     }
-    // long term routes pruned and matches the scan twin exactly
+    // the default engine's vocabulary sits under the driver-expansion cap
+    assert(engine.expandViaDriver, "test vocab must admit the driver route")
+    // long term: ALL THREE routes agree — driver map (the default
+    // engine's), gram-pruned distributed, vocabulary scan
     for ((t, d) <- Seq(("w:custoner", 2), ("w:customer", 2), ("w:windoww", 1))) {
       val cands = engine.fuzzyCandidates(t, d)
-      assert(cands.isDefined, s"'$t'~$d must route pruned")
-      assert(engine.fuzzyExpansions(t, d, 8) == engine.fuzzyExpansionsScan(t, d, 8),
-        s"'$t'~$d expansion diverged")
+      assert(cands.isDefined, s"'$t'~$d must route pruned when distributed")
+      val viaScan = engine.fuzzyExpansionsScan(t, d, 8)
+      assert(engine.fuzzyExpansionsDistributed(t, d, 8) == viaScan,
+        s"'$t'~$d pruned expansion diverged from the scan")
+      assert(engine.fuzzyExpansions(t, d, 8) == viaScan,
+        s"'$t'~$d driver expansion diverged from the scan")
       // the pre-filter candidate set must be far below the vocabulary
       val vocab = engine.index.dictionary.count()
       assert(cands.get.size < vocab / 5,
         s"'$t'~$d: ${cands.get.size} candidates of $vocab vocab — not pruning")
     }
     assert(engine.fuzzyExpansions("w:custoner", 2, 8).nonEmpty, "non-vacuous")
-    // short term: threshold <= 0 -> scan fallback (None)
+    // short term: threshold <= 0 -> scan fallback (None) on the
+    // distributed route (the driver route has no pigeonhole cliff)
     assert(engine.fuzzyCandidates("w:hach", 2).isEmpty)
-    // spellcheck: pruned route == scan ordering/content (long term)
-    val viaPruned = engine.spellcheck("w:custoner", 2, 10)
+    // spellcheck: driver route == pruned distributed route == scan
+    // ordering/content (long term)
+    val viaPruned = engine.spellcheckDistributed("w:custoner", 2, 10)
+      .as[(String, Long)].collect().toSeq
+    val viaDriver = engine.spellcheck("w:custoner", 2, 10)
       .as[(String, Long)].collect().toSeq
     val viaScan = engine.index.dictionary
       .where(levenshtein($"term", lit("w:custoner")) <= 2 && $"term" =!= "w:custoner")
       .select($"term", $"df").orderBy($"df".desc, $"term".asc).limit(10)
       .as[(String, Long)].collect().toSeq
     assert(viaPruned == viaScan)
+    assert(viaDriver == viaScan)
   }
 
   test("over-cap dictionary route: dfViaScan pinned on, rank-identical across query shapes") {
     val big = new Engine(new Index(spark, indexDir, dictDriverMax = 16L))
     assert(big.index.dfViaScan, "low cap must force the distributed df route")
     assert(!engine.index.dfViaScan, "control engine must keep the driver map")
+    // the expansion route flips with the same cap: the big engine's
+    // rewrites run the distributed stores, the control engine's the map
+    assert(!big.expandViaDriver && engine.expandViaDriver,
+      "expansion routes must split across the cap")
     // term search (WAND), pruned accuracy, phrase (positional route: also
-    // resolves dfs through the over-cap path), prefix expansion
+    // resolves dfs through the over-cap path), prefix expansion, and the
+    // three rewrites whose distributed twins the big engine forces
+    // (trigram-pruned fuzzy, rdict leading wildcard, dictionary range)
     for ((name, dfOf) <- Seq[(String, Engine => org.apache.spark.sql.DataFrame)](
         "wand" -> (_.searchByTerms(SparkEntry.FlagshipTerms, rows = 30)),
         "pruned" -> (_.searchByTerms(SparkEntry.FlagshipTerms, rows = 30, accuracy = 0.5)),
         "phrase" -> (e => e.searchPhrase(corpus, SparkEntry.PhraseBigram, rows = 30)),
-        "prefix" -> (_.searchPrefix("w:s", rows = 30)))) {
+        "prefix" -> (_.searchPrefix("w:s", rows = 30)),
+        "fuzzy" -> (_.searchFuzzy(SparkEntry.FuzzyLongQ,
+          maxEdits = SparkEntry.FuzzyMaxEdits, rows = 30,
+          maxExpansions = SparkEntry.FuzzyMaxExpansions)),
+        "wildcard_lead" -> (_.searchWildcard(SparkEntry.WildcardLeadQ,
+          rows = 30, maxExpansions = SparkEntry.WildcardMaxExpansions)),
+        "range" -> (_.searchRange(Some(SparkEntry.RangeLo),
+          Some(SparkEntry.RangeHi), incLo = true, incHi = false, rows = 30,
+          maxExpansions = SparkEntry.RangeMaxExpansions)))) {
       val a = dfOf(engine).collect().map(_.toSeq).toSeq
       val b = dfOf(big).collect().map(_.toSeq).toSeq
       assert(a == b, s"$name: over-cap route diverged from driver-map route")

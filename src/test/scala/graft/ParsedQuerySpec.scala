@@ -3,7 +3,7 @@ package graft
 import graft.analyze.Tokenizer
 import graft.corpus.Corpus
 import graft.index.IndexBuild
-import graft.query.{Bm25, Engine}
+import graft.query.{Bm25, Engine, Index}
 
 /** Lucene QueryParser surface: grammar ([[Engine.parseLucene]]), the
   * PrefixQuery / FuzzyQuery multi-term rewrites, and the full parsed-query
@@ -110,10 +110,17 @@ class ParsedQuerySpec extends SparkSpec {
     import org.apache.spark.sql.functions.col
     val pat = SparkEntry.WildcardLeadQ
     assert(Engine.shouldReverse(pat) && engine.index.hasRDict)
-    // both routes produce the identical capped expansion list
-    val rev = engine.wildcardExpansions(pat, 5)
-    val fwd = engine.wildcardExpansions(pat, 5, forceForward = true)
+    // the parquet routes need an over-cap engine: the control engine's
+    // vocabulary is under the driver-expansion cap and rewrites in memory
+    val big = new Engine(new Index(spark, engine.index.indexDir, dictDriverMax = 16L))
+    assert(!big.expandViaDriver && engine.expandViaDriver)
+    // all three routes produce the identical capped expansion list:
+    // driver map, reversed-dictionary StartsWith, forward LIKE scan
+    val viaDriver = engine.wildcardExpansions(pat, 5)
+    val rev = big.wildcardExpansions(pat, 5)
+    val fwd = big.wildcardExpansions(pat, 5, forceForward = true)
     assert(rev == fwd && rev.nonEmpty, s"rev=$rev fwd=$fwd")
+    assert(viaDriver == rev, s"driver=$viaDriver rev=$rev")
     // ... and they match the brute LIKE-order cap
     val re = ("^" + pat.flatMap {
       case '*' => ".*"

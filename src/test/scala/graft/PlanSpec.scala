@@ -221,15 +221,20 @@ class PlanSpec extends SparkSpec {
     // sort param: bounded top-k, never a global sort
     val pS = plan(engine.searchSortedBy(SparkEntry.FlagshipTerms, "dl", ascending = true, rows = 10))
     assert(pS.contains("TakeOrderedAndProject"), s"sort param not bounded:\n$pS")
-    // spellcheck, long term: the gram-pruned route returns a tiny
+    // spellcheck, driver route (vocab under the expansion cap): a tiny
     // driver-materialized relation — NO dictionary scan in the plan at all
-    // (the sub-linear upgrade; the scan fallback below keeps the old pin)
     val pC = plan(engine.spellcheck("w:licence", maxEdits = 2, limit = 10))
     assert(pC.contains("LocalTableScan") && !pC.contains("dictionary"),
-      s"pruned spellcheck should be a local relation:\n$pC")
-    // spellcheck, short term (threshold <= 0): bounded top-k over the
-    // dictionary — the fallback's plan contract
-    val pC2 = plan(engine.spellcheck("w:li", maxEdits = 2, limit = 10))
+      s"driver-route spellcheck should be a local relation:\n$pC")
+    // spellcheck, gram-pruned distributed route (long term): ALSO a local
+    // relation — candidates come off the trigram pushdown, the result
+    // materializes driver-side (the sub-linear upgrade's plan contract)
+    val pC1 = plan(engine.spellcheckDistributed("w:licence", maxEdits = 2, limit = 10))
+    assert(pC1.contains("LocalTableScan") && !pC1.contains("dictionary"),
+      s"pruned spellcheck should be a local relation:\n$pC1")
+    // spellcheck, short term (threshold <= 0) on the distributed route:
+    // bounded top-k over the dictionary — the scan fallback's plan contract
+    val pC2 = plan(engine.spellcheckDistributed("w:li", maxEdits = 2, limit = 10))
     assert(pC2.contains("TakeOrderedAndProject"), s"spellcheck fallback not bounded:\n$pC2")
     // stats + range facet: partial (map-side) aggregation before the exchange
     for ((tag, df) <- Seq(
