@@ -17,6 +17,7 @@ object Prof {
   def main(args: Array[String]): Unit = {
     if (args(0) == "queries") { profQueries(args.drop(1)); return }
     if (args(0) == "parsed") { profParsed(); return }
+    if (args(0) == "span") { profSpan(); return }
     if (args(0) == "smoke") { profSmoke(); return }
     if (args(0) == "curation") { profCuration(); return }
     if (args(0) == "unigram") { profUnigram(); return }
@@ -141,6 +142,95 @@ object Prof {
     q.collect() // finalize the adaptive plan on THIS instance
     println("PROF folded_phrase FINAL plan:\n" +
       q.queryExecution.executedPlan.toString.take(9000))
+    spark.stop()
+  }
+
+  /** spanDups at bench scale (same corpus + params as the Bench
+    * span_dup section): INTERLEAVED A/B of the occurrence-grouping stage
+    * — the shipped two-pass count+semi-join+collect_list shape vs a
+    * one-pass bounded typed Aggregator — so a VM-noise burst hits both
+    * arms. Measured 2026-08-19 (inside a multi-percent-steal window):
+    * two_pass mins 29.0 s (29.0/74.0/35.6) vs one_pass 28.3 s
+    * (64.8/28.6/28.3) — a WASH. The one-pass arm shingles once and
+    * shuffles once but groupByKey + kryo-buffered ObjectHashAggregate
+    * runs outside whole-stage codegen and pays per-row typed ser/deser,
+    * cancelling the saved count pass (codegen'd, map-side-combined,
+    * ships only (hash, partial-count) rows). This probe is why
+    * [[graft.ml.Dedup.spanDups]] keeps the simpler two-pass shape the
+    * DuckDB oracle mirrors.
+    */
+  def profSpan(): Unit = {
+    val cores = 32
+    val spark = SparkSession.builder().master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", (cores * 4).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    val n = 600000L
+    val dir = s"/tmp/prof-corpus-$n"
+    if (!new java.io.File(s"$dir/_SUCCESS").exists())
+      Corpus.synthesize(spark, n, 42L, 128).write.mode("overwrite").parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    val (width, maxOcc) = (12, 64)
+    val wins = corpus
+      .select(col("doc_id"),
+        posexplode(graft.functions.GraftFunctions.graft_shingle_hashes(col("content"), width)))
+      .select(col("col").as("whash"), col("doc_id"), (col("pos") + 1).as("pos"))
+    // arm A: the pre-rewrite grouping (count pass + semi-join + collect)
+    def twoPass(): Long = {
+      val keep = wins.groupBy(col("whash"))
+        .agg(count(lit(1)).as("nocc"))
+        .where(col("nocc").between(2, maxOcc))
+        .select(col("whash"))
+      wins.join(keep, Seq("whash"), "left_semi")
+        .groupBy(col("whash"))
+        .agg(collect_list(struct(col("doc_id"), col("pos"))).as("occ"))
+        .count()
+    }
+    // arm B: one-pass bounded typed aggregator (the rejected shape —
+    // kept here so the probe stays reproducible; see scaladoc above)
+    def onePass(): Long = {
+      import org.apache.spark.sql.{Encoder, Encoders}
+      import org.apache.spark.sql.expressions.Aggregator
+      final class BoundedOcc(cap: Int) extends Serializable {
+        var over = false
+        var items = new scala.collection.mutable.ArrayBuffer[(Long, Int)](8)
+        def add(d: Long, p: Int): this.type = {
+          if (!over) { if (items.length >= cap) { over = true; items = null } else items += ((d, p)) }
+          this
+        }
+        def mergeIn(o: BoundedOcc): this.type = {
+          if (!over) {
+            if (o.over || items.length + o.items.length > cap) { over = true; items = null }
+            else items ++= o.items
+          }
+          this
+        }
+        def result: Seq[(Long, Int)] = if (over) Nil else items.toSeq
+      }
+      val agg = new Aggregator[(String, Long, Int), BoundedOcc, Seq[(Long, Int)]] {
+        def zero = new BoundedOcc(maxOcc)
+        def reduce(b: BoundedOcc, a: (String, Long, Int)) = b.add(a._2, a._3)
+        def merge(b1: BoundedOcc, b2: BoundedOcc) = b1.mergeIn(b2)
+        def finish(r: BoundedOcc): Seq[(Long, Int)] = r.result
+        def bufferEncoder: Encoder[BoundedOcc] = Encoders.kryo[BoundedOcc]
+        def outputEncoder: Encoder[Seq[(Long, Int)]] = implicitly[Encoder[Seq[(Long, Int)]]]
+      }
+      wins.as[(String, Long, Int)]
+        .groupByKey(_._1)
+        .agg(agg.toColumn)
+        .filter(_._2.size >= 2)
+        .count()
+    }
+    twoPass(); onePass() // warm both
+    val (a, b) = (Array.fill(3)(0.0), Array.fill(3)(0.0))
+    for (i <- 0 until 3) {
+      var t0 = System.nanoTime(); twoPass(); a(i) = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime(); onePass(); b(i) = (System.nanoTime() - t0) / 1e9
+    }
+    println(f"PROF span_two_pass_group min=${a.min}%.3f s runs=${a.map(s => f"$s%.3f").mkString(",")}")
+    println(f"PROF span_one_pass_group min=${b.min}%.3f s runs=${b.map(s => f"$s%.3f").mkString(",")}")
     spark.stop()
   }
 
