@@ -15,6 +15,7 @@ object Prof {
   private def tempDir(tag: String): String = graft.util.Tmp.dir(tag)
 
   def main(args: Array[String]): Unit = {
+    if (args(0) == "buildab") { profBuildAb(args.drop(1)); return }
     if (args(0) == "queries") { profQueries(args.drop(1)); return }
     if (args(0) == "parsed") { profParsed(); return }
     if (args(0) == "span") { profSpan(); return }
@@ -48,8 +49,75 @@ object Prof {
     // JIT warmup
     IndexBuild.build(spark, corpus.where(col("doc_id") < 2000),
       tempDir("prof-warm-"), cfg)
+    // task-level accounting: executor CPU vs run time (the gap = blocked
+    // IO/sched), GC time, task count — separates "more work at 8 cores"
+    // from "idle cores at 8 cores" for the scaling-efficiency hunt
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    val runMs = new java.util.concurrent.atomic.AtomicLong
+    val gcMs = new java.util.concurrent.atomic.AtomicLong
+    val nTasks = new java.util.concurrent.atomic.AtomicLong
+    val stageCpu = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.AtomicLong]()
+    val stageName = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageSubmitted(ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+        stageName.put(ss.stageInfo.stageId,
+          s"${ss.stageInfo.name.takeWhile(_ != '\n').take(60)} ntasks=${ss.stageInfo.numTasks}"): Unit
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          cpuNs.addAndGet(m.executorCpuTime)
+          runMs.addAndGet(m.executorRunTime)
+          gcMs.addAndGet(m.jvmGCTime)
+          nTasks.incrementAndGet()
+          stageCpu.computeIfAbsent(te.stageId,
+            _ => new java.util.concurrent.atomic.AtomicLong).addAndGet(m.executorCpuTime): Unit
+        }
+      }
+    })
+    // slot-occupancy sampler: how much of the build's wall has k of the
+    // task slots busy (k tracked 10x/sec) — locates packing loss in time
+    val running = new java.util.concurrent.atomic.AtomicInteger
+    val occupancy = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int)]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskStart(ts: org.apache.spark.scheduler.SparkListenerTaskStart): Unit =
+        running.incrementAndGet(): Unit
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        running.decrementAndGet(): Unit
+    })
+    val sampler = new Thread(() => {
+      while (!Thread.interrupted()) {
+        occupancy.add((System.currentTimeMillis(), running.get()))
+        try Thread.sleep(100) catch { case _: InterruptedException => return }
+      }
+    })
+    val b0 = graft.util.ProcStat.busySec()
+    sampler.setDaemon(true); sampler.start()
     time(s"full build cores=$cores sp=$sp n=$n conc=$conc") {
       IndexBuild.build(spark, corpus, tempDir("prof-idx-"), cfg)
+    }
+    sampler.interrupt()
+    println(f"PROF build busy-cpu-sec ${graft.util.ProcStat.busySec() - b0}%.1f")
+    println(f"PROF build task-cpu-sec ${cpuNs.get / 1e9}%.1f task-run-sec ${runMs.get / 1e3}%.1f gc-sec ${gcMs.get / 1e3}%.1f tasks ${nTasks.get}")
+    locally {
+      import scala.jdk.CollectionConverters._
+      val samples = occupancy.asScala.toVector
+      if (samples.nonEmpty) {
+        val t0ms = samples.head._1
+        val binned = samples.groupBy(s => (s._1 - t0ms) / 1000)
+          .toSeq.sortBy(_._1)
+          .map { case (sec, xs) => f"$sec:${xs.map(_._2).sum.toDouble / xs.size}%.1f" }
+        println("PROF build running-tasks-per-sec " + binned.mkString(" "))
+        val idleSlotSec = samples.sliding(2).collect {
+          case Vector((ta, ka), (tb, _)) => math.max(0, cores - ka) * (tb - ta) / 1000.0
+        }.sum
+        println(f"PROF build idle-slot-sec $idleSlotSec%.1f (cores=$cores)")
+      }
+      // task-CPU by stage NAME (ranges repeat the same stages; sum them)
+      val byName = stageCpu.asScala.toSeq
+        .groupBy { case (sid, _) => stageName.getOrDefault(sid, s"stage-$sid") }
+        .map { case (nm, xs) => nm -> xs.map(_._2.get).sum / 1e9 }
+        .toSeq.sortBy(-_._2)
+      byName.take(12).foreach { case (nm, s) => println(f"PROF stage-cpu $s%8.1f  $nm") }
     }
     // fingerprint: native Expression vs interpreted HOF composition.
     // agg(min(fp)) forces the fp column (count() would prune it away).
@@ -61,6 +129,38 @@ object Prof {
     time("fingerprint HOF (transform+md5, interpreted)") {
       graft.ml.TextStats.fingerprintHof(fpSample).agg(min(col("fp"))).collect()
     }
+    spark.stop()
+  }
+
+  /** Interleaved A/B of two concurrentRanges settings on the SAME warm JVM
+    * (noise-resistant: draw i of each arm runs back-to-back).
+    * args: cores sp n concA concB [draws]
+    */
+  def profBuildAb(args: Array[String]): Unit = {
+    val Array(cores, sp, n, concA, concB) = args.take(5).map(_.toInt)
+    val draws = if (args.length > 5) args(5).toInt else 3
+    val spark = SparkSession.builder().master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", sp.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = s"/tmp/prof-corpus-$n"
+    require(new java.io.File(s"$dir/_SUCCESS").exists(), s"stage the corpus first: Prof $cores $sp $n")
+    val corpus = spark.read.parquet(dir)
+    def cfgOf(conc: Int) = IndexConfig(segShift = 9, rangeSegsShift = 7,
+      concurrentRanges = conc, filterColumns = Seq("lang"))
+    IndexBuild.build(spark, corpus.where(col("doc_id") < 2000), tempDir("prof-warm-"), cfgOf(concA))
+    val walls = scala.collection.mutable.Map[Int, List[Double]]().withDefaultValue(Nil)
+    (1 to draws).foreach { i =>
+      Seq(concA, concB).foreach { conc =>
+        val (_, sec, steal) = graft.util.ProcStat.timedWithSteal(
+          IndexBuild.build(spark, corpus, tempDir(s"prof-ab-$conc-$i-"), cfgOf(conc)))
+        walls(conc) = sec :: walls(conc)
+        println(f"PROF ab conc=$conc draw=$i wall=$sec%.2f steal=$steal%.1f")
+      }
+    }
+    Seq(concA, concB).foreach(c =>
+      println(f"PROF ab conc=$c min=${walls(c).min}%.2f all=${walls(c).reverse.map(w => f"$w%.1f").mkString(",")}"))
     spark.stop()
   }
 

@@ -1277,6 +1277,15 @@ object IndexBuild {
     }
 
   /** Build one checkpoint range; returns (n_docs, sum_dl). */
+  /** Env-gated per-phase wall log (GRAFT_BUILD_PROF=1) — profiling aid for
+    * the scaling-efficiency work; prints one line per (range, phase) with
+    * seconds since range start. No effect when the env var is absent.
+    */
+  private val profBuild = sys.env.contains("GRAFT_BUILD_PROF")
+  @inline private def plog(r: Long, phase: String, t0: Long): Unit =
+    if (profBuild)
+      println(f"BUILD_PROF r=$r $phase%-14s ${(System.nanoTime() - t0) / 1e9}%.2f at=${System.currentTimeMillis()}")
+
   private def buildRange(spark: SparkSession, corpus: DataFrame, indexDir: String,
                           cfg: IndexConfig, r: Long): (Long, Long) = {
     import spark.implicits._
@@ -1290,6 +1299,7 @@ object IndexBuild {
       // MEMORY_AND_DISK spills instead of evicting under pressure.
       val slice = corpus.where(col("doc_id") >= lo && col("doc_id") < hi)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      plog(r, "start", rt0)
       try {
       val posts = partialPostings(spark, slice, cfg)
       val p1 = phase1(spark, posts, cfg)
@@ -1352,6 +1362,7 @@ object IndexBuild {
         count(lit(1)).as("n_rows"),
         coalesce(expr("bit_xor(xxhash64(concat_ws('|', doc_id, sha)))"), lit(0L)).as("checksum"))
         .write.mode("overwrite").parquet(s"${docmetaDir(indexDir)}/range=$r")
+      plog(r, "docmeta", rt0)
       // fq filter side-index: one bitmap of segment-local doc ids per
       // (seg_id, column, value), from the WRITTEN docmeta (attested data).
       // Written before the manifest so _SUCCESS covers it. Tiny: total
@@ -1379,6 +1390,7 @@ object IndexBuild {
           .toDF("seg_id", "fcol", "value", "bitmap")
           .write.mode("overwrite").parquet(s"${filtersDir(indexDir)}/range=$r")
       }
+      plog(r, "filters", rt0)
       // manifest last: _SUCCESS == range committed (segments write must be
       // done before the manifest row lands — await the async job here).
       // BOUNDED await: a hung segments job would otherwise pin this range's
@@ -1387,9 +1399,11 @@ object IndexBuild {
       // redo — partials are invisible behind the manifest gate).
       boundedAwait(spark, segF, segJobGroup, cfg.segmentsWriteTimeoutSec,
         s"segments write for range=$r", Some(segCancelled))
+      plog(r, "segments-await", rt0)
       // per-unit term dictionary from the attested segments (see
       // writeDictionary): part of the unit, covered by the manifest gate
       writeDictionary(spark, indexDir, r, cfg.segmentsWriteTimeoutSec)
+      plog(r, "dictionary", rt0)
       val om = obs.get
       val (nd, sdl, nRows, checksum) =
         (om("n_docs").asInstanceOf[Long], om("sum_dl").asInstanceOf[Long],
@@ -1401,6 +1415,7 @@ object IndexBuild {
           "seg_shift", "range_segs_shift", "build_ms", "doc_ranges", "retires",
           "codec_ver")
       m.coalesce(1).write.mode("overwrite").parquet(s"${manifestDir(indexDir)}/range=$r")
+      plog(r, "manifest", rt0)
       (nd, sdl)
       } finally slice.unpersist(blocking = false)
     }
