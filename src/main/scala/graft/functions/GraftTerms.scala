@@ -591,6 +591,48 @@ case class GraftShingles(child: Expression, width: Int)
     copy(child = newChild)
 }
 
+/** Distinct padded character trigrams of a term — the fuzzy/spellcheck
+  * q-gram store's row source ([[graft.index.IndexBuild]] ngrams writer).
+  * Native twin of the `transform(sequence, substr)` column composition it
+  * replaced: the HOF form ran every gram as an interpreted
+  * `Substring.nullSafeEval` — a JFR profile of the 600k-doc bench build
+  * put it at ~26% of the 2-core build's task CPU, all of it inside the
+  * dictionary-store write jobs on the range critical path. MUST agree
+  * with [[graft.query.Engine.fuzzyGrams]] (the query-side twin that
+  * derives the q-gram count filter) — both are char-based; dictionary
+  * terms are ASCII by construction of the tokenizer ([a-z0-9] tokens,
+  * "w:"/"s:" prefixes), where char- and codepoint-substring coincide.
+  * Dedupe keeps first occurrence (array_distinct's order contract).
+  */
+case class GraftGrams(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_grams"
+
+  override def nullSafeEval(input: Any): Any = {
+    val term = input.toString
+    val padded = new java.lang.StringBuilder(term.length + 2)
+      .append('^').append(term).append('$').toString
+    if (padded.length < 3)
+      return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]
+    var i = 0
+    while (i + 3 <= padded.length) {
+      seen.add(UTF8String.fromString(padded.substring(i, i + 3))): Unit
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GraftGrams =
+    copy(child = newChild)
+}
+
 /** POSITIONED window hashes: md5 hex of every width-token window, one
   * entry per window in token order (NOT distinct — [[GraftShingles]]'s
   * set form can't carry offsets). Feeds the substring-level span dedup
@@ -821,6 +863,8 @@ object GraftFunctions {
     GraftBridge.column(GraftShingles(GraftBridge.expression(c), width))
   def graft_shingle_hashes(c: Column, width: Int): Column =
     GraftBridge.column(GraftShingleHashes(GraftBridge.expression(c), width))
+  def graft_grams(c: Column): Column =
+    GraftBridge.column(GraftGrams(GraftBridge.expression(c)))
   def graft_phrase_pfdl(c: Column, toks: Seq[String], maxDl: Int,
                         slop: Int = 0): Column =
     GraftBridge.column(GraftPhrasePfDl(GraftBridge.expression(c), toks, maxDl, slop))

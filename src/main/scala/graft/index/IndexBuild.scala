@@ -237,12 +237,15 @@ object IndexBuild {
     * (build-time only). Scala twin: [[graft.query.Engine.fuzzyGrams]] —
     * the two MUST agree or the q-gram count filter loses candidates.
     */
-  private def gramsCol(term: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val padded = concat(lit("^"), term, lit("$"))
-    array_distinct(transform(
-      sequence(lit(1), length(padded) - lit(2)),
-      i => padded.substr(i, lit(3))))
-  }
+  private def gramsCol(term: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    // native expression, ONE eval per term: the HOF composition
+    // (array_distinct(transform(sequence, substr))) ran each gram as an
+    // interpreted Substring eval — ~26% of the 2-core bench build's task
+    // CPU (JFR), all inside the dictionary-store writes on the range
+    // critical path. The composition survives as the spec twin
+    // (FunctionsSpec pins equality), as does the query-side Scala twin
+    // Engine.fuzzyGrams.
+    graft.functions.GraftFunctions.graft_grams(term)
 
   /** Pack (local, tf, dl) into one long — the shuffle row stays (String,
     * Long, Long), primitive-heavy, to keep the 49M-rows/200k-docs build
@@ -286,53 +289,80 @@ object IndexBuild {
     corpus.select(col("doc_id"), col("content")).as[(Long, String)]
       .mapPartitions { docs =>
         val acc = new java.util.HashMap[String, java.util.HashMap[Long, PartialBuf]]()
+        // ASCII fast path: one fused lower+scan pass, an open-addressing
+        // char-range token table (no String per occurrence), shingle counts
+        // in an int[4096] (the 12-bit bucket IS the term), one reused
+        // MessageDigest. The pre-rewrite shape (regex split + per-token
+        // "w:"+tok HashMap + md5-hex-substring per shingle) was ~40% of
+        // build task CPU in a JFR profile, and its allocation churn is what
+        // inflated per-core CPU 2.2x from 2 to 8 threads. Non-ASCII docs
+        // (where per-char and per-string lowercasing can diverge) take the
+        // legacy path below — bit-identical output either way, pinned by
+        // IndexSpec's fast-vs-legacy partials test.
+        val fast = new FastDocTokens
         val docPos = new java.util.HashMap[String, IntBuf]()
         val docCounts = new java.util.HashMap[String, Int]()
+
+        def addWord(term: String, segId: Long, local: Int, dl: Int, ps: IntBuf): Unit = {
+          val pb = acc
+            .computeIfAbsent(term, _ => new java.util.HashMap[Long, PartialBuf]())
+            .computeIfAbsent(segId, _ => new PartialBuf)
+          pb.packed.add(pack(local, ps.length, dl))
+          // self-counting run: ALL positions, count varint first — the
+          // pack() MaxTf saturation must not truncate phrase positions
+          // (pf is exact even past the clamp; only BM25's tf saturates)
+          val out = pb.posOut
+          Codec.writeVarInt(out, ps.length)
+          var k = 0
+          var prev = 0
+          while (k < ps.length) {
+            val p = ps(k)
+            Codec.writeVarInt(out, p - prev)
+            prev = p
+            k += 1
+          }
+        }
+        def addShingle(term: String, segId: Long, local: Int, dl: Int, count: Int): Unit =
+          acc.computeIfAbsent(term, _ => new java.util.HashMap[Long, PartialBuf]())
+            .computeIfAbsent(segId, _ => new PartialBuf)
+            .packed.add(pack(local, count, dl))
+
         docs.foreach { case (docId, content) =>
-          val toks = Tokenizer.tokenizeScala(content)
-          if (toks.nonEmpty) {
-            val n = toks.length
-            val dl = 2 * n - 1 // words + shingles, = termsScala(content).length
-            val segId = cfg.segOf(docId)
-            val local = cfg.localOf(docId)
-            docPos.clear()
-            docCounts.clear()
-            var i = 0
-            while (i < n) {
-              docPos.computeIfAbsent("w:" + toks(i), _ => new IntBuf).add(i)
-              if (i < n - 1)
-                docCounts.merge(Tokenizer.shingleTerm(toks(i), toks(i + 1)), 1,
-                  Integer.sum(_, _))
-              i += 1
+          val segId = cfg.segOf(docId)
+          val local = cfg.localOf(docId)
+          if (fast.process(content)) {
+            if (fast.nTokens > 0) {
+              val dl = 2 * fast.nTokens - 1
+              fast.drainWords((term, ps) => addWord(term, segId, local, dl, ps))
+              fast.drainShingles((term, c) => addShingle(term, segId, local, dl, c))
             }
-            val wi = docPos.entrySet().iterator()
-            while (wi.hasNext) {
-              val e = wi.next()
-              val ps = e.getValue
-              val pb = acc
-                .computeIfAbsent(e.getKey, _ => new java.util.HashMap[Long, PartialBuf]())
-                .computeIfAbsent(segId, _ => new PartialBuf)
-              pb.packed.add(pack(local, ps.length, dl))
-              // self-counting run: ALL positions, count varint first — the
-              // pack() MaxTf saturation must not truncate phrase positions
-              // (pf is exact even past the clamp; only BM25's tf saturates)
-              val out = pb.posOut
-              Codec.writeVarInt(out, ps.length)
-              var k = 0
-              var prev = 0
-              while (k < ps.length) {
-                val p = ps(k)
-                Codec.writeVarInt(out, p - prev)
-                prev = p
-                k += 1
+          } else {
+            // legacy path (non-ASCII content): the original per-doc logic,
+            // byte-identical to pre-fast-path builds
+            val toks = Tokenizer.tokenizeScala(content)
+            if (toks.nonEmpty) {
+              val n = toks.length
+              val dl = 2 * n - 1 // words + shingles, = termsScala(content).length
+              docPos.clear()
+              docCounts.clear()
+              var i = 0
+              while (i < n) {
+                docPos.computeIfAbsent("w:" + toks(i), _ => new IntBuf).add(i)
+                if (i < n - 1)
+                  docCounts.merge(Tokenizer.shingleTerm(toks(i), toks(i + 1)), 1,
+                    Integer.sum(_, _))
+                i += 1
               }
-            }
-            val si = docCounts.entrySet().iterator()
-            while (si.hasNext) {
-              val e = si.next()
-              acc.computeIfAbsent(e.getKey, _ => new java.util.HashMap[Long, PartialBuf]())
-                .computeIfAbsent(segId, _ => new PartialBuf)
-                .packed.add(pack(local, e.getValue, dl))
+              val wi = docPos.entrySet().iterator()
+              while (wi.hasNext) {
+                val e = wi.next()
+                addWord(e.getKey, segId, local, dl, e.getValue)
+              }
+              val si = docCounts.entrySet().iterator()
+              while (si.hasNext) {
+                val e = si.next()
+                addShingle(e.getKey, segId, local, dl, e.getValue)
+              }
             }
           }
         }
@@ -1463,6 +1493,9 @@ private[index] final class IntBuf {
   }
   def length: Int = n
   def apply(i: Int): Int = a(i)
+  /** Reuse across docs (capacity kept): the fast-path token table drains
+    * each buffer at doc end and clears it instead of reallocating. */
+  def clear(): Unit = n = 0
 }
 
 /** One (term, seg) map-side partial: packed postings + (word terms only)
@@ -1471,11 +1504,207 @@ private[index] final class IntBuf {
   */
 private[index] final class PartialBuf {
   val packed = new LongBuf
-  private var pos: java.io.ByteArrayOutputStream = null
-  def posOut: java.io.ByteArrayOutputStream = {
-    if (pos == null) pos = new java.io.ByteArrayOutputStream(32)
+  private var pos: ByteBuf = null
+  def posOut: ByteBuf = {
+    if (pos == null) pos = new ByteBuf(32)
     pos
   }
   def posBytes: Array[Byte] =
     if (pos == null) Array.emptyByteArray else pos.toByteArray
+}
+
+/** Per-task tokenizer + per-doc term accumulator for ASCII content — the
+  * build's hot loop, allocation-light by construction:
+  *
+  *   - one fused pass lowers the content into a reused char buffer and
+  *     bails to the caller's legacy path on the first non-ASCII char
+  *     (where per-char and per-string lowercasing could diverge, e.g.
+  *     U+0130; for pure ASCII, toLowerCase(ROOT) is exactly A-Z+32);
+  *   - tokens are [a-z0-9] runs over that buffer, deduped per doc in an
+  *     open-addressing table keyed by char range — no String, no regex,
+  *     no HashMap node per occurrence (the term String materializes ONCE
+  *     per distinct token per doc, at drain);
+  *   - a shingle's term is "s:" + first 3 md5 hex digits of "a b", i.e.
+  *     the digest's first 12 bits — counted in an int[4096] keyed by that
+  *     bucket directly (no hex string, no substring, no HashMap), against
+  *     an interned 4096-entry term-string table; ONE MessageDigest
+  *     instance per task (the old per-call ThreadLocal get + per-thread
+  *     getInstance churn was ~8% of build CPU in a JFR profile).
+  *
+  * Output is pinned byte-identical to the legacy path (IndexSpec).
+  */
+private[index] final class FastDocTokens {
+  private var low = new Array[Char](1 << 12)
+  private var cap = 1 << 10
+  private var mask = cap - 1
+  private var starts = { val a = new Array[Int](cap); java.util.Arrays.fill(a, -1); a }
+  private var ends = new Array[Int](cap)
+  private var poss = new Array[IntBuf](cap)
+  private var used = new Array[Int](cap)
+  private var nUsed = 0
+  /** Token count of the last successfully processed doc. */
+  var nTokens = 0
+  private val md = java.security.MessageDigest.getInstance("MD5")
+  private var pair = new Array[Byte](64)
+  private val digest = new Array[Byte](16)
+  private val shCounts = new Array[Int](4096)
+  private val shTouched = new Array[Int](4096)
+  private var nSh = 0
+
+  @inline private def isTok(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+
+  @inline private def hashOf(s: Int, e: Int): Int = {
+    var h = 1
+    var i = s
+    while (i < e) { h = 31 * h + low(i); i += 1 }
+    h ^ (h >>> 16)
+  }
+
+  /** Lower + tokenize + shingle-count `content`. Returns false (state
+    * cleared, nTokens = 0) if the content has any non-ASCII char — the
+    * caller must take the legacy path for that doc.
+    */
+  def process(content: String): Boolean = {
+    nTokens = 0
+    var u = 0
+    while (u < nUsed) { starts(used(u)) = -1; poss(used(u)).clear(); u += 1 }
+    nUsed = 0
+    u = 0
+    while (u < nSh) { shCounts(shTouched(u)) = 0; u += 1 }
+    nSh = 0
+    if (content == null) return true
+    val n = content.length
+    if (low.length < n) low = new Array[Char](math.max(n, low.length * 2))
+    var i = 0
+    while (i < n) {
+      val c = content.charAt(i)
+      if (c >= 0x80) return false
+      low(i) = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+      i += 1
+    }
+    var prevS = -1
+    var prevE = -1
+    i = 0
+    while (i < n) {
+      if (isTok(low(i))) {
+        val s = i
+        var e = i + 1
+        while (e < n && isTok(low(e))) e += 1
+        addToken(s, e, nTokens)
+        if (prevS >= 0) addShingle(prevS, prevE, s, e)
+        prevS = s
+        prevE = e
+        nTokens += 1
+        i = e
+      } else i += 1
+    }
+    true
+  }
+
+  private def addToken(s: Int, e: Int, tokenIdx: Int): Unit = {
+    if (nUsed >= cap / 2) grow()
+    var idx = hashOf(s, e) & mask
+    while (true) {
+      val st = starts(idx)
+      if (st < 0) {
+        starts(idx) = s
+        ends(idx) = e
+        if (poss(idx) == null) poss(idx) = new IntBuf
+        poss(idx).add(tokenIdx)
+        used(nUsed) = idx
+        nUsed += 1
+        return
+      }
+      if (ends(idx) - st == e - s && rangeEq(st, s, e - s)) {
+        poss(idx).add(tokenIdx)
+        return
+      }
+      idx = (idx + 1) & mask
+    }
+  }
+
+  @inline private def rangeEq(a: Int, b: Int, len: Int): Boolean = {
+    var i = 0
+    while (i < len) { if (low(a + i) != low(b + i)) return false; i += 1 }
+    true
+  }
+
+  private def grow(): Unit = {
+    val oldStarts = starts
+    val oldEnds = ends
+    val oldPoss = poss
+    val oldUsed = used
+    val oldN = nUsed
+    cap *= 2
+    mask = cap - 1
+    starts = { val a = new Array[Int](cap); java.util.Arrays.fill(a, -1); a }
+    ends = new Array[Int](cap)
+    poss = new Array[IntBuf](cap)
+    used = new Array[Int](cap)
+    nUsed = 0
+    var u = 0
+    while (u < oldN) {
+      val oi = oldUsed(u)
+      val s = oldStarts(oi)
+      var idx = hashOf(s, oldEnds(oi)) & mask
+      while (starts(idx) >= 0) idx = (idx + 1) & mask
+      starts(idx) = s
+      ends(idx) = oldEnds(oi)
+      poss(idx) = oldPoss(oi)
+      used(nUsed) = idx
+      nUsed += 1
+      u += 1
+    }
+  }
+
+  private def addShingle(aS: Int, aE: Int, bS: Int, bE: Int): Unit = {
+    val len = (aE - aS) + 1 + (bE - bS)
+    if (pair.length < len) pair = new Array[Byte](math.max(len, pair.length * 2))
+    var k = 0
+    var i = aS
+    while (i < aE) { pair(k) = low(i).toByte; k += 1; i += 1 }
+    pair(k) = ' '
+    k += 1
+    i = bS
+    while (i < bE) { pair(k) = low(i).toByte; k += 1; i += 1 }
+    md.update(pair, 0, len)
+    md.digest(digest, 0, 16): Unit
+    // bucket = first 3 hex digits of the digest = first 12 bits
+    val bucket = ((digest(0) & 0xff) << 4) | ((digest(1) & 0xf0) >>> 4)
+    if (shCounts(bucket) == 0) { shTouched(nSh) = bucket; nSh += 1 }
+    shCounts(bucket) += 1
+  }
+
+  /** Visit each distinct word term ("w:"-prefixed) with its positions,
+    * first-occurrence order. Valid until the next process() call. */
+  def drainWords(f: (String, IntBuf) => Unit): Unit = {
+    var u = 0
+    while (u < nUsed) {
+      val idx = used(u)
+      val s = starts(idx)
+      val len = ends(idx) - s
+      val arr = new Array[Char](len + 2)
+      arr(0) = 'w'
+      arr(1) = ':'
+      System.arraycopy(low, s, arr, 2, len)
+      f(new String(arr), poss(idx))
+      u += 1
+    }
+  }
+
+  /** Visit each touched shingle term with its count, first-occurrence order. */
+  def drainShingles(f: (String, Int) => Unit): Unit = {
+    var u = 0
+    while (u < nSh) {
+      val b = shTouched(u)
+      f(FastDocTokens.shingleTermOf(b), shCounts(b))
+      u += 1
+    }
+  }
+}
+
+private[index] object FastDocTokens {
+  /** The 4096 possible shingle terms, interned once: "s:000".."s:fff". */
+  val shingleTermOf: Array[String] = Array.tabulate(4096)(i => f"s:$i%03x")
 }

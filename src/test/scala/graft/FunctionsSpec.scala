@@ -122,6 +122,29 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("GraftGrams expression == HOF composition == Engine.fuzzyGrams") {
+    import org.apache.spark.sql.functions.{array_distinct, concat, length, lit, sequence, transform}
+    // dictionary-shaped terms plus adversarial edges (repeats force the
+    // first-occurrence dedupe order; 1-2 char terms hit the short-pad path)
+    val terms = Seq("w:license", "w:a", "w:ab", "s:fff", "w:aaaa", "w:abcabc",
+      "w:merge", "w:0x9f", "w:xyzzyxyzzy")
+    val df = terms.toDF("term")
+    val hof = { // the pre-native column composition, kept as the spec twin
+      val padded = concat(lit("^"), $"term", lit("$"))
+      array_distinct(transform(
+        sequence(lit(1), length(padded) - lit(2)),
+        i => padded.substr(i, lit(3))))
+    }
+    val a = df.select($"term", graft.functions.GraftFunctions.graft_grams($"term").as("g"))
+      .as[(String, Seq[String])].collect().toMap
+    val b = df.select($"term", hof.as("g")).as[(String, Seq[String])].collect().toMap
+    assert(a == b)
+    terms.foreach { t =>
+      assert(a(t) == graft.query.Engine.fuzzyGrams(t), s"fuzzyGrams twin: $t")
+    }
+    assert(a("w:a") == Seq("^w:", "w:a", ":a$")) // padded trigram shape
+  }
+
   test("GraftPhrasePfDl expression == HOF composition (overlaps, short docs, absent)") {
     import graft.index.IndexBuild
     val extra = Seq(

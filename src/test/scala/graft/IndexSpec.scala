@@ -35,6 +35,71 @@ class IndexSpec extends SparkSpec {
     }
   }
 
+  test("fast-path partials == legacy brute force (ASCII, non-ASCII, growth, clamps)") {
+    import graft.analyze.Tokenizer
+    // ASCII docs drive the FastDocTokens path; the non-ASCII docs route to
+    // the in-partition legacy path; the brute force below IS the legacy
+    // algorithm (tokenizeScala + shingleTerm), so equality pins both routes
+    // and their seam. 700 distinct tokens force two table growths (cap 1024,
+    // load 1/2); the repeated-token doc exercises multi-position runs.
+    val wide = (0 until 700).map(i => s"tok$i parse$i").mkString(" ")
+    val testDocs: Seq[(Long, String)] = Seq(
+      1L -> "Merge Sort MERGE sort merge9 9sort",
+      2L -> "one",
+      3L -> "", // no tokens
+      5L -> null, // null content
+      64L -> wide, // second segment; table growth
+      65L -> "naïve café schön ÄÖÜ merge sort", // non-ASCII -> legacy path
+      66L -> "a b a b a c a", // dense repeats
+      130L -> ("x " * 300).trim) // third segment; tf 300 on one token
+    val cfg2 = IndexConfig(segShift = 6, rangeSegsShift = 2)
+    val df = spark.createDataset(testDocs).toDF("doc_id", "content").repartition(1)
+    val got = IndexBuild.partialPostings(spark, df, cfg2).collect()
+      .map(r => (r._1, r._2) -> (r._3.toSeq, r._4.toSeq)).toMap
+    // brute force, same doc order as the single partition emits
+    val order = df.select($"doc_id", $"content").as[(Long, String)].collect().toSeq
+    val packs = scala.collection.mutable.Map[(String, Long), List[Long]]()
+    val poses = scala.collection.mutable.Map[(String, Long), List[Seq[Int]]]()
+    order.foreach { case (id, c) =>
+      val toks = Tokenizer.tokenizeScala(c)
+      if (toks.nonEmpty) {
+        val dl = 2 * toks.length - 1
+        val seg = cfg2.segOf(id)
+        val local = cfg2.localOf(id)
+        toks.zipWithIndex.groupBy("w:" + _._1).foreach { case (t, xs) =>
+          packs((t, seg)) = IndexBuild.pack(local, xs.length, dl) :: packs.getOrElse((t, seg), Nil)
+          poses((t, seg)) = xs.map(_._2).toSeq :: poses.getOrElse((t, seg), Nil)
+        }
+        toks.sliding(2).filter(_.length == 2)
+          .map(p => Tokenizer.shingleTerm(p(0), p(1))).toSeq
+          .groupBy(identity).foreach { case (t, xs) =>
+            packs((t, seg)) = IndexBuild.pack(local, xs.length, dl) :: packs.getOrElse((t, seg), Nil)
+          }
+      }
+    }
+    assert(got.keySet == packs.keySet)
+    packs.foreach { case (key, ps) =>
+      val expPacked = ps.reverse
+      // per-doc emission order within a (term, seg) row is doc order; the
+      // packed values themselves identify the doc, so compare as sets per
+      // doc too — but doc order is deterministic here, compare directly
+      assert(got(key)._1 == expPacked, s"packed for $key")
+      if (key._1.startsWith("w:")) {
+        val out = new graft.index.ByteBuf()
+        poses(key).reverse.foreach { run =>
+          Codec.writeVarInt(out, run.length)
+          var prev = 0
+          run.foreach { p => Codec.writeVarInt(out, p - prev); prev = p }
+        }
+        assert(got(key)._2 == out.toByteArray.toSeq, s"positions for $key")
+      } else assert(got(key)._2.isEmpty, s"shingle term ${key._1} must carry no positions")
+    }
+    // the wide doc really grew the table: 1400 distinct tokens > 2x initial cap
+    assert(Tokenizer.tokenizeScala(wide).distinct.length == 1400)
+    // tf clamp sanity on the 300x doc: packed tf saturates only at MaxTf (no-op here)
+    assert(got(("w:x", 2L))._1 == Seq(IndexBuild.pack(2, 300, 599)))
+  }
+
   test("fuzzy gram-pruned route == vocabulary-scan twin; candidates << vocab; short terms fall back") {
     assert(engine.index.hasNgrams, "fresh index must carry the trigram store")
     // driver Levenshtein must equal Spark's function exactly
