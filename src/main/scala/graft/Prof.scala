@@ -16,6 +16,7 @@ object Prof {
 
   def main(args: Array[String]): Unit = {
     if (args(0) == "buildab") { profBuildAb(args.drop(1)); return }
+    if (args(0) == "cluster") { profCluster(args.drop(1)); return }
     if (args(0) == "queries") { profQueries(args.drop(1)); return }
     if (args(0) == "parsed") { profParsed(); return }
     if (args(0) == "span") { profSpan(); return }
@@ -130,6 +131,39 @@ object Prof {
       graft.ml.TextStats.fingerprintHof(fpSample).agg(min(col("fp"))).collect()
     }
     spark.stop()
+  }
+
+  /** Probe of the bench's process-scaling pair: interleaved draws of
+    * 1-worker vs 4-worker cluster builds (Bench.buildWorkers, bench
+    * scaling geometry). args: [draws] [rangeSegsShift] [nDocs];
+    * stages /tmp/prof-corpus-<nDocs> if absent.
+    */
+  def profCluster(args: Array[String]): Unit = {
+    val draws = if (args.nonEmpty) args(0).toInt else 3
+    val rss = if (args.length > 1) args(1).toInt else 5
+    val n = if (args.length > 2) args(2).toLong else 600000L
+    val dir = s"/tmp/prof-corpus-$n"
+    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      val spark = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      Corpus.synthesize(spark, n, 42L, 128).write.mode("overwrite").parquet(dir)
+      spark.stop()
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    }
+    val cfg = IndexConfig(segShift = 9, rangeSegsShift = rss)
+    val walls = scala.collection.mutable.Map[Int, List[Double]]().withDefaultValue(Nil)
+    (1 to draws).foreach { i =>
+      Seq(1, 4).foreach { w =>
+        val (sec, nDocs, stealPct) = Bench.buildWorkers(dir, w, 2, cfg)
+        walls(w) = sec :: walls(w)
+        println(f"PROF cluster w=$w draw=$i wall=$sec%.2f nDocs=$nDocs steal%%=$stealPct%.1f")
+      }
+      val eff = (walls(1).min / walls(4).min) / 4.0
+      println(f"PROF cluster eff-so-far=$eff%.3f")
+    }
+    println(f"PROF cluster w1-min=${walls(1).min}%.2f w4-min=${walls(4).min}%.2f eff=${(walls(1).min / walls(4).min) / 4.0}%.3f")
   }
 
   /** Interleaved A/B of two concurrentRanges settings on the SAME warm JVM

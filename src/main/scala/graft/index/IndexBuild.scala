@@ -384,6 +384,10 @@ object IndexBuild {
   /** Phase 1: salted groupByKey((term, seg)) over the map-side partials ->
     * merged, sorted, block-compressed sub-list per (term, segment); word
     * terms get the aligned positional side-blob next to it.
+    *
+    * Kept as the spillable reference path (sort-based grouping handles
+    * groups larger than memory); [[phase1Fused]] is the production route —
+    * [[phase1FusedSpec identical rows]], half the shuffle volume.
     */
   def phase1(spark: SparkSession, partials: Dataset[(String, Long, Array[Long], Array[Byte])],
              cfg: IndexConfig): Dataset[SegTermRow] = {
@@ -391,7 +395,18 @@ object IndexBuild {
     partials
       .groupByKey(p => (p._1, p._2))
       .mapGroups { (key: (String, Long), it: Iterator[(String, Long, Array[Long], Array[Byte])]) =>
-        val (term, segId) = key
+        mergeSegTerm(key._1, key._2, it)
+      }
+  }
+
+  /** Merge every map-side partial of one (term, segment) into its final
+    * posting row — the ONE copy of the phase-1 merge semantics, shared by
+    * the spillable [[phase1]] and the fused [[phase1Fused]]. Order of
+    * `it` is irrelevant: locals are unique per (term, seg) — a doc lives
+    * in exactly one map partition — so the packed-long sort is total.
+    */
+  private def mergeSegTerm(term: String, segId: Long,
+                           it: Iterator[(String, Long, Array[Long], Array[Byte])]): SegTermRow = {
         if (!term.startsWith("w:")) {
           // positionless terms (hash shingles): the packed-long fast path
           val buf = new LongBuf
@@ -451,6 +466,59 @@ object IndexBuild {
           SegTermRow(segId, TermHash.hash(term), term, sorted.length, maxTf, minDl,
             Codec.encode(arr), Codec.encodePositions(arr, poss))
         }
+  }
+
+  /** Fused phase 1 + segment-file layout: ONE shuffle of the map-side
+    * partials keyed by seg_id, then an in-task hash-merge per (term, seg)
+    * and an in-task (term_id, seg_id) sort — emitting rows already in the
+    * segment files' physical order.
+    *
+    * Replaces the groupByKey((term, seg)) + repartition(seg_id) +
+    * sortWithinPartitions chain: the postings payload used to cross TWO
+    * shuffles (grouping, then layout) and a sort-based aggregation; here it
+    * crosses one, and the merge/sort run on plain arrays inside the task.
+    * At 100 TB the shuffle is the build's dominant data movement — halving
+    * it is the scale win; on the bench box it also removes the 8-thread
+    * memory-bandwidth pressure that inflated per-core CPU ~12% from 2 to
+    * 8 cores (BASELINE.md round-5 profiling).
+    *
+    * Memory contract: a task holds the merged postings of range/parts
+    * segments (no spill path — [[phase1]] is the spillable fallback).
+    * Bounded by rangeSegsShift (segments per range) and `parts`; the bench
+    * shape (64k-doc ranges) is ~25 MB/task at parts=2. Operators size
+    * `buildPartitions` so a task's share fits the executor.
+    *
+    * Rows are identical to [[phase1]]'s (pinned by IndexSpec): same
+    * hash-partitioning expression (seg_id into `parts`), same merge, same
+    * (term_id, seg_id) order within each partition.
+    */
+  def phase1Fused(spark: SparkSession,
+                  partials: Dataset[(String, Long, Array[Long], Array[Byte])],
+                  parts: Int): Dataset[SegTermRow] = {
+    import spark.implicits._
+    partials
+      .repartition(parts, col("_2"))
+      .mapPartitions { it =>
+        val acc = new java.util.HashMap[(String, Long),
+          scala.collection.mutable.ArrayBuffer[(String, Long, Array[Long], Array[Byte])]]()
+        it.foreach { p =>
+          acc.computeIfAbsent((p._1, p._2),
+            _ => scala.collection.mutable.ArrayBuffer.empty).append(p)
+        }
+        val rows = new Array[SegTermRow](acc.size)
+        val ei = acc.entrySet().iterator()
+        var i = 0
+        while (ei.hasNext) {
+          val e = ei.next()
+          rows(i) = mergeSegTerm(e.getKey._1, e.getKey._2, e.getValue.iterator)
+          ei.remove() // release the raw partials before the next merge
+          i += 1
+        }
+        java.util.Arrays.sort(rows, (a: SegTermRow, b: SegTermRow) => {
+          val c = java.lang.Long.compare(a.term_id, b.term_id)
+          if (c != 0) c else java.lang.Long.compare(a.seg_id, b.seg_id)
+        })
+        rows.iterator
       }
   }
 
@@ -970,8 +1038,17 @@ object IndexBuild {
   }
 
   /** Build (or resume) the index for `corpus`; returns a report. */
+  /** `rangeFilter` restricts this invocation to a subset of the corpus's
+    * checkpoint ranges — the share-nothing distribution unit: several
+    * driver processes (cluster nodes) can build DISJOINT range classes of
+    * one index concurrently, each committing its ranges through the same
+    * per-range manifest gate (Bench's process-scaling measurement runs
+    * 4 such workers; a real deployment shards ranges across jobs the
+    * same way). Default: every range.
+    */
   def build(spark: SparkSession, corpus: DataFrame, indexDir: String,
-            cfg: IndexConfig = IndexConfig()): BuildReport = {
+            cfg: IndexConfig = IndexConfig(),
+            rangeFilter: Long => Boolean = _ => true): BuildReport = {
     import spark.implicits._
     val t0 = System.nanoTime()
     // integer range derivation (NOT double division: for doc_id near 2^53
@@ -979,7 +1056,7 @@ object IndexBuild {
     // silently never indexing them) — matches IndexConfig.rangeOf exactly
     val ranges = corpus
       .select(shiftrightunsigned(col("doc_id"), cfg.rangeShift).as("r"))
-      .distinct().as[Long].collect().sorted
+      .distinct().as[Long].collect().sorted.filter(rangeFilter)
     val done = doneRanges(spark, indexDir)
     val (skip, todo) = ranges.partition(done.contains)
     // ranges overlap on the driver (bounded pool): each range stays an
@@ -1332,10 +1409,9 @@ object IndexBuild {
       plog(r, "start", rt0)
       try {
       val posts = partialPostings(spark, slice, cfg)
-      val p1 = phase1(spark, posts, cfg)
       // phase 2: partition-local segment files, term-sorted for row-group
       // pruning. Write width = min(segments in range, cluster parallelism):
-      // range partitioning on seg_id keeps each segment in one file while
+      // hash partitioning on seg_id keeps each segment in one file while
       // using every core (a fixed small width would serialize the write).
       val segParts = math.max(1, math.min(
         1 << cfg.rangeSegsShift,
@@ -1346,8 +1422,6 @@ object IndexBuild {
       // per-range critical path; ranges already overlap across the pool)
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.global
-      // hash-repartition by seg_id (NOT repartitionByRange: its range
-      // sampling would recompute the whole phase-1 lineage a second time).
       // The write runs under its own job group so the bounded await below
       // can CANCEL it on timeout — job-group membership is thread-local to
       // the submitting thread, hence set/cleared inside the future body.
@@ -1361,9 +1435,9 @@ object IndexBuild {
           // write at all (cancelJobGroup only kills ALREADY-submitted jobs)
           if (segCancelled.get())
             throw new IllegalStateException(s"segments write for range=$r cancelled before start")
-          p1.toDF()
-            .repartition(segParts, col("seg_id"))
-            .sortWithinPartitions(col("term_id"), col("seg_id"))
+          // fused merge+layout: one seg_id-keyed shuffle, rows emitted
+          // already in (term_id, seg_id) order (see phase1Fused)
+          phase1Fused(spark, posts, segParts).toDF()
             .write.mode("overwrite").parquet(s"${segmentsDir(indexDir)}/range=$r")
         } finally spark.sparkContext.clearJobGroup()
       }

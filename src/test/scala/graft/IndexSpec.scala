@@ -100,6 +100,41 @@ class IndexSpec extends SparkSpec {
     assert(got(("w:x", 2L))._1 == Seq(IndexBuild.pack(2, 300, 599)))
   }
 
+  test("phase1Fused == phase1: identical rows, seg-cohesive partitions, (term_id, seg_id) order") {
+    // real corpus slice across many segments + the multi-partition partials
+    // it produces: the fused route must merge exactly what groupByKey merged
+    val df = corpus.limit(400).repartition(7) // multiple map partitions per (term, seg)
+    val c = IndexConfig(segShift = 5, rangeSegsShift = 3) // 32-doc segments
+    val partials = IndexBuild.partialPostings(spark, df, c)
+    def keyOf(r: graft.index.SegTermRow) = (r.seg_id, r.term_id, r.term)
+    def rowOf(r: graft.index.SegTermRow) =
+      (r.df, r.max_tf, r.min_dl, r.postings.toSeq,
+        Option(r.positions).map(_.toSeq)) // null for shingle terms
+    val ref = IndexBuild.phase1(spark, partials, c).collect()
+      .map(r => keyOf(r) -> rowOf(r)).toMap
+    for (parts <- Seq(1, 3, 8)) {
+      val fused = IndexBuild.phase1Fused(spark, partials, parts)
+      val perPart = fused.rdd.mapPartitionsWithIndex { (pid, it) =>
+        Iterator.single(pid -> it.map(r => (keyOf(r), rowOf(r))).toVector)
+      }.collect().toMap
+      val got = perPart.values.flatten.toMap
+      assert(got == ref, s"parts=$parts: fused rows differ from phase1")
+      assert(perPart.values.map(_.size).sum == ref.size, s"parts=$parts: duplicate rows")
+      // a segment never straddles partitions (one file per segment holds)
+      val segHome = scala.collection.mutable.Map[Long, Int]()
+      perPart.foreach { case (pid, rows) =>
+        rows.foreach { case ((seg, _, _), _) =>
+          assert(segHome.getOrElseUpdate(seg, pid) == pid, s"segment $seg straddles partitions")
+        }
+      }
+      // physical order inside each partition = (term_id, seg_id) asc
+      perPart.values.foreach { rows =>
+        val keys = rows.map { case ((seg, tid, _), _) => (tid, seg) }
+        assert(keys == keys.sorted, s"parts=$parts: rows not in (term_id, seg_id) order")
+      }
+    }
+  }
+
   test("fuzzy gram-pruned route == vocabulary-scan twin; candidates << vocab; short terms fall back") {
     assert(engine.index.hasNgrams, "fresh index must carry the trigram store")
     // driver Levenshtein must equal Spark's function exactly
