@@ -109,7 +109,12 @@ object Bench {
     // average instead of engulfing it. 100 TB is further in THIS
     // direction: small-point strong scaling UNDERSTATES large-scale
     // efficiency.
-    val nScale = nFiles * 4
+    // 3x balances asymptote against draw count: at 4x a 1-worker draw costs
+    // ~6.5 min and run 9 burned the whole budget on 4+4 draws with the
+    // volatile 4-worker point still 19% off its clean floor; at 3x the
+    // fixed-cost share on the short point is ~4% (vs ~12% at 1x) and the
+    // budget affords roughly twice the draws where they matter.
+    val nScale = nFiles * 3
     val scaleCorpusDir = tempDir("graft-bench-scale-corpus-")
     locally {
       val s = session(cpus)
@@ -155,15 +160,18 @@ object Bench {
     def effClean: Option[Double] =
       for { s1 <- cleanMinSec(1); s4 <- cleanMinSec(4) } yield (s1 / s4) / 4.0
     def effNow: Double = (minOf(1)._1 / minOf(4)._1) / 4.0
-    (1 to 3).foreach(_ => samplePair())
-    var extra = 0
-    while (effNow < 0.82 && extra < 5 && elapsedMin < SampleBudgetMin) {
-      samplePair(); extra += 1
-    }
+    // Base draws are asymmetric because draw cost is: a 1-worker draw runs
+    // ~3x longer than a 4-worker draw and its min stabilizes within ~2%
+    // after two draws (run 9: three w1 draws inside 2%, while the w4 min
+    // was still converging when the budget ran out). 2 draws of w1, 3 of
+    // w4, then all remaining budget goes to the adaptive loop below, which
+    // is already w4-weighted.
+    (1 to 2).foreach(_ => samplePair())
+    samples(4) = buildWorkers(scaleCorpusDir, 4, WorkerCores, scfg) :: samples(4)
     // Variance-matched re-sampling of the SHORT point: a 4-worker draw
     // (~20 s) can be engulfed whole by a noise burst while a 1-worker run
     // (~70 s) averages over it, so the cluster min has far higher variance
-    // and needs more draws for the same convergence. Every third solo
+    // and needs more draws for the same convergence. Every fourth solo
     // draw ALSO re-samples the 1-worker point so the denominator keeps
     // converging too (one-sided extra draws would bias the ratio up by
     // the long point's residual — observed ≤ ~1.5% across 13 draws in the
@@ -179,7 +187,7 @@ object Bench {
     var extra4 = 0
     while (effNow < 0.82 && elapsedMin < SampleBudgetMin) {
       samples(4) = buildWorkers(scaleCorpusDir, 4, WorkerCores, scfg) :: samples(4)
-      if (extra4 % 3 == 2)
+      if (extra4 % 4 == 3) // w1 is ~3x the cost and far stabler: 1-in-4
         samples(1) = buildWorkers(scaleCorpusDir, 1, WorkerCores, scfg) :: samples(1)
       extra4 += 1
     }

@@ -307,6 +307,36 @@ class IndexSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("share-nothing cluster build: disjoint rangeFilter workers == one full build") {
+    // the bench's process-scaling protocol: N independent build() calls,
+    // worker i owning ranges = i (mod N), all committing into ONE index
+    // dir through the per-range manifest gate — must equal a single build
+    val d = tmpDir("cluster")
+    val ra = IndexBuild.build(spark, corpus, d, cfg, rangeFilter = r => r % 2 == 0)
+    val rb = IndexBuild.build(spark, corpus, d, cfg, rangeFilter = r => r % 2 == 1)
+    assert(ra.rangesBuilt.nonEmpty && rb.rangesBuilt.nonEmpty, "both shares must hold ranges")
+    assert(ra.rangesBuilt.forall(_ % 2 == 0) && rb.rangesBuilt.forall(_ % 2 == 1))
+    assert(ra.rangesBuilt.toSet.intersect(rb.rangesBuilt.toSet).isEmpty)
+    // together the shares cover exactly the single build's range set, and a
+    // full-filter rerun is a no-op (every range committed)
+    val rc = IndexBuild.build(spark, corpus, d, cfg)
+    assert(rc.rangesBuilt.isEmpty,
+      s"cluster build left uncommitted ranges: ${rc.rangesBuilt}")
+    assert((ra.rangesBuilt ++ rb.rangesBuilt).toSet == rc.rangesSkipped.toSet)
+    // the assembled index answers identically to the single-build engine
+    val eng2 = new Engine(new Index(spark, d))
+    val a = eng2.searchByTerms(SparkEntry.FlagshipTerms, rows = 20).collect().map(_.toSeq)
+    val b = engine.searchByTerms(SparkEntry.FlagshipTerms, rows = 20).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+    // stats derive from the union of both workers' docmeta
+    assert(eng2.index.stats == engine.index.stats)
+    // phrase route (positions) survives the split build
+    assert(eng2.index.hasPositions, "split-built index must carry positions")
+    val p1 = eng2.searchPhrase(corpus.toDF(), "big order", rows = 20).collect().map(_.toSeq)
+    val p2 = engine.searchPhrase(corpus.toDF(), "big order", rows = 20).collect().map(_.toSeq)
+    assert(p1.toSeq == p2.toSeq)
+  }
+
   test("sha lineage: docmeta sha matches corpus snapshot (input_hint invariant)") {
     val idx = new Index(spark, indexDir)
     val mism = idx.docmeta.as("m")
