@@ -731,9 +731,16 @@ object BenchBuild {
       val bdir = new java.io.File(workDir, "barrier")
       bdir.mkdirs()
       new java.io.File(bdir, s"ready-$mod").createNewFile()
+      // bounded wait: if a sibling crashed before its ready file, fail THIS
+      // worker loudly (parent surfaces the child log) instead of spinning
+      // the whole bench run forever
+      val deadline = System.nanoTime() + 30L * 60 * 1000000000L
       while (Option(bdir.listFiles()).getOrElse(Array.empty)
-               .count(_.getName.startsWith("ready-")) < nMod)
+               .count(_.getName.startsWith("ready-")) < nMod) {
+        require(System.nanoTime() < deadline,
+          s"barrier timeout: worker $mod/$nMod waited 30 min for siblings")
         Thread.sleep(50)
+      }
     }
     // steal measured around the timed section only (not JVM/Spark startup)
     // so the parent's per-draw steal%% attributes noise to the measurement
