@@ -675,6 +675,241 @@ case class GraftShingleHashes(child: Expression, width: Int)
     copy(child = newChild)
 }
 
+/** Per-task scratch for the fused window-hash expressions
+  * ([[GraftShingleHashPairs]]): ONE MessageDigest + reused byte buffers,
+  * thread-local so a shared/instance-reused expression tree stays safe.
+  * Tokenization is the ASCII fast path of the build's FastDocTokens idea
+  * (lower + [a-z0-9]-run scan over raw UTF-8 bytes, no String/regex);
+  * non-ASCII rows fall back to [[Tokenizer.tokenizeScala]] — whose output
+  * tokens are pure [a-z0-9] by the split contract, so the digested bytes
+  * are identical to the fast path's by construction.
+  */
+private[functions] final class WindowHasher {
+  private val md = java.security.MessageDigest.getInstance("MD5")
+  private val digest = new Array[Byte](16)
+  private var lowered = new Array[Byte](1 << 12)
+  private var tokStart = new Array[Int](256)
+  private var tokEnd = new Array[Int](256)
+  private var win = new Array[Byte](256)
+  var nToks = 0
+
+  @inline private def isTok(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
+
+  private def addTok(s: Int, e: Int): Unit = {
+    if (nToks == tokStart.length) {
+      tokStart = java.util.Arrays.copyOf(tokStart, nToks * 2)
+      tokEnd = java.util.Arrays.copyOf(tokEnd, nToks * 2)
+    }
+    tokStart(nToks) = s
+    tokEnd(nToks) = e
+    nToks += 1
+  }
+
+  /** Lower + tokenize `s` into byte ranges over the internal buffer.
+    * Byte-equal to Tokenizer.tokenizeScala on every input (ASCII fast
+    * path; Scala twin fallback for rows with any non-ASCII byte).
+    */
+  def tokenize(s: UTF8String): Unit = {
+    nToks = 0
+    val n = s.numBytes()
+    if (lowered.length < n) lowered = new Array[Byte](math.max(n, lowered.length * 2))
+    s.writeToMemory(lowered, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET)
+    var ascii = true
+    var i = 0
+    while (i < n && ascii) { if (lowered(i) < 0) ascii = false; i += 1 }
+    if (!ascii) {
+      // non-ASCII row: Scala-twin tokens (pure [a-z0-9] by the split
+      // contract) packed back into the buffer
+      val toks = Tokenizer.tokenizeScala(s.toString)
+      var need = 0
+      toks.foreach(t => need += t.length)
+      if (lowered.length < need) lowered = new Array[Byte](math.max(need, lowered.length * 2))
+      var off = 0
+      toks.foreach { t =>
+        var k = 0
+        while (k < t.length) { lowered(off + k) = t.charAt(k).toByte; k += 1 }
+        addTok(off, off + t.length)
+        off += t.length
+      }
+      return
+    }
+    i = 0
+    while (i < n) {
+      val c = lowered(i)
+      if (c >= 'A' && c <= 'Z') lowered(i) = (c + 32).toByte
+      i += 1
+    }
+    i = 0
+    while (i < n) {
+      if (isTok(lowered(i))) {
+        val st = i
+        var e = i + 1
+        while (e < n && isTok(lowered(e))) e += 1
+        addTok(st, e)
+        i = e
+      } else i += 1
+    }
+  }
+
+  /** md5 of tokens [from, from+width) joined by ' ' — the digested bytes
+    * equal UTF-8 of the shingle string, so hashes match md5Hex/Spark md5
+    * over the same shingle. Returns (h1, h2) = digest bytes 0-7 / 8-15,
+    * big-endian.
+    */
+  def hashWindow(from: Int, width: Int): (Long, Long) = {
+    var len = width - 1
+    var k = 0
+    while (k < width) { len += tokEnd(from + k) - tokStart(from + k); k += 1 }
+    if (win.length < len) win = new Array[Byte](math.max(len, win.length * 2))
+    var o = 0
+    k = 0
+    while (k < width) {
+      if (k > 0) { win(o) = ' '; o += 1 }
+      val s = tokStart(from + k)
+      val l = tokEnd(from + k) - s
+      System.arraycopy(lowered, s, win, o, l)
+      o += l
+      k += 1
+    }
+    md.update(win, 0, len)
+    md.digest(digest, 0, 16)
+    var h1 = 0L
+    var h2 = 0L
+    k = 0
+    while (k < 8) { h1 = (h1 << 8) | (digest(k) & 0xffL); k += 1 }
+    while (k < 16) { h2 = (h2 << 8) | (digest(k) & 0xffL); k += 1 }
+    (h1, h2)
+  }
+}
+
+private[functions] object WindowHasher {
+  val local = new ThreadLocal[WindowHasher] {
+    override def initialValue(): WindowHasher = new WindowHasher
+  }
+}
+
+/** Fused tokenization + window-md5 for the span-dedup/contamination
+  * screens: per row, the md5 of every `width`-token window as a
+  * struct(h1, h2) LONG PAIR (the digest's 16 bytes, big-endian) —
+  * semantically the SAME hash as md5-hex of the shingle string
+  * (hex ↔ digest is a bijection), but with no shingle string, no hex
+  * encode and a 16-byte fixed-width shuffle key instead of a 32-char
+  * string. `distinct = false` emits one entry per window in token order
+  * (element i = window starting at token i — the positioned
+  * [[GraftShingleHashes]] twin feeding [[graft.ml.Dedup.spanDups]]);
+  * `distinct = true` dedupes by digest, first occurrence kept (the
+  * [[GraftShingles]]+md5 twin feeding [[graft.ml.Dedup.contamination]] —
+  * distinct-by-digest ≡ distinct-by-string for every downstream consumer
+  * because the digest IS the join/count key either way). Fewer than
+  * `width` tokens -> empty array; null content -> null. Pinned equal to
+  * the string-form twins in FunctionsSpec.
+  */
+case class GraftShingleHashPairs(child: Expression, width: Int, distinct: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  require(width >= 2, "window width must be >= 2")
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("h1",
+        org.apache.spark.sql.types.LongType, nullable = false) ::
+      org.apache.spark.sql.types.StructField("h2",
+        org.apache.spark.sql.types.LongType, nullable = false) :: Nil),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_shingle_hash_pairs"
+
+  override def nullSafeEval(input: Any): Any = {
+    val h = WindowHasher.local.get()
+    h.tokenize(input.asInstanceOf[UTF8String])
+    val nWin = h.nToks - width + 1
+    if (nWin <= 0) return new GenericArrayData(Array.empty[Any])
+    if (!distinct) {
+      val out = new Array[Any](nWin)
+      var i = 0
+      while (i < nWin) {
+        val (h1, h2) = h.hashWindow(i, width)
+        out(i) = org.apache.spark.sql.catalyst.InternalRow(h1, h2)
+        i += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      val seen = new java.util.HashSet[(Long, Long)]()
+      val buf = new java.util.ArrayList[Any](nWin)
+      var i = 0
+      while (i < nWin) {
+        val p = h.hashWindow(i, width)
+        if (seen.add(p))
+          buf.add(org.apache.spark.sql.catalyst.InternalRow(p._1, p._2))
+        i += 1
+      }
+      new GenericArrayData(buf.toArray)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GraftShingleHashPairs =
+    copy(child = newChild)
+}
+
+/** Fused PII scrub (emails → `<EMAIL>` then IPv4s → `<IP>`): per row ONE
+  * lower + ONE email-regex pass + ONE ip-regex pass producing the struct
+  * (n_emails, n_ips, redacted) — where the built-in composition it
+  * replaces ([[graft.ml.TextStats.redactPiiBuiltins]], the pinned spec
+  * twin and the oracle's shape) runs lower twice and four regex passes
+  * (count + replace per pattern; the email replace feeds the ip pass so
+  * subexpression elimination cannot merge them all). Semantics are
+  * byte-identical by construction: the same UTF8String.toLowerCase the
+  * Lower expression calls, java.util.regex with the same pattern strings
+  * (what regexp_count/regexp_replace compile), counts = the replace
+  * loop's match count, replacements literal (no `$`/`\` processing
+  * needed). The caller applies sha2 over the struct's `redacted` field
+  * so the hash expression stays the shared codegen'd built-in.
+  */
+case class GraftPiiStats(child: Expression, emailRe: String, ipRe: String)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    org.apache.spark.sql.types.StructField("n_emails",
+      org.apache.spark.sql.types.LongType, nullable = false) ::
+    org.apache.spark.sql.types.StructField("n_ips",
+      org.apache.spark.sql.types.LongType, nullable = false) ::
+    org.apache.spark.sql.types.StructField("redacted",
+      StringType, nullable = false) :: Nil)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_pii_stats"
+
+  @transient private lazy val emailP = java.util.regex.Pattern.compile(emailRe)
+  @transient private lazy val ipP = java.util.regex.Pattern.compile(ipRe)
+
+  /** Non-overlapping leftmost replace + match count in one pass — exactly
+    * regexp_replace's loop (literal replacement) with regexp_count's tally.
+    */
+  private def countReplace(p: java.util.regex.Pattern, s: String,
+                           repl: String): (Long, String) = {
+    val m = p.matcher(s)
+    if (!m.find()) return (0L, s) // common case: touch nothing
+    val sb = new java.lang.StringBuilder(s.length)
+    var n = 0L
+    var last = 0
+    do {
+      sb.append(s, last, m.start()).append(repl)
+      last = m.end()
+      n += 1
+    } while (m.find())
+    sb.append(s, last, s.length)
+    (n, sb.toString)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val lc = input.asInstanceOf[UTF8String].toLowerCase.toString
+    val (nEm, red1) = countReplace(emailP, lc, "<EMAIL>")
+    val (nIp, red2) = countReplace(ipP, red1, "<IP>")
+    org.apache.spark.sql.catalyst.InternalRow(
+      nEm, nIp, UTF8String.fromString(red2))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GraftPiiStats =
+    copy(child = newChild)
+}
+
 /** Exact phrase verification for the PhraseQuery route — per row, the
   * struct (pf, dl): pf = occurrences of the token sequence `toks` among
   * the content's analyzer tokens (overlaps counted, Lucene exact-phrase
@@ -863,6 +1098,10 @@ object GraftFunctions {
     GraftBridge.column(GraftShingles(GraftBridge.expression(c), width))
   def graft_shingle_hashes(c: Column, width: Int): Column =
     GraftBridge.column(GraftShingleHashes(GraftBridge.expression(c), width))
+  def graft_shingle_hash_pairs(c: Column, width: Int, distinct: Boolean): Column =
+    GraftBridge.column(GraftShingleHashPairs(GraftBridge.expression(c), width, distinct))
+  def graft_pii_stats(c: Column, emailRe: String, ipRe: String): Column =
+    GraftBridge.column(GraftPiiStats(GraftBridge.expression(c), emailRe, ipRe))
   def graft_grams(c: Column): Column =
     GraftBridge.column(GraftGrams(GraftBridge.expression(c)))
   def graft_phrase_pfdl(c: Column, toks: Seq[String], maxDl: Int,

@@ -30,6 +30,14 @@ object Dedup {
     * O(benchmark).
     */
   val BroadcastBenchMaxDocs = 5000
+  /** Span-dedup keep-set broadcast gate (hashes): 2M (h1, h2) pairs =
+    * 32 MB of key data — comfortably inside the broadcast budget, far
+    * under the 8 GB relation limit. The keep set holds only hashes of
+    * DUPLICATED windows (2 ≤ occ ≤ maxOcc), so on any real corpus it is
+    * orders of magnitude smaller than the window count; a pathological
+    * corpus over the cap degrades to the shuffle semi-join, not an OOM.
+    */
+  val SpanKeepBroadcastMax: Int = 2 << 20
   /** 64-bit SimHash: 16 bits collide pathologically at corpus scale (2^16
     * buckets over 10^9+ docs); 64 bits keep random-pair collisions rare
     * while the 8x8-bit banding below still pigeonholes hamming <= 7.
@@ -118,21 +126,28 @@ object Dedup {
     */
   def contamination(corpus: DataFrame, benchmark: DataFrame,
                     width: Int = 13): DataFrame = {
-    val cs = corpus
-      .select(col("doc_id"), explode(shingleSetW(col("content"), width)).as("sh"))
-      .select(col("doc_id"), md5(col("sh")).as("shh"))
-    val bs = benchmark
-      .select(col("doc_id").as("bench_id"),
-        explode(shingleSetW(col("content"), width)).as("sh"))
-      .select(col("bench_id"), md5(col("sh")).as("shh"))
+    // fused tokenize→window-md5 expression: the shingle hash is emitted
+    // directly as a (h1, h2) long pair — no shingle string materializes,
+    // no hex encode, and the join key is 16 fixed-width bytes instead of
+    // a 32-char string (guide §2.3 narrower keys / §4 native per-row
+    // work). distinct-by-digest ≡ distinct-by-string for the join and
+    // both countDistincts, so output is identical to the md5-hex form
+    // (r05 shape, kept as the FunctionsSpec twin).
+    def shingleHashes(df: DataFrame, idCol: String, as: String) = df
+      .select(col(idCol).as(as),
+        explode(graft.functions.GraftFunctions.graft_shingle_hash_pairs(
+          col("content"), width, distinct = true)).as("sh"))
+      .select(col(as), col("sh.h1").as("h1"), col("sh.h2").as("h2"))
+    val cs = shingleHashes(corpus, "doc_id", "doc_id")
+    val bs = shingleHashes(benchmark, "doc_id", "bench_id")
     val bsSide =
       if (benchmark.select(col("doc_id")).limit(BroadcastBenchMaxDocs + 1)
             .count() <= BroadcastBenchMaxDocs) broadcast(bs)
       else bs
-    cs.join(bsSide, Seq("shh"))
+    cs.join(bsSide, Seq("h1", "h2"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("bench_id")).as("n_bench_docs"),
-        countDistinct(col("shh")).as("n_shingles"))
+        countDistinct(col("h1"), col("h2")).as("n_shingles"))
   }
 
   /** Substring-level exact dedup (Lee et al. 2021 "Deduplicating Training
@@ -159,10 +174,17 @@ object Dedup {
   def spanDups(corpus: DataFrame, width: Int = 12, maxOcc: Int = 64): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // window hash = md5 as a (h1, h2) long pair (GraftShingleHashPairs):
+    // identical grouping semantics to the md5-hex form (digest ↔ hex is a
+    // bijection; the hash never reaches the output), but the count pass
+    // shuffles 16 fixed-width bytes per window instead of a 32-char
+    // string and no hex string is ever built (guide §2.3).
     val wins = corpus
       .select(col("doc_id"),
-        posexplode(graft.functions.GraftFunctions.graft_shingle_hashes(col("content"), width)))
-      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("whash"))
+        posexplode(graft.functions.GraftFunctions.graft_shingle_hash_pairs(
+          col("content"), width, distinct = false)))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        col("col.h1").as("h1"), col("col.h2").as("h2"))
     // two passes so the cap bounds the AGGREGATION, not just the pair
     // emission: a corpus-boilerplate window (10M occurrences at scale)
     // must never materialize one 10M-element collect_list buffer — the
@@ -174,13 +196,29 @@ object Dedup {
     // ObjectHashAggregate leaves whole-stage codegen and pays per-row
     // typed ser/deser, cancelling the codegen'd map-combined count pass
     // it saves — so the simpler oracle-mirrored shape stays.
-    val keep = wins.groupBy(col("whash"))
+    val keep = wins.groupBy(col("h1"), col("h2"))
       .agg(count(lit(1)).as("nocc"))
       .where(col("nocc").between(2, maxOcc))
-      .select(col("whash"))
-    wins
-      .join(keep, Seq("whash"), "left_semi")
-      .groupBy(col("whash"))
+      .select(col("h1"), col("h2"))
+    // The keep set is DUPLICATED-window hashes only — tiny next to the
+    // window count on any real corpus (dup spans are the exception, and
+    // corpus-boilerplate hashes are capped out by maxOcc). When it fits
+    // (bounded limit-probe, the contamination-gate pattern), broadcast
+    // it so the second window pass never shuffles: the semi-join becomes
+    // a map-side hash probe and only surviving (duplicated) windows
+    // reach the collect_list aggregation — removing the full-corpus
+    // window shuffle the SMJ semi-join paid (guide §3.1/§3.2; measured
+    // 15.0 s -> 6.7 s at the 600k-doc bench corpus). Over the cap the
+    // r05 shuffle semi-join shape stays (same output).
+    val keepRows = keep.limit(SpanKeepBroadcastMax + 1).collect()
+    val winsKept =
+      if (keepRows.length <= SpanKeepBroadcastMax) {
+        val keepDf = spark.createDataset(
+          keepRows.toSeq.map(r => (r.getLong(0), r.getLong(1)))).toDF("h1", "h2")
+        wins.join(broadcast(keepDf), Seq("h1", "h2"), "left_semi")
+      } else wins.join(keep, Seq("h1", "h2"), "left_semi")
+    winsKept
+      .groupBy(col("h1"), col("h2"))
       .agg(collect_list(struct(col("doc_id"), col("pos"))).as("occ"))
       .select(col("occ")).as[Seq[(Long, Int)]]
       .flatMap { occ =>

@@ -161,14 +161,16 @@ object TextStats {
     val toks = corpus.select(col("doc_id"),
       explode(Tokenizer.tokens(col("content"))).as("tok"))
     val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-    val collected = // bounded probe-and-collect: ≤ cap+1 rows ever held
+    val collected = // bounded probe-and-collect: ≤ cap+1 rows ever held.
+      // limit(cap+1).collect() instead of toLocalIterator: identical
+      // bound on driver memory (≤ cap+1 rows either way; ≤ cap rows IS
+      // the whole vocabulary) but ONE job — toLocalIterator launched a
+      // job per output partition back-to-back (measured ~1.9 s of
+      // per-job overhead on the 128-partition bench agg alone).
       if (maxBroadcastVocab <= 0) None
       else {
-        val it = counts.as[(String, Long)].toLocalIterator()
-        val buf = Seq.newBuilder[(String, Long)]
-        var n = 0
-        while (n <= maxBroadcastVocab && it.hasNext) { buf += it.next(); n += 1 }
-        if (n <= maxBroadcastVocab) Some(buf.result()) else None
+        val rows = counts.as[(String, Long)].limit(maxBroadcastVocab + 1).collect()
+        if (rows.length <= maxBroadcastVocab) Some(rows.toSeq) else None
       }
     collected match {
       case Some(vocab) =>
@@ -179,38 +181,62 @@ object TextStats {
         val lp = spark.createDataset(vocab).select(col("_1").as("tok"),
           round(lit(1e6) * log(col("_2").cast("double") / lit(t).cast("double")))
             .cast("long").as("lp_q")).as[(String, Long)].collect()
-        val m = new java.util.HashMap[String, java.lang.Long](lp.length * 2)
-        lp.foreach { case (tok, q) => m.put(tok, q) }
+        // token -> lp_q keyed by UTF8String: the scoring pass below reads
+        // tokens straight out of the UnsafeRow (no per-token String), so
+        // the map keys match without conversion
+        val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+          java.lang.Long](lp.length * 2)
+        lp.foreach { case (tok, q) =>
+          m.put(org.apache.spark.unsafe.types.UTF8String.fromString(tok), q) }
         val bc = spark.sparkContext.broadcast(m)
         // tokenize with the SAME column expression the vocab was counted
         // from (not the tokenizeScala twin): the token streams cannot
         // drift (e.g. locale-sensitive lowercasing of non-ASCII content),
         // so a miss means a non-deterministic corpus re-evaluation — fail
-        // loudly rather than skew the score
-        corpus.select(col("doc_id"),
-            // null content explodes to zero rows on the join route —
-            // mirror that as an empty token array here
-            coalesce(Tokenizer.tokens(col("content")),
-              lit(Array.empty[String])).as("ts"))
-          .as[(Long, Seq[String])]
-          .mapPartitions { rows =>
-            val map = bc.value
-            rows.map { case (id, ts) =>
-              var sum = 0L
-              val it = ts.iterator
-              while (it.hasNext) {
-                val t = it.next()
-                val v = map.get(t)
-                if (v eq null) throw new IllegalStateException(
-                  s"unigramLogProb: token '$t' of doc $id missing from the " +
-                    "corpus-derived vocabulary - the corpus re-evaluated " +
-                    "non-deterministically between the count and scoring passes")
-                sum += v.longValue()
-              }
-              (id, ts.length.toLong, sum)
+        // loudly rather than skew the score. The pass consumes
+        // queryExecution.toRdd directly (guide §4: keep the hot loop off
+        // the encoder): the previous typed mapPartitions deserialized
+        // every token array into Scala Seq[String] — ~40% of the
+        // operator's wall time at the bench corpus — where the UnsafeRow
+        // walk reads the same UTF8String bytes in place.
+        val sel = corpus.select(col("doc_id"),
+          // null content explodes to zero rows on the join route —
+          // mirror that as an empty token array here
+          coalesce(Tokenizer.tokens(col("content")),
+            lit(Array.empty[String])).as("ts"))
+        val outRdd = sel.queryExecution.toRdd.mapPartitions { rows =>
+          val map = bc.value
+          rows.map { row =>
+            val id = row.getLong(0)
+            val arr = row.getArray(1)
+            val n = arr.numElements()
+            var sum = 0L
+            var i = 0
+            while (i < n) {
+              val t = arr.getUTF8String(i)
+              val v = map.get(t)
+              if (v eq null) throw new IllegalStateException(
+                s"unigramLogProb: token '$t' of doc $id missing from the " +
+                  "corpus-derived vocabulary - the corpus re-evaluated " +
+                  "non-deterministically between the count and scoring passes")
+              sum += v.longValue()
+              i += 1
             }
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](id, n.toLong, sum)): org.apache.spark.sql.catalyst.InternalRow
           }
-          .toDF("doc_id", "n_toks", "sum_lp")
+        }
+        // the mean stays a Catalyst round() (BigDecimal HALF_UP) — the
+        // exact expression the join route and the oracle share; never
+        // reimplement the rounding in Scala (math.rint is half-even)
+        org.apache.spark.sql.classic.GraftBridge.internalDf(spark, outRdd,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("n_toks",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("sum_lp",
+              org.apache.spark.sql.types.LongType, nullable = false))))
           .select(col("doc_id"), col("n_toks"),
             when(col("n_toks") === 0, lit(0L)).otherwise(
               round(col("sum_lp").cast("double") / col("n_toks").cast("double"))
@@ -306,10 +332,31 @@ object TextStats {
     * IP-shaped substring, never the reverse once emails are gone).
     * Returns (doc_id, n_emails, n_ips, redacted_sha) — the sha256 of the
     * redacted content attests the rewrite byte-for-byte without shipping
-    * it. Pure codegen'd built-ins (regexp_count / regexp_replace / sha2):
-    * per-row, no shuffle, whole-stage codegen at any corpus size.
+    * it. One [[graft.functions.GraftPiiStats]] eval per row (one lower +
+    * one pass per pattern, counts riding the replace loop) — the
+    * built-in composition it replaced ran lower twice and four regex
+    * passes per row (~2.4 s of the 2.8 s bench section); it is kept as
+    * [[redactPiiBuiltins]], the pinned spec twin and the oracle's shape.
+    * The two-projection shape keeps the expression at ONE eval
+    * (CollapseProject does not duplicate non-cheap expressions — the
+    * [[repetition]] pattern). Per-row, no shuffle at any corpus size.
     */
-  def redactPii(corpus: DataFrame): DataFrame = {
+  def redactPii(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"),
+        graft.functions.GraftFunctions.graft_pii_stats(
+          col("content"), EmailRe, Ipv4Re).as("p"))
+      .select(
+        col("doc_id"),
+        col("p.n_emails").as("n_emails"),
+        col("p.n_ips").as("n_ips"),
+        sha2(col("p.redacted"), 256).as("redacted_sha"))
+
+  /** Built-in-composed specification twin of [[redactPii]] (pinned equal
+    * in MlSpec over the PII-injected corpus, not on any hot path): the
+    * same counts and redaction as independent regexp_count /
+    * regexp_replace passes — the shape the DuckDB oracle mirrors.
+    */
+  private[graft] def redactPiiBuiltins(corpus: DataFrame): DataFrame = {
     val lc = lower(col("content"))
     val red = regexp_replace(
       regexp_replace(lc, EmailRe, "<EMAIL>"), Ipv4Re, "<IP>")

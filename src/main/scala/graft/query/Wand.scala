@@ -428,6 +428,71 @@ object Wand {
     grouped.iterator ++ nullGroup
   }
 
+  /** Segment-local per-value score aggregation (the block-join to-parent
+    * fold): score every matching doc into the dense array ONCE (the
+    * [[scoreSegmentDense]] fill), quantize per doc (children quantize
+    * BEFORE aggregation — integer Σ/max are partition-order invariant),
+    * then each value bitmap sweeps its intersection with the touched set
+    * into (value, Σ score_q, max score_q, n docs) — ONE row per value per
+    * segment ever leaves the task, vs the previous shape's full match-set
+    * shuffle through a docmeta join. Docs under NO value bitmap aggregate
+    * into the null value (the docmeta-scan route's null parent group).
+    * `kill` as everywhere: excluded before any aggregation.
+    */
+  def scoreSegmentValueAgg(
+      segId: Long,
+      hits: Iterator[SegHit],
+      valueBms: Array[(String, Array[Byte])],
+      kill: RoaringBitmap,
+      weights: Map[String, Double],
+      avgdl: Double,
+      cfg: IndexConfig): Iterator[(String, Long, Long, Long)] = {
+    val width = 1 << cfg.segShift
+    var scores: Array[Double] = null
+    val touched = new RoaringBitmap()
+    hits.foreach { h =>
+      weights.get(h.term).foreach { w =>
+        val it = new Codec.Iter(h.postings)
+        if (!it.exhausted) {
+          if (scores == null) scores = new Array[Double](width)
+          var more = true
+          while (more) {
+            val local = it.curLocal
+            scores(local) += w * Bm25.tfNorm(it.curTf.toDouble, it.curDl.toDouble, avgdl)
+            touched.add(local)
+            more = it.next()
+          }
+        }
+      }
+    }
+    if (scores == null) return Iterator.empty
+    if (kill != null) touched.andNot(kill)
+    if (touched.isEmpty) return Iterator.empty
+    val sc = scores
+    def aggOf(value: String, inter: RoaringBitmap): Option[(String, Long, Long, Long)] = {
+      if (inter.isEmpty) return None
+      var sum = 0L
+      var max = Long.MinValue
+      var n = 0L
+      val bi = inter.getIntIterator
+      while (bi.hasNext) {
+        val q = math.round(sc(bi.next()) * Bm25.Quant)
+        sum += q
+        if (q > max) max = q
+        n += 1
+      }
+      Some((value, sum, max, n))
+    }
+    val rest = touched.clone()
+    val out = valueBms.flatMap { case (value, bytes) =>
+      val vb = graft.index.Bitmaps.deserialize(bytes)
+      val inter = RoaringBitmap.and(touched, vb)
+      rest.andNot(vb)
+      aggOf(value, inter)
+    }
+    out.iterator ++ aggOf(null, rest).iterator
+  }
+
   /** Global bounded-heap merge: Dataset[Scored] -> (rank, doc_id, score_q). */
   def topK(spark: SparkSession, scored: Dataset[Scored], k: Int): DataFrame = {
     import spark.implicits._

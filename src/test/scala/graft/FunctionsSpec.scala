@@ -122,6 +122,46 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("GraftShingleHashPairs == md5-hex twins (positioned + distinct), edge docs") {
+    // the (h1, h2) long pair IS the md5 digest big-endian, so
+    // %016x%016x re-hexes it for a direct string compare with the twins
+    val extra = Seq(
+      (9201L, ""), (9202L, "one two"), (9203L, "a b a b a b a b"),
+      // non-ASCII: the expression's fallback must pack tokenizeScala's
+      // tokens exactly (İ lowers to i + combining dot -> token "i";
+      // straße splits at ß)
+      (9204L, "Ünïcode Check İstanbul straße mixed ascii tokens here"),
+      (9205L, "UPPER lower 0123 mix3d runs...with!punct and tabs\there"))
+      .toDF("doc_id", "content")
+    val all = docs.unionAll(extra)
+    val hexOfPair = lower(format_string("%016x%016x", $"p.h1", $"p.h2"))
+    for (w <- Seq(2, 12)) {
+      // positioned: every window in token order
+      val a = all.select($"doc_id", posexplode(
+          GraftFunctions.graft_shingle_hashes($"content", w)))
+        .select($"doc_id", $"pos", $"col").as[(Long, Int, String)]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+      val b = all.select($"doc_id", posexplode(
+          GraftFunctions.graft_shingle_hash_pairs($"content", w, distinct = false)).as(Seq("pos", "p")))
+        .select($"doc_id", $"pos", hexOfPair).as[(Long, Int, String)]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(a == b, s"positioned width $w")
+      // distinct: same set AND same first-occurrence order as shingle+md5
+      val c = all.select($"doc_id", posexplode(graft.ml.Dedup.shingleSetW($"content", w)))
+        .select($"doc_id", $"pos", md5($"col")).as[(Long, Int, String)]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+      val d = all.select($"doc_id", posexplode(
+          GraftFunctions.graft_shingle_hash_pairs($"content", w, distinct = true)).as(Seq("pos", "p")))
+        .select($"doc_id", $"pos", hexOfPair).as[(Long, Int, String)]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(c == d, s"distinct width $w")
+    }
+    // null content -> null (explode drops the row), as with the twins
+    val nulls = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "content")
+    assert(nulls.select(explode(
+      GraftFunctions.graft_shingle_hash_pairs($"content", 2, distinct = false))).count() == 0)
+  }
+
   test("GraftGrams expression == HOF composition == Engine.fuzzyGrams") {
     import org.apache.spark.sql.functions.{array_distinct, concat, length, lit, sequence, transform}
     // dictionary-shaped terms plus adversarial edges (repeats force the

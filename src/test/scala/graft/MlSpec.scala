@@ -684,6 +684,22 @@ class MlSpec extends SparkSpec {
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  test("redactPii fused expression == built-in composition (PII-injected + edge rows)") {
+    val edge = Seq(
+      (9001L, "a@b.c touching ip 1.2.3.4 then A@B.CD"),
+      (9002L, "ip-in-address 10.0.0.1@host.net stays an email"),
+      (9003L, "@ bare at 1.2.3 short 1.2.3.4.5 long"),
+      (9004L, "Ünïcode café straße NO pii"),
+      (9005L, "")).toDF("doc_id", "content")
+    val all = TextStats.withPii(corpus).select($"doc_id", $"content").unionAll(edge)
+    val a = TextStats.redactPii(all).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val b = TextStats.redactPiiBuiltins(all).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(a == b)
+    assert(a.values.exists(_._1 > 0) && a.values.exists(_._2 > 0), "vacuous corpus")
+  }
+
   test("stratified sample: exact integer rule, partition-invariant, caps bind") {
     import graft.ml.Sample
     val target = 60L

@@ -264,6 +264,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"corpus shingles shuffled:\n$p")
   }
 
+  test("blockJoinParents bitmap route == docmeta-join route; no docmeta scan in the plan") {
+    import graft.index.{IndexBuild, IndexConfig}
+    import graft.query.Index
+    assert(engine.index.filterColsComplete.contains("repo"),
+      "precondition: default engine serves repo from the filter store")
+    // scan-route twin: same corpus, filter store disabled (and a different
+    // geometry, so the equality also re-checks geometry invariance)
+    val dir = tempDir("graft-blockjoin-scan-")
+    IndexBuild.build(spark, Corpus.fromDocuments(spark, sfTiny), dir,
+      IndexConfig(segShift = 5, rangeSegsShift = 1, filterColumns = Nil))
+    val scanEngine = new graft.query.Engine(new Index(spark, dir))
+    assert(!scanEngine.index.hasFilters, "precondition: twin must take the join route")
+    for (mode <- Seq("max", "total", "avg")) {
+      val a = engine.blockJoinParents(SparkEntry.FlagshipTerms, mode, rows = 10)
+      val b = scanEngine.blockJoinParents(SparkEntry.FlagshipTerms, mode, rows = 10)
+      assert(a.collect().toSeq == b.collect().toSeq, s"mode $mode")
+    }
+    // the bitmap plan aggregates segment-local value rows: no docmeta
+    // read, no exploded-postings doc-keyed shuffle
+    val p = plan(engine.blockJoinParents(SparkEntry.FlagshipTerms, "max", rows = 10))
+    assert(!p.contains("docmeta"), s"bitmap route read docmeta:\n$p")
+    assert(!p.contains("graft_postings"), s"bitmap route exploded postings:\n$p")
+  }
+
   test("fuzzy gram pre-filter pushes In(gram) into the gram-sorted store scan") {
     val qGrams = graft.query.Engine.fuzzyGrams("w:custoner")
     val p = plan(engine.index.ngramStore
