@@ -188,6 +188,57 @@ object BenchExtra {
       ("contamination", () => Dedup.contamination(corpus,
         corpus.where(col("doc_id") % 997 === 0)), cnt))
 
+    // maintenance mode: replicate Bench's compact/upsert draw protocol
+    // (fresh untimed copy per draw, min-of-draws) without the build phase
+    if (want("maint")) {
+      import org.apache.spark.sql.functions.{concat, lit => flit, sha2}
+      def copyTree(src: java.io.File, dst: java.io.File): Unit = {
+        if (src.isDirectory) {
+          dst.mkdirs()
+          Option(src.listFiles()).foreach(_.foreach(c =>
+            copyTree(c, new java.io.File(dst, c.getName))))
+        } else {
+          java.nio.file.Files.copy(src.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          ()
+        }
+      }
+      def freshCopy(src: String, tag: String): String = {
+        val dst = graft.util.Tmp.dir(s"graft-benchx-$tag-")
+        copyTree(new java.io.File(src), new java.io.File(dst))
+        dst
+      }
+      val benchIdx = engine.index.indexDir
+      val compactDraws = (1 to draws).map { i =>
+        val d = freshCopy(benchIdx, s"compact$i")
+        val sec = time(IndexBuild.compact(spark, d))
+        graft.util.Tmp.rmTree(new java.io.File(d))
+        sec
+      }
+      var lastCompacted = freshCopy(benchIdx, "upsertbase")
+      IndexBuild.compact(spark, lastCompacted)
+      val upN = math.min(math.max(1000L, nFiles / 100), 65536L)
+      val upLift = 1L << 40
+      val upBatch = corpus.where(col("doc_id") < upN)
+        .withColumn("doc_id", col("doc_id") + upLift)
+        .withColumn("content", concat(col("content"), flit(" zzrev2")))
+        .withColumn("sha", sha2(col("content"), 256))
+      val upsertDraws = (1 to draws).map { i =>
+        val d = freshCopy(lastCompacted, s"upsert$i")
+        val uSec = time(IndexBuild.upsert(spark, upBatch, d, cfg, Seq("path")))
+        val rSec = time(IndexBuild.compact(spark, d))
+        graft.util.Tmp.rmTree(new java.io.File(d))
+        (uSec, rSec)
+      }
+      println(s"""{"benchx_maint":{"compact":${compactDraws.min},""" +
+        s""""compact_draws":${compactDraws.mkString("[", ",", "]")},""" +
+        s""""upsert":${upsertDraws.map(_._1).min},""" +
+        s""""reclaim":${upsertDraws.map(_._2).min},""" +
+        s""""reclaim_draws":${upsertDraws.map(_._2).mkString("[", ",", "]")}}}""")
+      Console.out.flush()
+      spark.stop()
+      return
+    }
     val chosen = sections.filter(s => want.isEmpty || want(s._1))
     require(chosen.nonEmpty, s"no section matches ${args.headOption}")
 

@@ -884,6 +884,30 @@ object IndexBuild {
                 Iterator.single(SegTermRow(seg, tid, term, df, mtf, mdl, post, posBlob))
               else {
                 val bm = cache.computeIfAbsent(seg, _ => Bitmaps.deserialize(killBytes))
+                // pass-through probe (VERDICT r05 next #2): most term lists
+                // in a kill-carrying segment hold NO killed doc (kills are
+                // ~1% of docs), so probe the list with the block-skipping
+                // iterator against the kill set first and keep the ORIGINAL
+                // postings+positions blobs byte-identically when nothing
+                // changes — the decode → filter → re-encode (and the
+                // positions decode in lockstep) is paid only by lists that
+                // actually lose an entry. Output is byte-identical either
+                // way (the codec re-encode is canonical — CodecSpec pin);
+                // pass-through just skips proving it per list.
+                var touched = sys.env.contains("GRAFT_COMPACT_NO_PASSTHROUGH")
+                if (!touched) locally {
+                  val ki = bm.getIntIterator
+                  val probe = new Codec.Iter(post)
+                  var live = !probe.exhausted
+                  while (!touched && live && ki.hasNext) {
+                    val k = ki.next()
+                    if (!probe.advanceTo(k)) live = false
+                    else if (probe.curLocal == k) touched = true
+                  }
+                }
+                if (!touched)
+                  Iterator.single(SegTermRow(seg, tid, term, df, mtf, mdl, post, posBlob))
+                else {
                 val all = Codec.decodeAll(post)
                 // positions filtered in lockstep (same surviving indices)
                 val allPos = if (posBlob == null) null
@@ -902,6 +926,7 @@ object IndexBuild {
                     else Codec.encodePositions(kept, keepIdx.map(allPos))
                   Iterator.single(SegTermRow(seg, tid, term, kept.length,
                     maxTf, minDl, Codec.encode(kept), keptPos))
+                }
                 }
               }
             }

