@@ -752,6 +752,10 @@ private[functions] final class WindowHasher {
     }
   }
 
+  /** Token i as a fresh UTF8String (copies out of the shared buffer). */
+  def tokenUtf8(i: Int): UTF8String =
+    UTF8String.fromBytes(lowered, tokStart(i), tokEnd(i) - tokStart(i))
+
   /** md5 of tokens [from, from+width) joined by ' ' — the digested bytes
     * equal UTF-8 of the shingle string, so hashes match md5Hex/Spark md5
     * over the same shingle. Returns (h1, h2) = digest bytes 0-7 / 8-15,
@@ -787,6 +791,34 @@ private[functions] object WindowHasher {
   val local = new ThreadLocal[WindowHasher] {
     override def initialValue(): WindowHasher = new WindowHasher
   }
+}
+
+/** Native analyzer tokens: content -> array of lowercase [a-z0-9] runs,
+  * exactly [[Tokenizer.tokens]]' built-in composition
+  * (filter(split(lower(c), "[^a-z0-9]+"), length > 0)) and
+  * [[Tokenizer.tokenizeScala]] — but via the [[WindowHasher]] ASCII fast
+  * path (byte scan, no regex, no intermediate split array with empties).
+  * Null -> null, like lower/split. Pinned equal to both twins in
+  * FunctionsSpec; feeds the unigram-LM token passes where the regex
+  * split was the per-row cost.
+  */
+case class GraftTokens(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_tokens"
+
+  override def nullSafeEval(input: Any): Any = {
+    val h = WindowHasher.local.get()
+    h.tokenize(input.asInstanceOf[UTF8String])
+    val out = new Array[Any](h.nToks)
+    var i = 0
+    while (i < h.nToks) { out(i) = h.tokenUtf8(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GraftTokens =
+    copy(child = newChild)
 }
 
 /** Fused tokenization + window-md5 for the span-dedup/contamination
@@ -1102,6 +1134,8 @@ object GraftFunctions {
     GraftBridge.column(GraftShingleHashPairs(GraftBridge.expression(c), width, distinct))
   def graft_pii_stats(c: Column, emailRe: String, ipRe: String): Column =
     GraftBridge.column(GraftPiiStats(GraftBridge.expression(c), emailRe, ipRe))
+  def graft_tokens(c: Column): Column =
+    GraftBridge.column(GraftTokens(GraftBridge.expression(c)))
   def graft_grams(c: Column): Column =
     GraftBridge.column(GraftGrams(GraftBridge.expression(c)))
   def graft_phrase_pfdl(c: Column, toks: Seq[String], maxDl: Int,

@@ -158,8 +158,13 @@ object TextStats {
                      maxBroadcastVocab: Int = DefaultMaxBroadcastVocab): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val toks = corpus.select(col("doc_id"),
-      explode(Tokenizer.tokens(col("content"))).as("tok"))
+    // native tokens (GraftTokens — pinned equal to Tokenizer.tokens):
+    // BOTH the count pass and the scoring pass consume this one
+    // expression, so the no-drift contract below is unchanged; the regex
+    // split+filter composition was the dominant per-row cost of the
+    // count pass
+    val tokCol = graft.functions.GraftFunctions.graft_tokens(col("content"))
+    val toks = corpus.select(col("doc_id"), explode(tokCol).as("tok"))
     val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val collected = // bounded probe-and-collect: ≤ cap+1 rows ever held.
       // limit(cap+1).collect() instead of toLocalIterator: identical
@@ -202,8 +207,7 @@ object TextStats {
         val sel = corpus.select(col("doc_id"),
           // null content explodes to zero rows on the join route —
           // mirror that as an empty token array here
-          coalesce(Tokenizer.tokens(col("content")),
-            lit(Array.empty[String])).as("ts"))
+          coalesce(tokCol, lit(Array.empty[String])).as("ts"))
         val outRdd = sel.queryExecution.toRdd.mapPartitions { rows =>
           val map = bc.value
           rows.map { row =>

@@ -122,6 +122,26 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("GraftTokens == built-in tokens() == tokenizeScala (edge docs)") {
+    val extra = Seq(
+      (9301L, ""), (9302L, "   "), (9303L, "...leading! and trailing..."),
+      (9304L, "MIXED Case 0123 runs"),
+      (9305L, "Ünïcode İstanbul straße mixed ascii"),
+      (9306L, "tab\tand\nnewline  double  space")).toDF("doc_id", "content")
+    val all = docs.unionAll(extra)
+    val a = all.select($"doc_id", GraftFunctions.graft_tokens($"content"))
+      .as[(Long, Seq[String])].collect().toMap
+    val b = all.select($"doc_id", Tokenizer.tokens($"content"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(a == b)
+    val c = all.select($"doc_id", $"content").as[(Long, String)].collect()
+      .map { case (id, s) => id -> Tokenizer.tokenizeScala(s).toSeq }.toMap
+    assert(a == c)
+    // null -> null, as lower/split compose
+    val nulls = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "content")
+    assert(nulls.select(GraftFunctions.graft_tokens($"content")).head().isNullAt(0))
+  }
+
   test("GraftShingleHashPairs == md5-hex twins (positioned + distinct), edge docs") {
     // the (h1, h2) long pair IS the md5 digest big-endian, so
     // %016x%016x re-hexes it for a direct string compare with the twins
