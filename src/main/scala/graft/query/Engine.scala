@@ -350,6 +350,13 @@ final class Engine(val index: Index) {
     * reference analog: the accuracy≥0.9 MatchAllDocsQuery switch,
     * LireRequestHandler.java:218-221 — a degenerate switch, not a default.)
     */
+  /** Instance copy of [[Engine.PhraseBroadcastMaxCand]] — a test knob so
+    * PlanSpec can force the phrase graft's fail-open (non-broadcast) join
+    * at test scale and pin its exchange shape (VERDICT r05 next #9);
+    * production engines never change it.
+    */
+  private[graft] var phraseBroadcastMax: Long = Engine.PhraseBroadcastMaxCand
+
   val HotScanFraction = 0.5
   val DominantWeightFraction = 0.5
 
@@ -669,7 +676,7 @@ final class Engine(val index: Index) {
     // corpus-hot phrase at 100x degrades to the shuffle join instead of
     // an 8 GB-limit broadcast failure.
     val candSide =
-      if (dfs.values.min <= Engine.PhraseBroadcastMaxCand) broadcast(cand) else cand
+      if (dfs.values.min <= phraseBroadcastMax) broadcast(cand) else cand
     corpus
       .join(candSide, Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("docId"), pfDl.as("pd"))
@@ -1127,7 +1134,7 @@ final class Engine(val index: Index) {
           // doc_id-keyed aggregates — (doc_id, score) rows only, never
           // content (the r04 scale-killer shape is structurally gone).
           val pSide =
-            if (scoringDfs.map(_._2).sum <= Engine.PhraseBroadcastMaxCand)
+            if (scoringDfs.map(_._2).sum <= phraseBroadcastMax)
               broadcast(pAgg)
             else pAgg
           base.join(pSide, Seq("doc_id"), "left_outer")
@@ -1156,7 +1163,7 @@ final class Engine(val index: Index) {
       // same dictionary-known bound gates the membership side: a required
       // (or prohibited) phrase's doc set broadcasts when it provably fits
       val side =
-        if (bound <= Engine.PhraseBroadcastMaxCand) broadcast(df0.select("doc_id"))
+        if (bound <= phraseBroadcastMax) broadcast(df0.select("doc_id"))
         else df0.select("doc_id")
       occ match {
         case Occur.Must =>

@@ -264,6 +264,49 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"corpus shingles shuffled:\n$p")
   }
 
+  test("phrase fail-open graft join exchanges only doc-keyed aggregates, never content") {
+    // force the non-broadcast (fail-open) phrase graft at test scale: the
+    // r04 scale-killer was this shape silently shuffling CONTENT — the pin
+    // asserts the fail-open plan exchanges only (doc_id, score)-class
+    // aggregate rows so a refactor can't reintroduce it (VERDICT r05 #9)
+    val e2 = new graft.query.Engine(new graft.query.Index(spark, engine.index.indexDir))
+    e2.phraseBroadcastMax = -1L
+    val corpus = Corpus.fromDocuments(spark, sfTiny)
+    // tiny test sides auto-broadcast, hiding the at-scale join strategy:
+    // disable auto-broadcast (plain + AQE threshold) so the plan shows
+    // the shuffle join a corpus-hot phrase takes at 100x
+    val prev = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val df = e2.searchParsed(corpus, SparkEntry.ParsedMixedReqQuery, rows = 60)
+      val p = plan(df)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a fail-open shuffle join:\n$p")
+      val exchanges = "(?s)\\(\\d+\\) Exchange\\s*\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
+        .findAllMatchIn(p).map(_.group(1)).toSeq
+      assert(exchanges.nonEmpty, s"no Exchange inputs parsed from:\n$p")
+      exchanges.foreach { cols =>
+        assert(!cols.contains("content"), s"content crosses an exchange: [$cols]\n$p")
+      }
+      // and the fail-open result is identical to the broadcast route's
+      val a = df.collect().toSeq
+      val b = engine.searchParsed(corpus, SparkEntry.ParsedMixedReqQuery, rows = 60)
+        .collect().toSeq
+      assert(a == b, "fail-open route must be result-identical to the broadcast route")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+      prevAqe match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("blockJoinParents bitmap route == docmeta-join route; no docmeta scan in the plan") {
     import graft.index.{IndexBuild, IndexConfig}
     import graft.query.Index
