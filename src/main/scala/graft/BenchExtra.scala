@@ -29,7 +29,8 @@ object BenchExtra {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-benchx-$cores")
-      .config("spark.sql.shuffle.partitions", (cores * 4).toString)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_SHUFP", (cores * 4).toString))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -55,6 +56,29 @@ object BenchExtra {
     val cfg = IndexConfig(segShift = 9, rangeSegsShift = 7)
 
     val spark = session(cpus)
+    // GRAFT_JOBLOG=1: print per-Spark-job wall durations (decomposition)
+    if (sys.env.contains("GRAFT_JOBLOG")) {
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          starts.put(j.jobId, System.nanoTime()); ()
+        }
+        override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val t0 = starts.getOrDefault(j.jobId, 0L)
+          println(f"JOBLOG ${j.jobId}%4d ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        }
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = s.stageInfo
+          val wall = (i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L)) / 1e3
+          val m = i.taskMetrics
+          println(f"STAGELOG ${i.stageId}%4d tasks=${i.numTasks}%4d wall=$wall%7.2f " +
+            f"exec=${m.executorRunTime / 1e3}%8.2f in=${m.inputMetrics.bytesRead}%12d " +
+            f"sr=${m.shuffleReadMetrics.totalBytesRead}%12d sw=${m.shuffleWriteMetrics.bytesWritten}%12d " +
+            i.name.take(60))
+        }
+      })
+    }
     val corpusDir = graft.util.Tmp.dir("graft-benchx-corpus-")
     val nFiles = math.max(2000L,
       spark.read.parquet(s"$sfDir/lineitem.parquet").count())
@@ -183,6 +207,99 @@ object BenchExtra {
         org.apache.spark.sql.functions.explode(
           graft.functions.GraftFunctions.graft_shingle_hash_pairs(
             col("content"), 13, distinct = true))), noop),
+      // one-off cardinality probe: how big are the span keep set and its
+      // surviving window rows on this corpus?
+      ("probe_span_sizes", () => {
+        val wins = corpus.select(col("doc_id"),
+            org.apache.spark.sql.functions.posexplode(
+              graft.functions.GraftFunctions.graft_shingle_hash_pairs(
+                col("content"), 12, distinct = false)))
+          .select(col("doc_id"), col("col.h1").as("h1"), col("col.h2").as("h2"))
+        val keep = Dedup.spanKeepCounts(wins.select(col("h1"), col("h2")), 64)
+        val nKeep = keep.count()
+        val nWins = wins.count()
+        val nSurv = wins.join(
+          org.apache.spark.sql.functions.broadcast(keep), Seq("h1", "h2"), "left_semi").count()
+        println(s"SPAN_SIZES wins=$nWins keep=$nKeep survivors=$nSurv")
+        spark.range(1).toDF("x")
+      }, cnt),
+      // isolate the broadcast-semi probe cost over the window scan
+      ("probe_span_semi", () => {
+        import spark.implicits._
+        val wins = corpus.select(col("doc_id"),
+            org.apache.spark.sql.functions.posexplode(
+              graft.functions.GraftFunctions.graft_shingle_hash_pairs(
+                col("content"), 12, distinct = false)))
+          .select(col("doc_id"), (col("pos") + 1).as("pos"),
+            col("col.h1").as("h1"), col("col.h2").as("h2"))
+        val keep = Dedup.spanKeepCounts(
+          wins.select(col("h1"), col("h2")), 64).collect()
+        val keepDf = spark.createDataset(
+          keep.toSeq.map(r => (r.getLong(0), r.getLong(1)))).toDF("h1", "h2")
+        wins.join(org.apache.spark.sql.functions.broadcast(keepDf),
+          Seq("h1", "h2"), "left_semi")
+      }, noop),
+      // A/B alternative for the span count pass: skip the (useless at
+      // ~unique-key cardinality) partial hash aggregate — raw (h1, h2)
+      // repartition + one open-addressed count map per partition
+      ("probe_span_keep_rdd", () => {
+        val winsH = corpus.select(
+            org.apache.spark.sql.functions.explode(
+              graft.functions.GraftFunctions.graft_shingle_hash_pairs(
+                col("content"), 12, distinct = false)).as("sh"))
+          .select(col("sh.h1").as("h1"), col("sh.h2").as("h2"))
+        val rep = winsH.repartition(col("h1"), col("h2"))
+        val maxOcc = 64
+        val outRdd = rep.queryExecution.toRdd.mapPartitions { it =>
+          var cap = 1 << 20
+          var mask = cap - 1
+          var k1 = new Array[Long](cap)
+          var k2 = new Array[Long](cap)
+          var cnt = new Array[Int](cap)
+          var n = 0
+          def grow(): Unit = {
+            val o1 = k1; val o2 = k2; val oc = cnt; val ocap = cap
+            cap *= 2; mask = cap - 1
+            k1 = new Array[Long](cap); k2 = new Array[Long](cap); cnt = new Array[Int](cap)
+            var i = 0
+            while (i < ocap) {
+              if (oc(i) != 0) {
+                var j = (java.lang.Long.hashCode(o1(i) * 31 + o2(i)) & mask)
+                while (cnt(j) != 0) j = (j + 1) & mask
+                k1(j) = o1(i); k2(j) = o2(i); cnt(j) = oc(i)
+              }
+              i += 1
+            }
+          }
+          while (it.hasNext) {
+            val row = it.next()
+            val a = row.getLong(0); val b = row.getLong(1)
+            if (n * 2 >= cap) grow()
+            var j = (java.lang.Long.hashCode(a * 31 + b) & mask)
+            var done = false
+            while (!done) {
+              if (cnt(j) == 0) { k1(j) = a; k2(j) = b; cnt(j) = 1; n += 1; done = true }
+              else if (k1(j) == a && k2(j) == b) { cnt(j) += 1; done = true }
+              else j = (j + 1) & mask
+            }
+          }
+          val out = Seq.newBuilder[org.apache.spark.sql.catalyst.InternalRow]
+          var i = 0
+          while (i < cap) {
+            if (cnt(i) >= 2 && cnt(i) <= maxOcc)
+              out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                Array[Any](k1(i), k2(i)))
+            i += 1
+          }
+          out.result().iterator
+        }
+        org.apache.spark.sql.classic.GraftBridge.internalDf(spark, outRdd,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("h1",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("h2",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+      }, noop),
       ("unigram_lp", () => graft.ml.TextStats.unigramLogProb(corpus)
         .agg(fsum("mean_lp_q"), fsum("n_toks")), cll),
       ("contamination", () => Dedup.contamination(corpus,
@@ -254,7 +371,13 @@ object BenchExtra {
     }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Array[Double]]()
-    chosen.foreach { case (name, mk, act) => act(mk()); results(name) = new Array[Double](draws) }
+    chosen.foreach { case (name, mk, act) =>
+      val df = mk()
+      act(df)
+      if (sys.env.contains("GRAFT_EXEPLAN"))
+        println(s"EXEPLAN $name:\n${df.queryExecution.executedPlan}\nEXEPLAN_END")
+      results(name) = new Array[Double](draws)
+    }
     for (d <- 0 until draws; (name, mk, act) <- chosen) {
       spark.sparkContext.setJobDescription(s"benchx:$name:$d")
       results(name)(d) = time(act(mk()))

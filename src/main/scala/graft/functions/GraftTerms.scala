@@ -684,7 +684,7 @@ case class GraftShingleHashes(child: Expression, width: Int)
   * tokens are pure [a-z0-9] by the split contract, so the digested bytes
   * are identical to the fast path's by construction.
   */
-private[functions] final class WindowHasher {
+private[graft] final class WindowHasher {
   private val md = java.security.MessageDigest.getInstance("MD5")
   private val digest = new Array[Byte](16)
   private var lowered = new Array[Byte](1 << 12)
@@ -761,7 +761,18 @@ private[functions] final class WindowHasher {
     * over the same shingle. Returns (h1, h2) = digest bytes 0-7 / 8-15,
     * big-endian.
     */
+  /** Allocation-free digest: result in [[lastH1]] / [[lastH2]] (the
+    * mapPartitions hot paths read the fields — no Tuple2 per window).
+    */
+  var lastH1: Long = 0L
+  var lastH2: Long = 0L
+
   def hashWindow(from: Int, width: Int): (Long, Long) = {
+    hashWindowTo(from, width)
+    (lastH1, lastH2)
+  }
+
+  def hashWindowTo(from: Int, width: Int): Unit = {
     var len = width - 1
     var k = 0
     while (k < width) { len += tokEnd(from + k) - tokStart(from + k); k += 1 }
@@ -783,11 +794,12 @@ private[functions] final class WindowHasher {
     k = 0
     while (k < 8) { h1 = (h1 << 8) | (digest(k) & 0xffL); k += 1 }
     while (k < 16) { h2 = (h2 << 8) | (digest(k) & 0xffL); k += 1 }
-    (h1, h2)
+    lastH1 = h1
+    lastH2 = h2
   }
 }
 
-private[functions] object WindowHasher {
+private[graft] object WindowHasher {
   val local = new ThreadLocal[WindowHasher] {
     override def initialValue(): WindowHasher = new WindowHasher
   }

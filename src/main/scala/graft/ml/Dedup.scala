@@ -125,7 +125,8 @@ object Dedup {
     * aggregation touches matched rows only.
     */
   def contamination(corpus: DataFrame, benchmark: DataFrame,
-                    width: Int = 13): DataFrame = {
+                    width: Int = 13,
+                    benchGate: Int = BroadcastBenchMaxDocs): DataFrame = {
     // fused tokenize→window-md5 expression: the shingle hash is emitted
     // directly as a (h1, h2) long pair — no shingle string materializes,
     // no hex encode, and the join key is 16 fixed-width bytes instead of
@@ -138,16 +139,67 @@ object Dedup {
         explode(graft.functions.GraftFunctions.graft_shingle_hash_pairs(
           col("content"), width, distinct = true)).as("sh"))
       .select(col(as), col("sh.h1").as("h1"), col("sh.h2").as("h2"))
-    val cs = shingleHashes(corpus, "doc_id", "doc_id")
-    val bs = shingleHashes(benchmark, "doc_id", "bench_id")
-    val bsSide =
-      if (benchmark.select(col("doc_id")).limit(BroadcastBenchMaxDocs + 1)
-            .count() <= BroadcastBenchMaxDocs) broadcast(bs)
-      else bs
-    cs.join(bsSide, Seq("h1", "h2"))
-      .groupBy(col("doc_id"))
-      .agg(countDistinct(col("bench_id")).as("n_bench_docs"),
-        countDistinct(col("h1"), col("h2")).as("n_shingles"))
+    val smallBench = benchmark.select(col("doc_id")).limit(benchGate + 1)
+      .count() <= benchGate
+    if (smallBench) {
+      // benchmark fits the broadcast gate: collect its (bench_id, hash)
+      // rows (the SAME rows the planner-broadcast route shipped) into a
+      // primitive multimap and probe it INSIDE the corpus window pass —
+      // a tight mapPartitions loop emitting only matched
+      // (doc_id, bench_id, h1, h2) rows. The planner shape it replaces
+      // (Generate → struct projection → BroadcastHashJoin probe) ran
+      // interpreter-bound at ~2 µs/window over the whole corpus (the
+      // span_dup measurement, same pipeline); the fused loop pays the
+      // hash + one set probe. Window de-dup per doc is NOT re-applied on
+      // the probe side: duplicate matches collapse in both countDistincts,
+      // so output is identical to the join route (the over-gate fallback
+      // below, which stays the r05 planner shape).
+      val spark = corpus.sparkSession
+      val bsRows = shingleHashes(benchmark, "doc_id", "bench_id").collect()
+      val mm = LongPairMultiMap.build(
+        bsRows.iterator.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))), bsRows.length)
+      val bc = spark.sparkContext.broadcast(mm)
+      val sel = corpus.select(col("doc_id"), col("content"))
+      val outRdd = sel.queryExecution.toRdd.mapPartitions { it =>
+        val h = graft.functions.WindowHasher.local.get()
+        val m = bc.value
+        val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.catalyst.InternalRow]()
+        it.flatMap { row =>
+          out.clear()
+          if (!row.isNullAt(1)) {
+            val id = row.getLong(0)
+            h.tokenize(row.getUTF8String(1))
+            val nWin = h.nToks - width + 1
+            var i = 0
+            while (i < nWin) {
+              h.hashWindowTo(i, width)
+              m.foreach(h.lastH1, h.lastH2) { benchId =>
+                out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                  Array[Any](id, benchId, h.lastH1, h.lastH2))
+              }
+              i += 1
+            }
+          }
+          out.toArray.iterator
+        }
+      }
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      org.apache.spark.sql.classic.GraftBridge.internalDf(spark, outRdd,
+        StructType(Seq(StructField("doc_id", LongType, nullable = false),
+          StructField("bench_id", LongType, nullable = false),
+          StructField("h1", LongType, nullable = false),
+          StructField("h2", LongType, nullable = false))))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("bench_id")).as("n_bench_docs"),
+          countDistinct(col("h1"), col("h2")).as("n_shingles"))
+    } else {
+      val cs = shingleHashes(corpus, "doc_id", "doc_id")
+      val bs = shingleHashes(benchmark, "doc_id", "bench_id")
+      cs.join(bs, Seq("h1", "h2"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("bench_id")).as("n_bench_docs"),
+          countDistinct(col("h1"), col("h2")).as("n_shingles"))
+    }
   }
 
   /** Substring-level exact dedup (Lee et al. 2021 "Deduplicating Training
@@ -174,32 +226,35 @@ object Dedup {
   def spanDups(corpus: DataFrame, width: Int = 12, maxOcc: Int = 64): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    // window hash = md5 as a (h1, h2) long pair (GraftShingleHashPairs):
-    // identical grouping semantics to the md5-hex form (digest ↔ hex is a
+    // window hash = md5 as a (h1, h2) long pair (the shared WindowHasher
+    // core — pinned equal to the md5-hex forms through the
+    // GraftShingleHashPairs expression twins in FunctionsSpec): identical
+    // grouping semantics to the md5-hex shape (digest ↔ hex is a
     // bijection; the hash never reaches the output), but the count pass
     // shuffles 16 fixed-width bytes per window instead of a 32-char
-    // string and no hex string is ever built (guide §2.3).
-    val wins = corpus
-      .select(col("doc_id"),
-        posexplode(graft.functions.GraftFunctions.graft_shingle_hash_pairs(
-          col("content"), width, distinct = false)))
-      .select(col("doc_id"), (col("pos") + 1).as("pos"),
-        col("col.h1").as("h1"), col("col.h2").as("h2"))
+    // string and no shingle or hex string is ever built (guide §2.3).
+    // Both window passes are tight mapPartitions loops over
+    // queryExecution.toRdd rather than posexplode(expression): the
+    // Generate + struct-field + broadcast-hash-probe pipeline ran
+    // interpreter-bound at ~290 CPU-s per pass where the fused loop pays
+    // ~70 (guide §1.2 per-task work; same measurement pattern as the
+    // build's FastDocTokens).
     // two passes so the cap bounds the AGGREGATION, not just the pair
     // emission: a corpus-boilerplate window (10M occurrences at scale)
     // must never materialize one 10M-element collect_list buffer — the
-    // count pass is map-side-partial and drops the hash before anything
-    // collects (the same keep-CTE shape as the oracle). A one-pass
-    // bounded typed Aggregator was measured NO FASTER than these two
-    // passes (Prof span interleaved A/B, grouping stage vs grouping
-    // stage: mins 29.0 vs 28.3 s) — the kryo-buffered
-    // ObjectHashAggregate leaves whole-stage codegen and pays per-row
-    // typed ser/deser, cancelling the codegen'd map-combined count pass
-    // it saves — so the simpler oracle-mirrored shape stays.
-    val keep = wins.groupBy(col("h1"), col("h2"))
-      .agg(count(lit(1)).as("nocc"))
-      .where(col("nocc").between(2, maxOcc))
-      .select(col("h1"), col("h2"))
+    // count pass drops the hash before anything collects (the same
+    // keep-CTE shape as the oracle). A one-pass bounded typed Aggregator
+    // was measured NO FASTER than these two passes (Prof span
+    // interleaved A/B: mins 29.0 vs 28.3 s) — kryo-buffered
+    // ObjectHashAggregate leaves whole-stage codegen — so the two-pass
+    // shape stays. The count itself skips Spark's partial hash
+    // aggregate: window hashes are ~unique (dup windows ARE the
+    // exception), so the map-side partial builds a 55M-entry map that
+    // reduces almost nothing before the exchange — raw (h1, h2)
+    // repartition + ONE open-addressed count map per reduce partition
+    // is the same exact global count with half the hash-table work
+    // (same-window A/B at the 600k bench corpus: 8.1 -> 6.2 s).
+    val keep = spanKeepCounts(windowHashRows(corpus, width, withPos = false, None), maxOcc)
     // The keep set is DUPLICATED-window hashes only — tiny next to the
     // window count on any real corpus (dup spans are the exception, and
     // corpus-boilerplate hashes are capped out by maxOcc). When it fits
@@ -210,13 +265,30 @@ object Dedup {
     // window shuffle the SMJ semi-join paid (guide §3.1/§3.2; measured
     // 15.0 s -> 6.7 s at the 600k-doc bench corpus). Over the cap the
     // r05 shuffle semi-join shape stays (same output).
-    val keepRows = keep.limit(SpanKeepBroadcastMax + 1).collect()
+    // bounded probe WITHOUT limit().collect(): executeTake materializes
+    // the count shuffle's reduce side in sequential 1/4/20/... -partition
+    // waves (measured ~6.4 s wall for ~1.3 s of full-parallel work), so
+    // cache the (tiny) keep output, count it at full parallelism, and
+    // read the probe rows from the cache
+    val keepCached = keep.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nKeep = keepCached.count()
     val winsKept =
-      if (keepRows.length <= SpanKeepBroadcastMax) {
-        val keepDf = spark.createDataset(
-          keepRows.toSeq.map(r => (r.getLong(0), r.getLong(1)))).toDF("h1", "h2")
-        wins.join(broadcast(keepDf), Seq("h1", "h2"), "left_semi")
-      } else wins.join(keep, Seq("h1", "h2"), "left_semi")
+      if (nKeep <= SpanKeepBroadcastMax) {
+        // survivors filtered INSIDE the second window pass: each window's
+        // hash probes a broadcast primitive set as it is computed, so only
+        // duplicated windows ever materialize a row
+        val keepRows = keepCached.collect()
+        keepCached.unpersist(blocking = false)
+        val set = LongPairSet.build(keepRows.iterator.map(r => (r.getLong(0), r.getLong(1))),
+          keepRows.length)
+        val bc = spark.sparkContext.broadcast(set)
+        windowHashRows(corpus, width, withPos = true, Some(bc))
+      } else {
+        // over-cap corpora keep the r05 shuffle semi-join shape
+        keepCached.unpersist(blocking = false)
+        windowHashRows(corpus, width, withPos = true, None)
+          .join(keep, Seq("h1", "h2"), "left_semi")
+      }
     winsKept
       .groupBy(col("h1"), col("h2"))
       .agg(collect_list(struct(col("doc_id"), col("pos"))).as("occ"))
@@ -245,6 +317,197 @@ object Dedup {
         out.result()
       }
       .toDF("doc_a", "doc_b", "start_a", "start_b", "n_windows", "span_tokens")
+  }
+
+  /** One window-hash pass over the corpus as a tight mapPartitions loop
+    * (shared [[graft.functions.WindowHasher]] core — the same tokenize +
+    * md5 the GraftShingleHashPairs expression evaluates, pinned equal to
+    * the md5-hex twins in FunctionsSpec): rows (h1, h2) per window, or
+    * (doc_id, pos [1-based], h1, h2) with `withPos`; `keep` filters each
+    * window against a broadcast primitive set AS IT IS HASHED, so only
+    * duplicated windows materialize rows. Null / short docs emit nothing
+    * (exactly posexplode of the expression's empty/null array).
+    */
+  private def windowHashRows(corpus: DataFrame, width: Int, withPos: Boolean,
+      keep: Option[org.apache.spark.broadcast.Broadcast[LongPairSet]]): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val sel = corpus.select(col("doc_id"), col("content"))
+    val outRdd = sel.queryExecution.toRdd.mapPartitions { it =>
+      val h = graft.functions.WindowHasher.local.get()
+      val keepSet = keep.map(_.value).orNull
+      val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.catalyst.InternalRow]()
+      it.flatMap { row =>
+        out.clear()
+        if (!row.isNullAt(1)) {
+          val id = row.getLong(0)
+          h.tokenize(row.getUTF8String(1))
+          val nWin = h.nToks - width + 1
+          var i = 0
+          while (i < nWin) {
+            h.hashWindowTo(i, width)
+            if (keepSet == null || keepSet.contains(h.lastH1, h.lastH2)) {
+              out += (if (withPos)
+                new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                  Array[Any](id, i + 1, h.lastH1, h.lastH2))
+              else
+                new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                  Array[Any](h.lastH1, h.lastH2)))
+            }
+            i += 1
+          }
+        }
+        out.toArray.iterator
+      }
+    }
+    val fields =
+      (if (withPos) Seq(StructField("doc_id", LongType, nullable = false),
+        StructField("pos", IntegerType, nullable = false)) else Nil) ++
+        Seq(StructField("h1", LongType, nullable = false),
+          StructField("h2", LongType, nullable = false))
+    org.apache.spark.sql.classic.GraftBridge.internalDf(corpus.sparkSession,
+      outRdd, StructType(fields))
+  }
+
+  /** Exact global occurrence filter for [[spanDups]]' count pass:
+    * hash-repartition the (h1, h2) window-hash rows and count each
+    * partition's keys in one open-addressed primitive map, emitting only
+    * keys with 2 ≤ n ≤ maxOcc. Semantically identical to
+    * `groupBy(h1, h2).count.where(between(2, maxOcc))` — the rewrite
+    * only skips the map-side partial aggregate, which at ~unique-key
+    * cardinality builds a corpus-sized hash table that reduces almost
+    * nothing before the exchange (guide §1.2 per-task work). Memory per
+    * task is the partition's distinct-key count × 20 B at ≤0.5 load —
+    * the same order the partial aggregate's own map held.
+    */
+  private[graft] def spanKeepCounts(winsH: DataFrame, maxOcc: Int): DataFrame = {
+    val rep = winsH.repartition(col("h1"), col("h2"))
+    val outRdd = rep.queryExecution.toRdd.mapPartitions { it =>
+      var cap = 1 << 16
+      var mask = cap - 1
+      var k1 = new Array[Long](cap)
+      var k2 = new Array[Long](cap)
+      var cnt = new Array[Int](cap)
+      var n = 0
+      def grow(): Unit = {
+        val o1 = k1; val o2 = k2; val oc = cnt; val ocap = cap
+        cap *= 2; mask = cap - 1
+        k1 = new Array[Long](cap); k2 = new Array[Long](cap); cnt = new Array[Int](cap)
+        var i = 0
+        while (i < ocap) {
+          if (oc(i) != 0) {
+            var j = java.lang.Long.hashCode(o1(i) * 31 + o2(i)) & mask
+            while (cnt(j) != 0) j = (j + 1) & mask
+            k1(j) = o1(i); k2(j) = o2(i); cnt(j) = oc(i)
+          }
+          i += 1
+        }
+      }
+      while (it.hasNext) {
+        val row = it.next()
+        val a = row.getLong(0)
+        val b = row.getLong(1)
+        if (n * 2 >= cap) grow()
+        var j = java.lang.Long.hashCode(a * 31 + b) & mask
+        var done = false
+        while (!done) {
+          if (cnt(j) == 0) { k1(j) = a; k2(j) = b; cnt(j) = 1; n += 1; done = true }
+          else if (k1(j) == a && k2(j) == b) { cnt(j) += 1; done = true }
+          else j = (j + 1) & mask
+        }
+      }
+      val out = Seq.newBuilder[org.apache.spark.sql.catalyst.InternalRow]
+      var i = 0
+      while (i < cap) {
+        if (cnt(i) >= 2 && cnt(i) <= maxOcc)
+          out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](k1(i), k2(i)))
+        i += 1
+      }
+      out.result().iterator
+    }
+    org.apache.spark.sql.classic.GraftBridge.internalDf(winsH.sparkSession, outRdd,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("h1",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("h2",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  /** Serializable open-addressed (Long, Long) membership set (broadcast
+    * probe side of [[spanDups]]' second window pass). Load ≤ 0.5;
+    * presence tracked separately so the all-zero key needs no sentinel.
+    */
+  private[graft] final class LongPairSet(k1: Array[Long], k2: Array[Long],
+      used: Array[Boolean], mask: Int) extends Serializable {
+    def contains(a: Long, b: Long): Boolean = {
+      var j = java.lang.Long.hashCode(a * 31 + b) & mask
+      while (used(j)) {
+        if (k1(j) == a && k2(j) == b) return true
+        j = (j + 1) & mask
+      }
+      false
+    }
+  }
+
+  private[graft] object LongPairSet {
+    def build(pairs: Iterator[(Long, Long)], n: Int): LongPairSet = {
+      var cap = 16
+      while (cap < (n + 1) * 2) cap <<= 1
+      val mask = cap - 1
+      val k1 = new Array[Long](cap)
+      val k2 = new Array[Long](cap)
+      val used = new Array[Boolean](cap)
+      pairs.foreach { case (a, b) =>
+        var j = java.lang.Long.hashCode(a * 31 + b) & mask
+        while (used(j) && !(k1(j) == a && k2(j) == b)) j = (j + 1) & mask
+        k1(j) = a; k2(j) = b; used(j) = true
+      }
+      new LongPairSet(k1, k2, used, mask)
+    }
+  }
+
+  /** Serializable open-addressed (Long, Long) → Long* multimap (broadcast
+    * probe side of the contamination screen): values chained through a
+    * parallel next-index array, insertion order preserved per key.
+    */
+  private[graft] final class LongPairMultiMap(k1: Array[Long], k2: Array[Long],
+      head: Array[Int], vals: Array[Long], nxt: Array[Int],
+      mask: Int) extends Serializable {
+    /** Apply `f` to every value of key (a, b), if any. */
+    def foreach(a: Long, b: Long)(f: Long => Unit): Unit = {
+      var j = java.lang.Long.hashCode(a * 31 + b) & mask
+      while (head(j) != 0) {
+        if (k1(j) == a && k2(j) == b) {
+          var v = head(j)
+          while (v != 0) { f(vals(v - 1)); v = nxt(v - 1) }
+          return
+        }
+        j = (j + 1) & mask
+      }
+    }
+  }
+
+  private[graft] object LongPairMultiMap {
+    /** Build from (value, a, b) triples; `n` an upper bound on the count. */
+    def build(rows: Iterator[(Long, Long, Long)], n: Int): LongPairMultiMap = {
+      var cap = 16
+      while (cap < (n + 1) * 2) cap <<= 1
+      val mask = cap - 1
+      val k1 = new Array[Long](cap)
+      val k2 = new Array[Long](cap)
+      val head = new Array[Int](cap) // 1-based index into vals; 0 = empty
+      val vals = new Array[Long](math.max(1, n))
+      val nxt = new Array[Int](math.max(1, n))
+      var nv = 0
+      rows.foreach { case (v, a, b) =>
+        var j = java.lang.Long.hashCode(a * 31 + b) & mask
+        while (head(j) != 0 && !(k1(j) == a && k2(j) == b)) j = (j + 1) & mask
+        k1(j) = a; k2(j) = b
+        vals(nv) = v; nxt(nv) = head(j); head(j) = nv + 1
+        nv += 1
+      }
+      new LongPairMultiMap(k1, k2, head, vals, nxt, mask)
+    }
   }
 
   /** MinHash signature columns mh0..mh{H-1}: per function i, the lexical

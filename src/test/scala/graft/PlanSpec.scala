@@ -253,15 +253,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"big side shuffled:\n$p")
   }
 
-  test("contamination joins a broadcast benchmark side; corpus shingles never shuffle") {
-    // the planner cannot size a filter->explode lineage, so without the
-    // explicit hint this was a SortMergeJoin shuffle-writing every corpus
-    // shingle row (~200/doc) — 24 s vs ~7 s at the bench corpus
+  test("contamination probes a broadcast benchmark side; corpus shingles never shuffle") {
+    // under the benchmark gate the corpus side is ONE fused window pass
+    // probing a broadcast multimap (no join operator at all): the plan
+    // must aggregate straight over the probe RDD — any join/shuffle of
+    // corpus shingle rows (the r02 SortMergeJoin regression: ~200
+    // rows/doc shuffle-written, 24 s vs ~7 s) is a fail
     val corpus = Corpus.fromDocuments(spark, sfTiny)
     val p = plan(graft.ml.Dedup.contamination(corpus,
       corpus.where(col("doc_id") % 13 === 0)))
-    assert(p.contains("BroadcastHashJoin"), s"benchmark side not broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin"), s"corpus shingles shuffled:\n$p")
+    assert(p.contains("ExistingRDD"), s"probe-side fused pass missing:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Join"),
+      s"corpus shingles joined/shuffled:\n$p")
+    // the over-gate fallback keeps the equi-join shape (result-identical)
+    val big = graft.ml.Dedup.contamination(corpus,
+      corpus.where(col("doc_id") % 13 === 0), 13, benchGate = 0)
+    val got = big.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fused = graft.ml.Dedup.contamination(corpus,
+      corpus.where(col("doc_id") % 13 === 0)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == fused, "fallback route must equal the fused probe route")
   }
 
   test("phrase fail-open graft join exchanges only doc-keyed aggregates, never content") {
