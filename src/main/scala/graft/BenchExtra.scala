@@ -207,6 +207,12 @@ object BenchExtra {
         org.apache.spark.sql.functions.explode(
           graft.functions.GraftFunctions.graft_shingle_hash_pairs(
             col("content"), 13, distinct = true))), noop),
+      ("probe_unigram_counts", () => corpus.select(col("doc_id"),
+          org.apache.spark.sql.functions.explode(
+            graft.functions.GraftFunctions.graft_tokens(col("content"))).as("tok"))
+        .groupBy(col("tok"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("c")), noop),
       // one-off cardinality probe: how big are the span keep set and its
       // surviving window rows on this corpus?
       ("probe_span_sizes", () => {

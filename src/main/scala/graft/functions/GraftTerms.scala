@@ -756,6 +756,28 @@ private[graft] final class WindowHasher {
   def tokenUtf8(i: Int): UTF8String =
     UTF8String.fromBytes(lowered, tokStart(i), tokEnd(i) - tokStart(i))
 
+  // byte-range accessors for allocation-free per-token consumers (the
+  // fused vocab counter): valid until the next tokenize() call
+  def tokenLen(i: Int): Int = tokEnd(i) - tokStart(i)
+  def tokenHashCode(i: Int): Int = {
+    var h = 1
+    var j = tokStart(i)
+    while (j < tokEnd(i)) { h = 31 * h + lowered(j); j += 1 }
+    h ^ (h >>> 16)
+  }
+  def tokenEquals(i: Int, other: Array[Byte], off: Int, len: Int): Boolean = {
+    if (tokenLen(i) != len) return false
+    var j = 0
+    val s = tokStart(i)
+    while (j < len) {
+      if (lowered(s + j) != other(off + j)) return false
+      j += 1
+    }
+    true
+  }
+  def copyToken(i: Int, dst: Array[Byte], off: Int): Unit =
+    System.arraycopy(lowered, tokStart(i), dst, off, tokenLen(i))
+
   /** md5 of tokens [from, from+width) joined by ' ' — the digested bytes
     * equal UTF-8 of the shingle string, so hashes match md5Hex/Spark md5
     * over the same shingle. Returns (h1, h2) = digest bytes 0-7 / 8-15,

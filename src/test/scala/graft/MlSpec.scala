@@ -684,6 +684,22 @@ class MlSpec extends SparkSpec {
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  test("vocabCounts fused pass == explode+groupBy counts (edge docs)") {
+    val edge = Seq(
+      (9101L, ""), (9102L, "the the the THE tHe"),
+      (9103L, "Ünïcode İstanbul straße mixed"),
+      (9104L, null.asInstanceOf[String]),
+      (9105L, "a b c a b a 0 00 000")).toDF("doc_id", "content")
+    val all = corpus.select($"doc_id", $"content").unionAll(edge)
+    val a = TextStats.vocabCounts(all)
+      .as[(String, Long)].collect().toMap
+    val b = all.select(explode(
+        graft.functions.GraftFunctions.graft_tokens($"content")).as("tok"))
+      .groupBy($"tok").count().as[(String, Long)].collect().toMap
+    assert(a == b)
+    assert(a("the") >= 5L)
+  }
+
   test("redactPii fused expression == built-in composition (PII-injected + edge rows)") {
     val edge = Seq(
       (9001L, "a@b.c touching ip 1.2.3.4 then A@B.CD"),
